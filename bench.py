@@ -1,0 +1,142 @@
+"""Benchmark: W4A16 decode throughput on Llama-3-8B-shaped weights.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Measures tokens/s of a full 32-layer decode step (batch 8, 1024-token KV
+context) with grouped-INT4 weights dequantized on the fly, on the real TPU
+chip.  ``vs_baseline`` = fraction of the HBM-bandwidth roofline: a decode
+step must read every packed weight byte once, so
+roofline tokens/s = batch * HBM_BW / bytes_read.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# Llama-3-8B block shapes
+HIDDEN = 4096
+INTER = 14336
+N_HEADS = 32
+N_KV = 8
+HEAD_DIM = 128
+LAYERS = 32
+BATCH = 8
+CTX = 1024
+GROUP = 128
+
+# v5e (TPU v5 lite) HBM bandwidth ~819 GB/s
+HBM_BW = 819e9
+
+
+def make_layer_qweights(key):
+    """Random packed-int4 weights + scales for one block's 7 linears."""
+    from lightcompress_tpu.ops import QLinearParams
+
+    shapes = {
+        "q": (N_HEADS * HEAD_DIM, HIDDEN),
+        "k": (N_KV * HEAD_DIM, HIDDEN),
+        "v": (N_KV * HEAD_DIM, HIDDEN),
+        "o": (HIDDEN, N_HEADS * HEAD_DIM),
+        "gate": (INTER, HIDDEN),
+        "up": (INTER, HIDDEN),
+        "down": (HIDDEN, INTER),
+    }
+    out = {}
+    ks = jax.random.split(key, len(shapes))
+    for i, (name, (oc, ic)) in enumerate(shapes.items()):
+        codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
+                                   dtype=jnp.int32)
+        scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+        zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+        out[name] = QLinearParams(codes, scales, zeros, None, 4, GROUP, False)
+    return out
+
+
+def decode_step(layers, x, k_cache, v_cache):
+    """One decode token through the 32-layer stack (no embed/head — the
+    W4-dominated portion)."""
+    from lightcompress_tpu.ops import qlinear_apply
+
+    B = x.shape[0]
+    for li, lw in enumerate(layers):
+        h1 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        q = qlinear_apply(h1, lw["q"]).reshape(B, N_HEADS, 1, HEAD_DIM)
+        k = qlinear_apply(h1, lw["k"]).reshape(B, N_KV, 1, HEAD_DIM)
+        v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
+        kc = jnp.concatenate([k_cache[li], k], axis=2)
+        vc = jnp.concatenate([v_cache[li], v], axis=2)
+        kr = jnp.repeat(kc, N_HEADS // N_KV, axis=1)
+        vr = jnp.repeat(vc, N_HEADS // N_KV, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * (HEAD_DIM**-0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vr).reshape(B, 1, -1)[:, 0]
+        x = x + qlinear_apply(ctx, lw["o"])
+        h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        g = qlinear_apply(h2, lw["gate"])
+        u = qlinear_apply(h2, lw["up"])
+        x = x + qlinear_apply(jax.nn.silu(g) * u, lw["down"])
+    return x
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
+    x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
+    k_cache = [
+        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.bfloat16) for _ in range(LAYERS)
+    ]
+    v_cache = [
+        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.bfloat16) for _ in range(LAYERS)
+    ]
+
+    def chained(layers, x, k_cache, v_cache):
+        y = decode_step(layers, x, k_cache, v_cache)
+        # renormalize so the chain stays finite; output feeds next input
+        return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+
+    step = jax.jit(chained)
+    out = step(layers, x, k_cache, v_cache)
+    out.block_until_ready()  # compile
+
+    # Measurement protocol for the tunneled runtime: chain iterations (each
+    # depends on the last) AND end with a host scalar read —
+    # block_until_ready alone returns before device completion here.
+    warm = step(layers, x, k_cache, v_cache)
+    _ = float(jnp.sum(warm))  # drain
+    n_iters = 20
+    t0 = time.time()
+    out = x
+    for _ in range(n_iters):
+        out = step(layers, out, k_cache, v_cache)
+    _ = float(jnp.sum(out))  # forces real completion
+    dt = (time.time() - t0) / n_iters
+    tokens_per_s = BATCH / dt
+
+    # roofline: bytes read per decode step
+    weight_bytes = sum(
+        int(np.prod(lw[n].codes.shape)) * 4
+        + lw[n].scales.size * 4
+        + (lw[n].zeros.size * 4 if lw[n].zeros is not None else 0)
+        for lw in layers
+        for n in lw
+    )
+    kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * HEAD_DIM * 2
+    roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
+
+    print(json.dumps({
+        "metric": "w4a16_8b_decode_tokens_per_s",
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_s / roofline_tps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

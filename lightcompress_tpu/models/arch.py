@@ -1,0 +1,465 @@
+"""Architecture specs and pure functional transformer forward passes.
+
+TPU-first re-design of the reference's model adapter layer
+(llmc/models/base_model.py + per-arch files): models are **param pytrees +
+pure apply functions**, not nn.Modules.  Forward-hook activation capture
+becomes an explicit ``collect`` return — every block forward returns
+``(y, feats)`` where ``feats`` maps canonical linear names to the exact
+tensors the reference's ``cache_input_hook`` would have recorded
+(blockwise_optimization.py:53-61).
+
+Two families cover most LLM adapters:
+- ``llama``: RMSNorm + RoPE + GQA + SiLU-gated MLP (llama.py, mistral.py,
+  qwen2.py [attn bias], qwen3.py [qk norm], smollm, stablelm, minicpm, ...)
+- ``opt``: LayerNorm + learned positions + ReLU MLP + attn bias (opt.py)
+
+Weights are stored (out_features, in_features) like the reference so the
+quantizer's rows == output channels convention (quant.py:612-642) carries
+over unchanged; matmuls are ``x @ W.T``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+# linear_fn(name, w, b, x) -> y : the functional module-library swap point
+# (the analogue of replacing nn.Linear with FakeQuantLinear etc.,
+# module_utils.py:679-853)
+LinearFn = Callable[[str, Array, Optional[Array], Array], Array]
+
+
+def default_linear(name: str, w: Array, b: Optional[Array], x: Array) -> Array:
+    y = jnp.einsum(
+        "...i,oi->...o", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchSpec:
+    family: str  # 'llama' | 'opt'
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    attn_bias: bool = False
+    mlp_bias: bool = False
+    qk_norm: bool = False  # qwen3
+    tie_word_embeddings: bool = False
+    act_fn: str = "silu"  # 'silu' | 'relu' | 'gelu'
+    # opt family
+    do_layer_norm_before: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+# ---------------------------------------------------------------------------
+# initialization (tiny random models for tests / benchmarks; zero-egress)
+# ---------------------------------------------------------------------------
+
+def _lin(key, out_f, in_f, bias, dtype, scale=None):
+    if scale is None:
+        scale = (2.0 / (in_f + out_f)) ** 0.5
+    p = {"weight": (jax.random.normal(key, (out_f, in_f)) * scale).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((out_f,), dtype)
+    return p
+
+
+def init_block_params(key, arch: ArchSpec) -> Dict:
+    ks = jax.random.split(key, 12)
+    h, i = arch.hidden_size, arch.intermediate_size
+    qd = arch.num_heads * arch.head_dim
+    kvd = arch.num_kv_heads * arch.head_dim
+    dt = arch.dtype
+    if arch.family == "llama":
+        bp = {
+            "ln1": {"weight": jnp.ones((h,), dt)},
+            "ln2": {"weight": jnp.ones((h,), dt)},
+            "attn": {
+                "q": _lin(ks[0], qd, h, arch.attn_bias, dt),
+                "k": _lin(ks[1], kvd, h, arch.attn_bias, dt),
+                "v": _lin(ks[2], kvd, h, arch.attn_bias, dt),
+                "o": _lin(ks[3], h, qd, False, dt),
+            },
+            "mlp": {
+                "gate": _lin(ks[4], i, h, arch.mlp_bias, dt),
+                "up": _lin(ks[5], i, h, arch.mlp_bias, dt),
+                "down": _lin(ks[6], h, i, arch.mlp_bias, dt),
+            },
+        }
+        if arch.qk_norm:
+            bp["attn"]["q_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
+            bp["attn"]["k_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
+        return bp
+    if arch.family == "opt":
+        return {
+            "ln1": {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)},
+            "ln2": {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)},
+            "attn": {
+                "q": _lin(ks[0], qd, h, True, dt),
+                "k": _lin(ks[1], qd, h, True, dt),
+                "v": _lin(ks[2], qd, h, True, dt),
+                "o": _lin(ks[3], h, qd, True, dt),
+            },
+            "mlp": {
+                "fc1": _lin(ks[4], i, h, True, dt),
+                "fc2": _lin(ks[5], h, i, True, dt),
+            },
+        }
+    raise ValueError(arch.family)
+
+
+def init_params(key, arch: ArchSpec) -> Dict:
+    ks = jax.random.split(key, arch.num_layers + 4)
+    h, v = arch.hidden_size, arch.vocab_size
+    dt = arch.dtype
+    params: Dict[str, Any] = {
+        "embed": {"weight": (jax.random.normal(ks[0], (v, h)) * 0.02).astype(dt)},
+        "blocks": [init_block_params(ks[2 + n], arch) for n in range(arch.num_layers)],
+    }
+    if arch.family == "llama":
+        params["norm"] = {"weight": jnp.ones((h,), dt)}
+    else:
+        params["norm"] = {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)}
+        params["embed_pos"] = {
+            "weight": (
+                jax.random.normal(ks[1], (arch.max_position_embeddings + 2, h)) * 0.02
+            ).astype(dt)
+        }
+    if not arch.tie_word_embeddings:
+        params["lm_head"] = {
+            "weight": (jax.random.normal(ks[-1], (v, h)) * 0.02).astype(dt)
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+def rmsnorm(x: Array, w: Optional[Array], eps: float) -> Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    xn = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    if w is not None:
+        xn = xn * w.astype(jnp.float32)
+    return xn.astype(dt)
+
+
+def layernorm(x: Array, w: Optional[Array], b: Optional[Array], eps: float) -> Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if w is not None:
+        xn = xn * w.astype(jnp.float32)
+    if b is not None:
+        xn = xn + b.astype(jnp.float32)
+    return xn.astype(dt)
+
+
+def apply_norm(x: Array, np_: Dict, arch: ArchSpec) -> Array:
+    if arch.family == "llama":
+        return rmsnorm(x, np_.get("weight"), arch.rms_eps)
+    return layernorm(x, np_.get("weight"), np_.get("bias"), 1e-5)
+
+
+def _act(x: Array, name: str) -> Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "gelu":
+        return jax.nn.gelu(x)
+    raise ValueError(name)
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(arch: ArchSpec, positions: Array) -> Tuple[Array, Array]:
+    """HF-Llama-convention rotary tables; positions (T,) or (B, T)."""
+    d = arch.head_dim
+    inv_freq = 1.0 / (
+        arch.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., T, d/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: Array) -> Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q: Array, k: Array, cos: Array, sin: Array):
+    # q,k: (B, H, T, D); cos/sin: (T, D) or (B, T, D)
+    if cos.ndim == 2:
+        cos = cos[None, None, :, :]
+        sin = sin[None, None, :, :]
+    else:
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+    cos = cos.astype(q.dtype)
+    sin = sin.astype(q.dtype)
+    return q * cos + _rotate_half(q) * sin, k * cos + _rotate_half(k) * sin
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def causal_mask(t_q: int, t_k: int, dtype=jnp.float32) -> Array:
+    i = jax.lax.broadcasted_iota(jnp.int32, (t_q, t_k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t_q, t_k), 1)
+    offset = t_k - t_q
+    return jnp.where(j <= i + offset, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def sdpa(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Optional[Array],
+    kv_groups: int = 1,
+    matmul_hook: Optional[Callable] = None,
+    softmax_hook: Optional[Callable] = None,
+) -> Array:
+    """Scaled dot-product attention with optional quantization hooks on the
+    two matmuls and the softmax (the LlmcMatmul/LlmcSoftmax analogue,
+    attn_utils.py:7-60)."""
+    if kv_groups > 1:
+        k = jnp.repeat(k, kv_groups, axis=1)
+        v = jnp.repeat(v, kv_groups, axis=1)
+    scale = q.shape[-1] ** -0.5
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    if matmul_hook is not None:
+        qf, kf = matmul_hook("qk", qf, kf)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    if softmax_hook is not None:
+        probs = softmax_hook(probs)
+    vf = v.astype(jnp.float32)
+    if matmul_hook is not None:
+        probs, vf = matmul_hook("pv", probs, vf)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# block forward (returns per-linear input features — the hook replacement)
+# ---------------------------------------------------------------------------
+
+def block_forward(
+    arch: ArchSpec,
+    bp: Dict,
+    x: Array,
+    cos: Optional[Array],
+    sin: Optional[Array],
+    mask: Optional[Array],
+    linear_fn: LinearFn = default_linear,
+    kv_hook: Optional[Callable] = None,
+    kv_cache: Optional[Tuple[Array, Array]] = None,
+) -> Tuple[Array, Dict[str, Array], Optional[Tuple[Array, Array]]]:
+    """One transformer block.  Returns (y, feats, new_kv).
+
+    ``feats`` records the input of every linear, matching the reference's
+    input_feat dict keyed like llama.py:52-91 subsets.
+    ``kv_hook(k, v) -> (k, v)`` implements KV-cache fake quant.
+    """
+    feats: Dict[str, Array] = {}
+    B, T, H = x.shape
+    nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+
+    if arch.family == "llama":
+        h1 = apply_norm(x, bp["ln1"], arch)
+    else:
+        h1 = apply_norm(x, bp["ln1"], arch) if arch.do_layer_norm_before else x
+    feats["attn.q"] = h1
+    feats["attn.k"] = h1
+    feats["attn.v"] = h1
+
+    ap = bp["attn"]
+    q = linear_fn("attn.q", ap["q"]["weight"], ap["q"].get("bias"), h1)
+    k = linear_fn("attn.k", ap["k"]["weight"], ap["k"].get("bias"), h1)
+    v = linear_fn("attn.v", ap["v"]["weight"], ap["v"].get("bias"), h1)
+    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+
+    if arch.qk_norm:
+        q = rmsnorm(q, ap["q_norm"]["weight"], arch.rms_eps)
+        k = rmsnorm(k, ap["k_norm"]["weight"], arch.rms_eps)
+    if cos is not None:
+        q, k = apply_rope(q, k, cos, sin)
+    if kv_cache is not None:
+        pk, pv = kv_cache
+        k = jnp.concatenate([pk, k], axis=2)
+        v = jnp.concatenate([pv, v], axis=2)
+    new_kv = (k, v)
+    if kv_hook is not None:
+        k, v = kv_hook(k, v)
+
+    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    feats["attn.o"] = ctx
+    attn_out = linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
+
+    if arch.family == "opt" and not arch.do_layer_norm_before:
+        attn_out = apply_norm(x + attn_out, bp["ln1"], arch)
+        h = attn_out
+    else:
+        h = x + attn_out
+
+    if arch.family == "llama":
+        h2 = apply_norm(h, bp["ln2"], arch)
+        mp = bp["mlp"]
+        feats["mlp.gate"] = h2
+        feats["mlp.up"] = h2
+        g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
+        u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
+        mid = _act(g, arch.act_fn) * u
+        feats["mlp.down"] = mid
+        d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
+        y = h + d
+    else:
+        h2 = apply_norm(h, bp["ln2"], arch) if arch.do_layer_norm_before else h
+        mp = bp["mlp"]
+        feats["mlp.fc1"] = h2
+        f1 = linear_fn("mlp.fc1", mp["fc1"]["weight"], mp["fc1"].get("bias"), h2)
+        mid = _act(f1, arch.act_fn)
+        feats["mlp.fc2"] = mid
+        f2 = linear_fn("mlp.fc2", mp["fc2"]["weight"], mp["fc2"].get("bias"), mid)
+        y = h + f2
+        if not arch.do_layer_norm_before:
+            y = apply_norm(y, bp["ln2"], arch)
+    return y, feats, new_kv
+
+
+# ---------------------------------------------------------------------------
+# sub-module "inspect" forwards (for AWQ grid search etc., awq.py:110-126)
+# ---------------------------------------------------------------------------
+
+def attn_inspect(
+    arch: ArchSpec,
+    bp: Dict,
+    x: Array,
+    cos: Optional[Array],
+    sin: Optional[Array],
+    mask: Optional[Array],
+    linear_fn: LinearFn = default_linear,
+) -> Array:
+    """self_attn sub-forward: x is the post-ln1 hidden states."""
+    B, T, _ = x.shape
+    nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    ap = bp["attn"]
+    q = linear_fn("attn.q", ap["q"]["weight"], ap["q"].get("bias"), x)
+    k = linear_fn("attn.k", ap["k"]["weight"], ap["k"].get("bias"), x)
+    v = linear_fn("attn.v", ap["v"]["weight"], ap["v"].get("bias"), x)
+    q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
+    if arch.qk_norm:
+        q = rmsnorm(q, ap["q_norm"]["weight"], arch.rms_eps)
+        k = rmsnorm(k, ap["k_norm"]["weight"], arch.rms_eps)
+    if cos is not None:
+        q, k = apply_rope(q, k, cos, sin)
+    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
+    return linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
+
+
+def mlp_inspect(
+    arch: ArchSpec, bp: Dict, x: Array, linear_fn: LinearFn = default_linear
+) -> Array:
+    mp = bp["mlp"]
+    if arch.family == "llama":
+        g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), x)
+        u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), x)
+        mid = _act(g, arch.act_fn) * u
+        return linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
+    f1 = linear_fn("mlp.fc1", mp["fc1"]["weight"], mp["fc1"].get("bias"), x)
+    return linear_fn("mlp.fc2", mp["fc2"]["weight"], mp["fc2"].get("bias"), _act(f1, arch.act_fn))
+
+
+def linear_inspect(
+    bp: Dict, name: str, x: Array, linear_fn: LinearFn = default_linear
+) -> Array:
+    p = _resolve(bp, name)
+    return linear_fn(name, p["weight"], p.get("bias"), x)
+
+
+def _resolve(tree: Dict, dotted: str) -> Dict:
+    # canonical param paths use short names: attn.q == params['attn']['q']
+    node = tree
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+# ---------------------------------------------------------------------------
+# whole-model forward
+# ---------------------------------------------------------------------------
+
+def embed_forward(arch: ArchSpec, params: Dict, input_ids: Array) -> Array:
+    x = params["embed"]["weight"][input_ids]
+    if arch.family == "opt":
+        T = input_ids.shape[-1]
+        pos = jnp.arange(T) + 2  # OPT's learned-position offset
+        x = x + params["embed_pos"]["weight"][pos]
+    return x
+
+
+def head_forward(arch: ArchSpec, params: Dict, x: Array) -> Array:
+    x = apply_norm(x, params["norm"], arch)
+    w = (
+        params["embed"]["weight"]
+        if arch.tie_word_embeddings
+        else params["lm_head"]["weight"]
+    )
+    return jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+
+
+def model_forward(
+    arch: ArchSpec,
+    params: Dict,
+    input_ids: Array,
+    linear_fns: Optional[List[LinearFn]] = None,
+    kv_hooks: Optional[List[Optional[Callable]]] = None,
+) -> Array:
+    """Full causal-LM forward returning float32 logits."""
+    B, T = input_ids.shape
+    x = embed_forward(arch, params, input_ids)
+    mask = causal_mask(T, T)
+    if arch.family == "llama":
+        cos, sin = rope_cos_sin(arch, jnp.arange(T))
+    else:
+        cos = sin = None
+    for idx, bp in enumerate(params["blocks"]):
+        lf = linear_fns[idx] if linear_fns is not None else default_linear
+        kh = kv_hooks[idx] if kv_hooks is not None else None
+        x, _, _ = block_forward(arch, bp, x, cos, sin, mask, linear_fn=lf, kv_hook=kh)
+    return head_forward(arch, params, x)

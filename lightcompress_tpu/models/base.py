@@ -1,0 +1,294 @@
+"""Model adapter base + subset topology tables.
+
+The functional analogue of the reference's ``BaseModel`` ABC
+(llmc/models/base_model.py:22-462).  An adapter owns:
+
+- an :class:`~lightcompress_tpu.models.arch.ArchSpec` (static architecture)
+- a params pytree (list-of-blocks layout, see arch.init_params)
+- the tokenizer
+- the **subset table** — the single source of truth the scale/rotate
+  algorithms consume, mirroring ``get_subsets_in_block``
+  (llama.py:52-91, opt.py): each subset names its layers, the prev op the
+  equivalent-transform scale folds into, which collected feature is its
+  input, and which sub-forward re-runs it (AWQ's ``inspect_module``).
+
+First-block input capture (base_model.py:174-192 Catcher) is just running
+the embedding prologue — no exception-raising hooks needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import MODEL_REGISTRY
+from . import arch as A
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Subset:
+    """One equivalent-transform unit inside a block."""
+
+    layers: Tuple[str, ...]
+    prev_op: Optional[str]  # canonical param path ('ln1', 'attn.v', ...) or None
+    prev_type: Optional[str]  # 'norm' | 'linear' | None
+    input: str  # key into the collected feats dict
+    inspect: str  # 'attn' | 'mlp' | a single linear name
+    has_kwargs: bool = False
+    is_mlp: bool = False
+    skip_rotate: bool = False
+
+
+# llama.py:52-91 topology, canonical names
+LLAMA_SUBSETS = (
+    Subset(
+        layers=("attn.q", "attn.k", "attn.v"),
+        prev_op="ln1",
+        prev_type="norm",
+        input="attn.q",
+        inspect="attn",
+        has_kwargs=True,
+    ),
+    Subset(
+        layers=("attn.o",),
+        prev_op="attn.v",
+        prev_type="linear",
+        input="attn.o",
+        inspect="attn.o",
+    ),
+    Subset(
+        layers=("mlp.gate", "mlp.up"),
+        prev_op="ln2",
+        prev_type="norm",
+        input="mlp.gate",
+        inspect="mlp",
+        is_mlp=True,
+    ),
+    Subset(
+        layers=("mlp.down",),
+        prev_op="mlp.up",
+        prev_type="linear",
+        input="mlp.down",
+        inspect="mlp.down",
+        is_mlp=True,
+    ),
+)
+
+# opt.py topology
+OPT_SUBSETS = (
+    Subset(
+        layers=("attn.q", "attn.k", "attn.v"),
+        prev_op="ln1",
+        prev_type="norm",
+        input="attn.q",
+        inspect="attn",
+        has_kwargs=True,
+    ),
+    Subset(
+        layers=("attn.o",),
+        prev_op="attn.v",
+        prev_type="linear",
+        input="attn.o",
+        inspect="attn.o",
+    ),
+    Subset(
+        layers=("mlp.fc1",),
+        prev_op="ln2",
+        prev_type="norm",
+        input="mlp.fc1",
+        inspect="mlp.fc1",
+        is_mlp=True,
+    ),
+    Subset(
+        layers=("mlp.fc2",),
+        prev_op="mlp.fc1",
+        prev_type="linear",
+        input="mlp.fc2",
+        inspect="mlp.fc2",
+        is_mlp=True,
+    ),
+)
+
+
+def resolve(tree: Dict, dotted: str) -> Dict:
+    node = tree
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def set_path(tree: Dict, dotted: str, leaf_key: str, value) -> None:
+    resolve(tree, dotted)[leaf_key] = value
+
+
+class BaseModel:
+    """Holds arch + params + tokenizer and exposes the engine-facing API."""
+
+    subsets: Tuple[Subset, ...] = LLAMA_SUBSETS
+
+    def __init__(
+        self,
+        arch: A.ArchSpec,
+        params: Dict,
+        tokenizer=None,
+        config=None,
+    ):
+        self.arch = arch
+        self.params = params
+        self.tokenizer = tokenizer
+        self.config = config
+        # per-block deployed linear_fn (None = float); set by deploy()
+        self.linear_fns: Optional[List[A.LinearFn]] = None
+        self.kv_hooks: Optional[List[Optional[Callable]]] = None
+
+    # -- topology ----------------------------------------------------------
+    @property
+    def blocks(self) -> List[Dict]:
+        return self.params["blocks"]
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.params["blocks"])
+
+    def get_subsets_in_block(self, block_idx: int) -> Tuple[Subset, ...]:
+        return self.subsets
+
+    def get_block_linear_names(self, block_idx: int) -> List[str]:
+        names: List[str] = []
+        for s in self.get_subsets_in_block(block_idx):
+            names.extend(s.layers)
+        return names
+
+    def get_layernorm_names(self, block_idx: int) -> List[str]:
+        return ["ln1", "ln2"]
+
+    def get_head_names(self) -> List[str]:
+        return [] if self.arch.tie_word_embeddings else ["lm_head"]
+
+    # -- forwards ----------------------------------------------------------
+    def rope_tables(self, T: int):
+        if self.arch.family == "llama":
+            return A.rope_cos_sin(self.arch, jnp.arange(T))
+        return None, None
+
+    def collect_first_block_input(self, calib_batches: List[Array]) -> List[Array]:
+        """Run the embedding prologue on each calib batch
+        (base_model.py:279-336 Catcher equivalent)."""
+        f = jax.jit(lambda ids: A.embed_forward(self.arch, self.params, ids))
+        return [f(b) for b in calib_batches]
+
+    def block_forward(
+        self,
+        block_idx: int,
+        x: Array,
+        linear_fn: Optional[A.LinearFn] = None,
+        kv_hook=None,
+        block_params: Optional[Dict] = None,
+    ):
+        bp = block_params if block_params is not None else self.blocks[block_idx]
+        T = x.shape[1]
+        cos, sin = self.rope_tables(T)
+        mask = A.causal_mask(T, T)
+        return A.block_forward(
+            self.arch,
+            bp,
+            x,
+            cos,
+            sin,
+            mask,
+            linear_fn=linear_fn or A.default_linear,
+            kv_hook=kv_hook,
+        )
+
+    def inspect_forward(
+        self,
+        block_idx: int,
+        subset: Subset,
+        x: Array,
+        linear_fn: Optional[A.LinearFn] = None,
+        block_params: Optional[Dict] = None,
+    ) -> Array:
+        """Re-run one subset's sub-module (awq.py:110-126 inspect_module)."""
+        bp = block_params if block_params is not None else self.blocks[block_idx]
+        lf = linear_fn or A.default_linear
+        if subset.inspect == "attn":
+            T = x.shape[1]
+            cos, sin = self.rope_tables(T)
+            mask = A.causal_mask(T, T)
+            return A.attn_inspect(self.arch, bp, x, cos, sin, mask, linear_fn=lf)
+        if subset.inspect == "mlp":
+            return A.mlp_inspect(self.arch, bp, x, linear_fn=lf)
+        return A.linear_inspect(bp, subset.inspect, x, linear_fn=lf)
+
+    def forward(self, input_ids: Array) -> Array:
+        return A.model_forward(
+            self.arch,
+            self.params,
+            input_ids,
+            linear_fns=self.linear_fns,
+            kv_hooks=self.kv_hooks,
+        )
+
+    # -- deploy ------------------------------------------------------------
+    def deploy_float(self):
+        self.linear_fns = None
+        self.kv_hooks = None
+
+    def deploy_fake_quant(
+        self,
+        w_qdq_fns: List[Dict[str, Callable]],
+        a_qdq_fns: Optional[List[Dict[str, Callable]]] = None,
+        kv_hooks: Optional[List[Optional[Callable]]] = None,
+    ):
+        """Bake weight qdq into params once (EffcientFakeQuantLinear
+        semantics, module_utils.py:774-852) and install per-block act-quant
+        linear fns."""
+        for idx, bp in enumerate(self.params["blocks"]):
+            fns = w_qdq_fns[idx] if idx < len(w_qdq_fns) else {}
+            for name, fn in fns.items():
+                node = resolve(bp, name)
+                node["weight"] = fn(node["weight"], name)
+        self.linear_fns = []
+        for idx in range(self.num_blocks):
+            afns = (a_qdq_fns[idx] if a_qdq_fns is not None else {}) or {}
+
+            def make_fn(afns):
+                def lf(name, w, b, x):
+                    if name in afns:
+                        x = afns[name](x)
+                    return A.default_linear(name, w, b, x)
+
+                return lf
+
+            self.linear_fns.append(make_fn(afns))
+        self.kv_hooks = kv_hooks
+
+
+@MODEL_REGISTRY
+class Llama(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Mistral(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Qwen2(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Qwen3(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Opt(BaseModel):
+    subsets = OPT_SUBSETS

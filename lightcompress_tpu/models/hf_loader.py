@@ -1,0 +1,315 @@
+"""HuggingFace checkpoint I/O.
+
+Reads an HF model directory (config.json + *.safetensors [+ index] or
+pytorch_model.bin) into the canonical params pytree, and writes it back.
+Covers the reference's build path (base_model.py:197-242) including the
+sharded-safetensors streaming load used for big pre-quantized checkpoints
+(base_model.py:244-264) — shards are memory-mapped and consumed one tensor
+at a time, never materializing the whole checkpoint in host RAM twice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import arch as A
+from .base import BaseModel
+
+try:
+    from safetensors import safe_open
+except ImportError:  # pragma: no cover
+    safe_open = None
+
+
+# ---------------------------------------------------------------------------
+# config.json -> ArchSpec
+# ---------------------------------------------------------------------------
+
+_LLAMA_LIKE = {"llama", "mistral", "qwen2", "qwen3", "smollm", "stablelm"}
+
+
+def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
+    mt = cfg.get("model_type", "llama")
+    if mt in _LLAMA_LIKE:
+        n_heads = cfg["num_attention_heads"]
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=head_dim,
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-6),
+            attn_bias=(mt == "qwen2") or cfg.get("attention_bias", False),
+            mlp_bias=cfg.get("mlp_bias", False),
+            qk_norm=(mt == "qwen3"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            act_fn={"silu": "silu", "gelu": "gelu"}.get(
+                cfg.get("hidden_act", "silu"), "silu"
+            ),
+            dtype=dtype,
+        )
+    if mt == "opt":
+        h = cfg["hidden_size"]
+        return A.ArchSpec(
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["ffn_dim"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg["num_attention_heads"],
+            head_dim=h // cfg["num_attention_heads"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            act_fn="relu",
+            do_layer_norm_before=cfg.get("do_layer_norm_before", True),
+            dtype=dtype,
+        )
+    raise NotImplementedError(f"model_type {mt!r}")
+
+
+# ---------------------------------------------------------------------------
+# canonical-path <-> HF-key maps
+# ---------------------------------------------------------------------------
+
+def _llama_key_map(i: int) -> Dict[str, str]:
+    p = f"model.layers.{i}."
+    return {
+        "ln1.weight": p + "input_layernorm.weight",
+        "ln2.weight": p + "post_attention_layernorm.weight",
+        "attn.q.weight": p + "self_attn.q_proj.weight",
+        "attn.q.bias": p + "self_attn.q_proj.bias",
+        "attn.k.weight": p + "self_attn.k_proj.weight",
+        "attn.k.bias": p + "self_attn.k_proj.bias",
+        "attn.v.weight": p + "self_attn.v_proj.weight",
+        "attn.v.bias": p + "self_attn.v_proj.bias",
+        "attn.o.weight": p + "self_attn.o_proj.weight",
+        "attn.q_norm.weight": p + "self_attn.q_norm.weight",
+        "attn.k_norm.weight": p + "self_attn.k_norm.weight",
+        "mlp.gate.weight": p + "mlp.gate_proj.weight",
+        "mlp.up.weight": p + "mlp.up_proj.weight",
+        "mlp.down.weight": p + "mlp.down_proj.weight",
+    }
+
+
+def _opt_key_map(i: int) -> Dict[str, str]:
+    p = f"model.decoder.layers.{i}."
+    m = {
+        "ln1.weight": p + "self_attn_layer_norm.weight",
+        "ln1.bias": p + "self_attn_layer_norm.bias",
+        "ln2.weight": p + "final_layer_norm.weight",
+        "ln2.bias": p + "final_layer_norm.bias",
+        "mlp.fc1.weight": p + "fc1.weight",
+        "mlp.fc1.bias": p + "fc1.bias",
+        "mlp.fc2.weight": p + "fc2.weight",
+        "mlp.fc2.bias": p + "fc2.bias",
+    }
+    for c, h in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "out_proj")):
+        m[f"attn.{c}.weight"] = p + f"self_attn.{h}.weight"
+        m[f"attn.{c}.bias"] = p + f"self_attn.{h}.bias"
+    return m
+
+
+def _top_key_map(arch: A.ArchSpec) -> Dict[str, str]:
+    if arch.family == "llama":
+        m = {
+            "embed.weight": "model.embed_tokens.weight",
+            "norm.weight": "model.norm.weight",
+        }
+        if not arch.tie_word_embeddings:
+            m["lm_head.weight"] = "lm_head.weight"
+        return m
+    m = {
+        "embed.weight": "model.decoder.embed_tokens.weight",
+        "embed_pos.weight": "model.decoder.embed_positions.weight",
+        "norm.weight": "model.decoder.final_layer_norm.weight",
+        "norm.bias": "model.decoder.final_layer_norm.bias",
+    }
+    if not arch.tie_word_embeddings:
+        m["lm_head.weight"] = "lm_head.weight"
+    return m
+
+
+def _block_key_map(arch: A.ArchSpec, i: int) -> Dict[str, str]:
+    return _llama_key_map(i) if arch.family == "llama" else _opt_key_map(i)
+
+
+# ---------------------------------------------------------------------------
+# tensor reading
+# ---------------------------------------------------------------------------
+
+class _ShardReader:
+    """Streams tensors from .safetensors shards (or a single torch .bin)."""
+
+    def __init__(self, model_dir: str):
+        self.dir = model_dir
+        self.weight_map: Dict[str, str] = {}
+        self._handles: Dict[str, Any] = {}
+        self._torch_state = None
+        idx = os.path.join(model_dir, "model.safetensors.index.json")
+        single = os.path.join(model_dir, "model.safetensors")
+        if os.path.exists(idx):
+            with open(idx) as f:
+                self.weight_map = json.load(f)["weight_map"]
+        elif os.path.exists(single):
+            with safe_open(single, framework="numpy") as f:
+                keys = list(f.keys())
+            self.weight_map = {k: "model.safetensors" for k in keys}
+        else:
+            bins = [
+                f for f in os.listdir(model_dir)
+                if f.startswith("pytorch_model") and f.endswith(".bin")
+            ]
+            if not bins:
+                raise FileNotFoundError(f"no checkpoint found in {model_dir}")
+            import torch
+
+            self._torch_state = {}
+            for b in bins:
+                self._torch_state.update(
+                    torch.load(
+                        os.path.join(model_dir, b),
+                        map_location="cpu",
+                        weights_only=True,
+                    )
+                )
+            self.weight_map = {k: "" for k in self._torch_state}
+
+    def keys(self):
+        return self.weight_map.keys()
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        if key not in self.weight_map:
+            return None
+        if self._torch_state is not None:
+            t = self._torch_state[key]
+            if t.dtype.is_floating_point:
+                t = t.float()
+            return t.numpy()
+        shard = self.weight_map[key]
+        if shard not in self._handles:
+            self._handles[shard] = safe_open(
+                os.path.join(self.dir, shard), framework="numpy"
+            )
+        f = self._handles[shard]
+        try:
+            return f.get_tensor(key)
+        except (TypeError, ValueError):
+            # bf16/fp8 not representable in numpy: go through torch
+            import torch
+            from safetensors.torch import load_file
+
+            t = load_file(os.path.join(self.dir, shard))[key]
+            return t.float().numpy()
+
+
+def _np_to_jnp(a: np.ndarray, dtype) -> jnp.ndarray:
+    if a.dtype == np.uint16:  # raw bf16 bits from safetensors-numpy
+        a = a.view(np.uint16)
+        out = jnp.asarray(a).view(jnp.bfloat16)
+        return out.astype(dtype)
+    if np.issubdtype(a.dtype, np.floating):
+        return jnp.asarray(a, dtype=dtype)
+    return jnp.asarray(a)
+
+
+# ---------------------------------------------------------------------------
+# load / save
+# ---------------------------------------------------------------------------
+
+def load_params(model_dir: str, arch: A.ArchSpec) -> Dict:
+    reader = _ShardReader(model_dir)
+    dt = arch.dtype
+
+    def fill(key_map: Dict[str, str]) -> Dict:
+        out: Dict[str, Any] = {}
+        for canon, hf_key in key_map.items():
+            t = reader.get(hf_key)
+            if t is None:
+                continue
+            parts = canon.split(".")
+            node = out
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = _np_to_jnp(t, dt)
+        return out
+
+    params = fill(_top_key_map(arch))
+    params["blocks"] = [
+        fill(_block_key_map(arch, i)) for i in range(arch.num_layers)
+    ]
+    return params
+
+
+def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
+    """Build a registered adapter from an HF model directory."""
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    arch = arch_from_hf_config(cfg, dtype=dtype)
+    params = load_params(model_dir, arch)
+    tok = None
+    if with_tokenizer:
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(model_dir)
+        except Exception:
+            tok = None
+    from ..registry import MODEL_REGISTRY
+
+    cls_name = {
+        "llama": "Llama",
+        "mistral": "Mistral",
+        "qwen2": "Qwen2",
+        "qwen3": "Qwen3",
+        "opt": "Opt",
+    }[cfg.get("model_type", "llama")]
+    return MODEL_REGISTRY[cls_name](arch, params, tokenizer=tok, config=cfg)
+
+
+def save_params(model, save_dir: str, hf_config: Optional[Dict] = None) -> None:
+    """Write params back as a single model.safetensors + config.json
+    (save_trans / save_fake semantics, bbq.py:1006-1029)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(save_dir, exist_ok=True)
+    arch, params = model.arch, model.params
+    tensors: Dict[str, np.ndarray] = {}
+
+    def put(key_map: Dict[str, str], tree: Dict):
+        for canon, hf_key in key_map.items():
+            parts = canon.split(".")
+            node = tree
+            ok = True
+            for p in parts:
+                if not isinstance(node, dict) or p not in node:
+                    ok = False
+                    break
+                node = node[p]
+            if ok:
+                a = np.asarray(jnp.asarray(node, dtype=jnp.float32))
+                tensors[hf_key] = a
+
+    put(_top_key_map(arch), params)
+    for i, bp in enumerate(params["blocks"]):
+        put(_block_key_map(arch, i), bp)
+    save_file(tensors, os.path.join(save_dir, "model.safetensors"))
+    if hf_config is not None:
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(hf_config, f, indent=2)
+    if model.tokenizer is not None:
+        try:
+            model.tokenizer.save_pretrained(save_dir)
+        except Exception:
+            pass

@@ -1,0 +1,126 @@
+"""Quantized linear ops — XLA reference path.
+
+The serving-core computation (SURVEY §2.6: the vLLM cutlass_scaled_mm /
+Triton fp8_gemm analogue): grouped-INT4/INT8 weights stored packed in HBM,
+dequantized on the fly and fed to the MXU.  This module is the pure-XLA
+implementation; ``ops.pallas_matmul`` provides the hand-tiled Pallas kernels
+that replace it on the hot path (selected by ``qlinear_apply``).
+
+Storage layout (QLinearParams):
+- int4: codes packed 8-per-int32 along the input-channel dim, per-group
+  scales/zeros float32 (group along ic).
+- int8: codes int8, per-channel scales.
+- fp8 (e4m3): codes float8_e4m3fn, per-channel or per-128x128-block scales.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import QuantSpec, real_quant_weight
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QLinearParams:
+    codes: Array  # int32-packed (oc, ic//8) for int4 | int8 (oc, ic) | fp8
+    scales: Array  # (oc, n_group) f32
+    zeros: Optional[Array]  # (oc, n_group) f32 or None (symmetric)
+    bias: Optional[Array]
+    bits: int = dataclasses.field(metadata=dict(static=True), default=4)
+    group_size: int = dataclasses.field(metadata=dict(static=True), default=0)
+    is_float: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+def quantize_linear(
+    w: Array, spec: QuantSpec, bias: Optional[Array] = None
+) -> QLinearParams:
+    codes, scales, zeros = real_quant_weight(w.astype(jnp.float32), spec)
+    if spec.is_float:
+        return QLinearParams(codes, scales.astype(jnp.float32), None, bias,
+                             8, 0, True)
+    if spec.bit == 4:
+        from ..export import pack_int4
+
+        packed = pack_int4(codes)
+        return QLinearParams(
+            packed,
+            scales.astype(jnp.float32),
+            None if zeros is None else zeros.astype(jnp.float32),
+            bias,
+            4,
+            spec.group_size if spec.granularity == "per_group" else 0,
+            False,
+        )
+    return QLinearParams(
+        codes,
+        scales.astype(jnp.float32),
+        None if zeros is None else zeros.astype(jnp.float32),
+        bias,
+        8,
+        spec.group_size if spec.granularity == "per_group" else 0,
+        False,
+    )
+
+
+def _unpack_int4_u(packed: Array) -> Array:
+    """(oc, ic//8) int32 -> (oc, ic) int32 unsigned nibbles."""
+    oc, words = packed.shape
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    u = (packed[:, :, None] >> shifts[None, None, :]) & 0xF
+    return u.reshape(oc, words * 8)
+
+
+def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
+    """Materialize the bf16 weight (oc, ic)."""
+    if qp.is_float:
+        w = qp.codes.astype(jnp.float32)
+        oc = w.shape[0]
+        s = qp.scales.reshape(oc, -1, 1)
+        w = w.reshape(oc, s.shape[1], -1) * s
+        return w.reshape(oc, -1).astype(dtype)
+    if qp.bits == 4:
+        u = _unpack_int4_u(qp.codes).astype(jnp.float32)
+    else:
+        u = qp.codes.astype(jnp.float32)
+    oc, ic = u.shape
+    g = qp.group_size or ic
+    u = u.reshape(oc, ic // g, g)
+    z = qp.zeros.reshape(oc, ic // g, 1) if qp.zeros is not None else 0.0
+    s = qp.scales.reshape(oc, ic // g, 1)
+    return ((u - z) * s).reshape(oc, ic).astype(dtype)
+
+
+def qlinear_xla(x: Array, qp: QLinearParams) -> Array:
+    """Dequant-then-matmul in one fused XLA computation.
+
+    For decode (small batch) XLA fuses the dequant into the matmul read —
+    HBM traffic is the packed codes, not the bf16 weights.
+    """
+    w = dequant_weight(qp, dtype=jnp.bfloat16)
+    y = jnp.einsum(
+        "...i,oi->...o", x.astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if qp.bias is not None:
+        y = y + qp.bias
+    return y
+
+
+def qlinear_apply(x: Array, qp: QLinearParams, use_pallas: bool = True) -> Array:
+    """Dispatch: Pallas fused kernel on TPU when shapes allow, XLA otherwise."""
+    if use_pallas and qp.bits == 4 and not qp.is_float:
+        try:
+            from .pallas_matmul import w4a16_matmul_available, w4a16_matmul
+
+            if w4a16_matmul_available(x, qp):
+                return w4a16_matmul(x, qp)
+        except ImportError:
+            pass
+    return qlinear_xla(x, qp)

@@ -1,0 +1,69 @@
+"""Full-pipeline test: YAML config -> load HF checkpoint -> calibrate ->
+AWQ transform -> PPL evals -> token consistency (the reference CI shape,
+.github/workflows/main.yml + ci_check/awq_w4a16_fakequant_eval.yml)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from helpers import make_tiny_hf_llama
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    d, _ = make_tiny_hf_llama(str(tmp_path_factory.mktemp("pipe")))
+    return d
+
+
+def test_pipeline_awq(tiny_model_dir, tmp_path):
+    from lightcompress_tpu.config import load_config
+    from lightcompress_tpu.pipeline import run_pipeline
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..",
+                            "configs/ci/awq_w4a16_tiny_synthetic.yml")
+    with open(cfg_path) as f:
+        text = f.read().replace("__TINY_MODEL_DIR__", tiny_model_dir)
+    p = tmp_path / "cfg.yml"
+    p.write_text(text)
+    cfg = load_config(str(p))
+    cfg.save.save_path = str(tmp_path / "save")
+
+    results = run_pipeline(cfg)
+    assert "ppl_pretrain" in results
+    assert "ppl_transformed" in results
+    assert "ppl_fake_quant" in results
+    assert "token_consistency" in results
+    # equivalence-preserving transform: transformed ppl == pretrain ppl
+    assert abs(results["ppl_transformed"] - results["ppl_pretrain"]) \
+        / results["ppl_pretrain"] < 0.02
+    # quantized ppl finite, token consistency sane
+    assert np.isfinite(results["ppl_fake_quant"])
+    assert 0.3 < results["token_consistency"] <= 1.0
+
+
+def test_pipeline_rtn_with_exports(tiny_model_dir, tmp_path):
+    from lightcompress_tpu.config import DotDict, load_config
+    from lightcompress_tpu.pipeline import run_pipeline
+
+    cfg = DotDict({
+        "base": {"seed": 0},
+        "model": {"type": "Llama", "path": tiny_model_dir,
+                  "torch_dtype": "float32"},
+        "calib": {"name": "synthetic", "n_samples": 2, "bs": 1, "seq_len": 16,
+                  "preproc": "synthetic_random", "seed": 0},
+        "eval": {"eval_pos": ["fake_quant"], "name": "synthetic",
+                 "seq_len": 16, "bs": 1, "n_tokens": 64},
+        "quant": {"method": "RTN",
+                  "weight": {"bit": 8, "symmetric": True,
+                             "granularity": "per_channel"}},
+        "save": {"save_native": True, "save_path": str(tmp_path / "out")},
+    })
+    results = run_pipeline(cfg)
+    assert np.isfinite(results["ppl_fake_quant"])
+    assert os.path.exists(
+        tmp_path / "out" / "native_quant_model" / "quant_model.safetensors"
+    )
+    assert os.path.exists(
+        tmp_path / "out" / "native_quant_model" / "quantization_config.json"
+    )
