@@ -55,7 +55,9 @@ def make_layer_qweights(key):
                                    dtype=jnp.int32)
         scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
         zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
-        out[name] = QLinearParams(codes, scales, zeros, None, 4, GROUP, False)
+        # plane layout -> Pallas fused dequant-matmul kernel path
+        out[name] = QLinearParams(codes, scales, zeros, None, 4, GROUP, False,
+                                  "planes")
     return out
 
 
@@ -96,25 +98,24 @@ def main():
         jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.bfloat16) for _ in range(LAYERS)
     ]
 
-    def chained(layers, x, k_cache, v_cache):
-        y = decode_step(layers, x, k_cache, v_cache)
-        # renormalize so the chain stays finite; output feeds next input
-        return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
-
-    step = jax.jit(chained)
-    out = step(layers, x, k_cache, v_cache)
-    out.block_until_ready()  # compile
-
-    # Measurement protocol for the tunneled runtime: chain iterations (each
-    # depends on the last) AND end with a host scalar read —
-    # block_until_ready alone returns before device completion here.
-    warm = step(layers, x, k_cache, v_cache)
-    _ = float(jnp.sum(warm))  # drain
+    # Measurement protocol for the tunneled runtime: iterations chained
+    # ON-DEVICE in one fori_loop (each step feeds the next), ended with a
+    # host scalar read — block_until_ready alone returns before device
+    # completion here, and identical replayed executions get dedup-cached.
     n_iters = 20
+
+    def many(layers, x, k_cache, v_cache):
+        def body(i, xx):
+            y = decode_step(layers, xx, k_cache, v_cache)
+            return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+
+        return jax.lax.fori_loop(0, n_iters, body, x)
+
+    step = jax.jit(many)
+    out = step(layers, x, k_cache, v_cache)
+    _ = float(jnp.sum(out))  # compile + drain
     t0 = time.time()
-    out = x
-    for _ in range(n_iters):
-        out = step(layers, out, k_cache, v_cache)
+    out = step(layers, out, k_cache, v_cache)
     _ = float(jnp.sum(out))  # forces real completion
     dt = (time.time() - t0) / n_iters
     tokens_per_s = BATCH / dt

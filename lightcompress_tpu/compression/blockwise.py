@@ -78,19 +78,22 @@ class BlockwiseOpt:
         bp = model.blocks[block_idx]
 
         def one(bp, x):
-            y, feats, _ = model.block_forward(
+            y, feats, kv = model.block_forward(
                 block_idx, x, linear_fn=linear_fn, block_params=bp
             )
-            return y, feats
+            return y, feats, kv
 
         run = jax.jit(one) if linear_fn is None else one
         feats_acc: Dict[str, List[jax.Array]] = {}
         outs: List[jax.Array] = []
+        kvs: List = []
         for x in self.input_batches:
-            y, feats = run(bp, x)
+            y, feats, kv = run(bp, x)
             outs.append(y)
+            kvs.append(kv)
             for k, v in feats.items():
                 feats_acc.setdefault(k, []).append(v)
+        self._last_kv_states = kvs
         return feats_acc, outs
 
     def block_forward_batches(

@@ -2,3 +2,12 @@ from .base import BaseBlockwiseQuantization  # noqa: F401
 from .rtn import RTN  # noqa: F401
 from .awq import Awq  # noqa: F401
 from .auto_clip import AutoClipper  # noqa: F401
+from .kvquant import KiviQuantKVCache, NaiveQuantKVCache  # noqa: F401
+from .gptq import GPTQ  # noqa: F401
+from .smoothquant import SmoothQuant  # noqa: F401
+from .osplus import OsPlus  # noqa: F401
+from .llmint8 import LlmInt8  # noqa: F401
+from .hqq import HQQ  # noqa: F401
+from .quik import QUIK  # noqa: F401
+from .adadim import AdaDim  # noqa: F401
+from .dgq import DGQ  # noqa: F401

@@ -357,6 +357,11 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             self.input_batches = outs
         self.block_transform(block_idx, feats)
         self.register_act_qparams(block_idx, feats)
+        if (self.quant_kvcache and getattr(self.kv_module, "static", False)
+                and getattr(self, "_last_kv_states", None)):
+            ks = [kv[0] for kv in self._last_kv_states]
+            vs = [kv[1] for kv in self._last_kv_states]
+            self.kv_module.calibrate(block_idx, ks, vs)
         if self.quant_out:
             self.input_batches = self.block_forward_batches(
                 block_idx, linear_fn=self.fq_linear_fn(block_idx)

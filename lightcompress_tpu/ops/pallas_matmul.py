@@ -1,0 +1,209 @@
+"""Pallas TPU kernels: fused grouped-INT4 dequant-matmul (W4A16 decode).
+
+The serving-core kernel (SURVEY §2.6 / §7: "grouped-INT4 unpack-in-register
+matmul ... the single most perf-critical kernel").  Replaces the XLA path in
+ops.qlinear, which materializes dequantized bf16 weights in HBM (~4.5 bytes
+of traffic per weight); this kernel reads only the packed nibbles + scales
+(~0.56 bytes per weight) and unpacks in registers.
+
+Design notes (TPU-first):
+- **Plane packing**: nibble j of word ``wp[n, kw]`` holds weight
+  ``w[n, j*(K/8) + kw]`` — each of the 8 nibble planes covers a *contiguous*
+  K-range, so unpacking is shift+mask only (no lane interleave, which Mosaic
+  lowers poorly).  ``pack_int4_planes`` produces this layout.
+- **Grouped scales without expansion**: for group g,
+  ``y += s[n,g] * (x_g @ codes_g^T) - s[n,g]*z[n,g] * sum(x_g)`` — the scale
+  applies to the (B, N_t) partial product, never expanded to (N, K).
+- Grid over output-channel tiles only; the whole K extent of one tile's
+  packed words sits in VMEM (decode x is tiny), so there is no K-loop
+  accumulation state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def pack_int4_planes(codes: Array) -> Array:
+    """(N, K) uint4-valued -> (N, K/8) int32, plane layout."""
+    n, k = codes.shape
+    assert k % 8 == 0
+    kp = k // 8
+    u = jnp.asarray(codes, jnp.int32) & 0xF
+    planes = u.reshape(n, 8, kp)  # plane j = codes[:, j*kp:(j+1)*kp]
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+    return jnp.sum(planes << shifts, axis=1).astype(jnp.int32)
+
+
+def unpack_int4_planes(packed: Array, k: int) -> Array:
+    n, kp = packed.shape
+    assert kp * 8 == k
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+    planes = (packed[:, None, :] >> shifts) & 0xF
+    return planes.reshape(n, k)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _w4a16_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
+    """Grid = (N/N_t, gpp): grid dim 1 walks the groups-within-plane; the
+    8 nibble planes are unrolled inside (static shifts).  Every operand
+    arrives via a BlockSpec (Pallas double-buffers the DMA across grid
+    steps); there is no dynamic slicing in the kernel.
+
+    Block shapes per step:
+      x:  (B, 8*group)  — x pre-reordered so step gi's 8 plane-slices are
+                          contiguous (see ``_reorder_x``)
+      wp: (N_t, group)  — packed words for group gi (shared by all planes)
+      s/zs: (8, N_t)    — the 8 (plane, gi) scale rows, pre-transposed
+      o:  (B, N_t) f32  — accumulated across grid dim 1
+    """
+    gi = pl.program_id(1)
+
+    @pl.when(gi == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    xb = x_ref[:]
+    wpb = wp_ref[:]
+    b, nt = o_ref.shape
+    # 4 independent accumulators break the add dependency chain across the
+    # 8 plane dots; bf16 operands halve MXU latency (f32 accumulate)
+    accs = [jnp.zeros((b, nt), jnp.float32) for _ in range(4)]
+    for j in range(8):
+        cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.bfloat16)  # (N_t, g)
+        xg = xb[:, j * group:(j + 1) * group].astype(jnp.bfloat16)  # (B, g)
+        partial = jax.lax.dot_general(
+            xg, cg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, N_t)
+        accs[j % 4] = accs[j % 4] + partial * s_ref[j, :][None, :]
+    # zero-point correction in one tiny dot: (B, 8) @ (8, N_t)
+    xsum = jnp.sum(xb.reshape(b, 8, group), axis=2)
+    corr = jax.lax.dot_general(
+        xsum, zs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o_ref[:] + (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "n_tile", "interpret"),
+)
+def w4a16_matmul_planes(
+    x: Array,
+    wp: Array,
+    scales: Array,
+    zeros: Optional[Array],
+    group: int = 128,
+    n_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """y = x @ dequant(wp).T with plane-packed int4 weights.
+
+    x: (B, K) float; wp: (N, K/8) int32; scales/zeros: (N, K/group).
+    Returns (B, N) in x.dtype.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = x.shape
+    N, KP = wp.shape
+    assert KP * 8 == K, f"K mismatch: {K} vs packed {KP}"
+    assert K % (8 * group) == 0, "group must divide K/8"
+    n_tile = min(n_tile, N)
+    assert N % n_tile == 0
+
+    in_dtype = x.dtype
+    kp = K // 8
+    gpp = kp // group
+    G = K // group
+
+    # x reorder: k = j*kp + gi*group + t  ->  (gi, j, t) contiguous
+    xf = x.astype(jnp.float32)
+    xr = (
+        xf.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
+    )
+    # scales reorder: group index g = j*gpp + gi -> (gi, j) rows, transposed
+    s = scales.astype(jnp.float32)
+    if zeros is None:
+        zs = jnp.zeros_like(s)
+    else:
+        zs = zeros.astype(jnp.float32) * s
+    sr = s.reshape(N, 8, gpp).transpose(2, 1, 0).reshape(gpp * 8, N)
+    zsr = zs.reshape(N, 8, gpp).transpose(2, 1, 0).reshape(gpp * 8, N)
+
+    kernel = functools.partial(_w4a16_kernel, group=group)
+    grid = (N // n_tile, gpp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 8 * group), lambda i, gi: (0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tile, group), lambda i, gi: (i, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_tile), lambda i, gi: (gi, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_tile), lambda i, gi: (gi, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile), lambda i, gi: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * KP * 4 + 2 * N * G * 4 + B * K * 4,
+            transcendentals=0,
+        ),
+    )(xr, wp, sr, zsr)
+    return out.astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# QLinearParams integration
+# ---------------------------------------------------------------------------
+
+def w4a16_matmul_available(x: Array, qp) -> bool:
+    if qp.bits != 4 or qp.is_float or qp.group_size <= 0:
+        return False
+    if getattr(qp, "layout", "rows") != "planes":
+        return False
+    *_, K = x.shape
+    if K % (8 * qp.group_size) != 0:
+        return False
+    N = qp.codes.shape[0]
+    return N % 128 == 0
+
+
+def w4a16_matmul(x: Array, qp, interpret: bool = False) -> Array:
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    N = qp.codes.shape[0]
+    n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
+    y = w4a16_matmul_planes(
+        x2, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
+        n_tile=n_tile, interpret=interpret,
+    )
+    if qp.bias is not None:
+        y = y + qp.bias
+    return y.reshape(*lead, -1)

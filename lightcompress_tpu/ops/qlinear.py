@@ -36,19 +36,28 @@ class QLinearParams:
     bits: int = dataclasses.field(metadata=dict(static=True), default=4)
     group_size: int = dataclasses.field(metadata=dict(static=True), default=0)
     is_float: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # int4 code layout: 'rows' = contiguous vLLM-style nibbles (export interop)
+    # | 'planes' = plane-packed for the Pallas fused kernel (serving)
+    layout: str = dataclasses.field(metadata=dict(static=True), default="rows")
 
 
 def quantize_linear(
-    w: Array, spec: QuantSpec, bias: Optional[Array] = None
+    w: Array, spec: QuantSpec, bias: Optional[Array] = None,
+    layout: str = "planes",
 ) -> QLinearParams:
     codes, scales, zeros = real_quant_weight(w.astype(jnp.float32), spec)
     if spec.is_float:
         return QLinearParams(codes, scales.astype(jnp.float32), None, bias,
                              8, 0, True)
     if spec.bit == 4:
-        from ..export import pack_int4
+        if layout == "planes":
+            from .pallas_matmul import pack_int4_planes
 
-        packed = pack_int4(codes)
+            packed = pack_int4_planes(codes)
+        else:
+            from ..export import pack_int4
+
+            packed = pack_int4(codes)
         return QLinearParams(
             packed,
             scales.astype(jnp.float32),
@@ -57,6 +66,7 @@ def quantize_linear(
             4,
             spec.group_size if spec.granularity == "per_group" else 0,
             False,
+            layout,
         )
     return QLinearParams(
         codes,
@@ -86,7 +96,14 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
         w = w.reshape(oc, s.shape[1], -1) * s
         return w.reshape(oc, -1).astype(dtype)
     if qp.bits == 4:
-        u = _unpack_int4_u(qp.codes).astype(jnp.float32)
+        if qp.layout == "planes":
+            from .pallas_matmul import unpack_int4_planes
+
+            u = unpack_int4_planes(qp.codes, qp.codes.shape[1] * 8).astype(
+                jnp.float32
+            )
+        else:
+            u = _unpack_int4_u(qp.codes).astype(jnp.float32)
     else:
         u = qp.codes.astype(jnp.float32)
     oc, ic = u.shape
