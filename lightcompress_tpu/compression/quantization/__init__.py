@@ -11,3 +11,8 @@ from .hqq import HQQ  # noqa: F401
 from .quik import QUIK  # noqa: F401
 from .adadim import AdaDim  # noqa: F401
 from .dgq import DGQ  # noqa: F401
+from .quarot import Quarot  # noqa: F401
+from .ntweak import NormTweaking  # noqa: F401
+from .omniq import OmniQuant  # noqa: F401
+from .tesseraq import TesseraQ  # noqa: F401
+from .spqr import SpQR  # noqa: F401

@@ -202,6 +202,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         """FakeQuantLinear forward: dynamic weight qdq + act qdq."""
 
         def lf(name, w, b, x):
+            x = self.model.apply_online_rotate(name, x)
             x = self.a_qdq(x, block_idx, name)
             wq = self.w_qdq(w, block_idx, name)
             return A.default_linear(name, wq, b, x)
@@ -425,6 +426,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
 
     def _act_linear_fn(self, block_idx: int) -> A.LinearFn:
         def lf(name, w, b, x):
+            x = self.model.apply_online_rotate(name, x)
             x = self.a_qdq(x, block_idx, name)
             return A.default_linear(name, w, b, x)
 

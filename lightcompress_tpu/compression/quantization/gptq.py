@@ -208,11 +208,14 @@ class GPTQ(BaseBlockwiseQuantization):
         self.n_out_ratio = special.get("n_out_ratio", 0.0)
 
     # ------------------------------------------------------------------
-    def compute_hessian(self, x_batches: List[Array]) -> Array:
-        """H = 2/n_seq * sum X^T X over calib tokens (gptq.py:254-295)."""
+    def compute_hessian(self, x_batches: List[Array], name: str = "") -> Array:
+        """H = 2/n_seq * sum X^T X over calib tokens (gptq.py:254-295).
+        Online-rotated layers see the rotated input (gptq add_batch:262)."""
         n_seq = 0
         H = None
         for x in x_batches:
+            if name:
+                x = self.model.apply_online_rotate(name, x)
             n_seq += x.shape[0]
             x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
             h = x2.T @ x2
@@ -231,7 +234,7 @@ class GPTQ(BaseBlockwiseQuantization):
                 continue
             node = resolve(bp, name)
             W = node["weight"]
-            H = self.compute_hessian(input_feat[name])
+            H = self.compute_hessian(input_feat[name], name)
             W_new, scales, zeros, perm = gptq_quantize_layer(
                 W.astype(jnp.float32), H, self.wspec,
                 blocksize=min(self.blocksize, W.shape[1]),

@@ -1,0 +1,5 @@
+from .base import BaseBlockwiseSparsification  # noqa: F401
+from .dense import Dense  # noqa: F401
+from .magnitude import Magnitude  # noqa: F401
+from .shortgpt import ShortGPT  # noqa: F401
+from .wanda import Wanda  # noqa: F401

@@ -62,6 +62,9 @@ class ArchSpec:
     act_fn: str = "silu"  # 'silu' | 'relu' | 'gelu'
     # opt family
     do_layer_norm_before: bool = True
+    # 'default' | 'rmsnorm': QuaRot converts LayerNorm models to RMSNorm
+    # after mean-removal + bias folding (quarot preprocess)
+    norm_type: str = "default"
     dtype: Any = jnp.bfloat16
 
     @property
@@ -177,7 +180,7 @@ def layernorm(x: Array, w: Optional[Array], b: Optional[Array], eps: float) -> A
 
 
 def apply_norm(x: Array, np_: Dict, arch: ArchSpec) -> Array:
-    if arch.family == "llama":
+    if arch.family == "llama" or arch.norm_type == "rmsnorm":
         return rmsnorm(x, np_.get("weight"), arch.rms_eps)
     return layernorm(x, np_.get("weight"), np_.get("bias"), 1e-5)
 

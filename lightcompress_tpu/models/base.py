@@ -145,6 +145,35 @@ class BaseModel:
         # per-block deployed linear_fn (None = float); set by deploy()
         self.linear_fns: Optional[List[A.LinearFn]] = None
         self.kv_hooks: Optional[List[Optional[Callable]]] = None
+        # QuaRot online rotations: name -> ('full', 0) | ('head', head_dim)
+        # (the RotateLinear analogue, module_utils.py:553-676)
+        self.rotate_cfg: Dict[str, tuple] = {}
+
+    # -- online rotation ---------------------------------------------------
+    def apply_online_rotate(self, name: str, x: Array) -> Array:
+        cfg = self.rotate_cfg.get(name)
+        if cfg is None:
+            return x
+        from ..ops.hadamard import fwht, matmul_hadU
+
+        mode, dim = cfg
+        if mode == "full":
+            return matmul_hadU(x)
+        # per-head partial hadamard (online_partial_had)
+        shape = x.shape
+        r = x.reshape(*shape[:-1], shape[-1] // dim, dim)
+        r = fwht(r) * (1.0 / dim**0.5)
+        return r.reshape(shape)
+
+    def default_linear_fn(self) -> Optional[A.LinearFn]:
+        if not self.rotate_cfg:
+            return None
+
+        def lf(name, w, b, x):
+            x = self.apply_online_rotate(name, x)
+            return A.default_linear(name, w, b, x)
+
+        return lf
 
     # -- topology ----------------------------------------------------------
     @property
@@ -201,7 +230,7 @@ class BaseModel:
             cos,
             sin,
             mask,
-            linear_fn=linear_fn or A.default_linear,
+            linear_fn=linear_fn or self.default_linear_fn() or A.default_linear,
             kv_hook=kv_hook,
         )
 
@@ -215,7 +244,7 @@ class BaseModel:
     ) -> Array:
         """Re-run one subset's sub-module (awq.py:110-126 inspect_module)."""
         bp = block_params if block_params is not None else self.blocks[block_idx]
-        lf = linear_fn or A.default_linear
+        lf = linear_fn or self.default_linear_fn() or A.default_linear
         if subset.inspect == "attn":
             T = x.shape[1]
             cos, sin = self.rope_tables(T)
@@ -226,11 +255,16 @@ class BaseModel:
         return A.linear_inspect(bp, subset.inspect, x, linear_fn=lf)
 
     def forward(self, input_ids: Array) -> Array:
+        lfs = self.linear_fns
+        if lfs is None:
+            lf = self.default_linear_fn()
+            if lf is not None:
+                lfs = [lf] * self.num_blocks
         return A.model_forward(
             self.arch,
             self.params,
             input_ids,
-            linear_fns=self.linear_fns,
+            linear_fns=lfs,
             kv_hooks=self.kv_hooks,
         )
 
@@ -259,6 +293,7 @@ class BaseModel:
 
             def make_fn(afns):
                 def lf(name, w, b, x):
+                    x = self.apply_online_rotate(name, x)
                     if name in afns:
                         x = afns[name](x)
                     return A.default_linear(name, w, b, x)

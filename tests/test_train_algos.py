@@ -1,0 +1,123 @@
+"""Training-based algorithms: NormTweaking, OmniQuant (LWC/LET), TesseraQ,
+SpQR.  Each must improve (or at least not hurt) block reconstruction vs
+plain RTN and produce finite PPL."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from helpers import make_tiny_adapter
+
+from lightcompress_tpu.config import DotDict
+from lightcompress_tpu.eval import PerplexityEval
+from lightcompress_tpu.registry import ALGO_REGISTRY
+import lightcompress_tpu.compression  # noqa: F401
+
+
+W3G16 = {"bit": 3, "symmetric": False, "granularity": "per_group",
+         "group_size": 16}
+
+
+def _calib(model, n=2, seq=16):
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 256, (1, seq)), jnp.int32)
+           for _ in range(n)]
+    return model.collect_first_block_input(ids)
+
+
+def _ppl(model, seed=1):
+    enc = np.random.RandomState(seed).randint(0, 256, (1, 64)).astype(np.int32)
+    return PerplexityEval(enc, seq_len=16, bs=1).eval(model)
+
+
+def _rtn_baseline(seed):
+    model = make_tiny_adapter(seed=seed)
+    cfg = DotDict({"method": "RTN", "weight": dict(W3G16)})
+    algo = ALGO_REGISTRY["RTN"](model, cfg, _calib(model), None, DotDict({}))
+    algo.run_block_loop()
+    algo.deploy("fake_quant")
+    return _ppl(model)
+
+
+def test_ntweak_trains_norms():
+    model = make_tiny_adapter(seed=70)
+    before = np.asarray(model.blocks[0]["ln1"]["weight"]).copy()
+    cfg = DotDict({"method": "NormTweaking", "weight": dict(W3G16),
+                   "special": {"epochs": 2, "ntweak_lr": 1e-2, "gamma": 0.1}})
+    algo = ALGO_REGISTRY["NormTweaking"](model, cfg, _calib(model), None,
+                                         DotDict({}))
+    algo.run_block_loop()
+    after = np.asarray(model.blocks[0]["ln1"]["weight"])
+    assert not np.allclose(before, after)  # gammas actually moved
+    algo.deploy("fake_quant")
+    assert np.isfinite(_ppl(model))
+
+
+def test_omniquant_lwc():
+    ppl_rtn = _rtn_baseline(71)
+    model = make_tiny_adapter(seed=71)
+    cfg = DotDict({"method": "OmniQuant", "weight": dict(W3G16),
+                   "special": {"epochs": 4, "lwc": True, "let": False,
+                               "lwc_lr": 5e-3}})
+    algo = ALGO_REGISTRY["OmniQuant"](model, cfg, _calib(model), None,
+                                      DotDict({}))
+    algo.run_block_loop()
+    assert "upbound_factor" in algo.layer_state[0]["attn.q"]
+    algo.deploy("fake_quant")
+    ppl = _ppl(model)
+    assert np.isfinite(ppl)
+    assert ppl < ppl_rtn * 1.05  # LWC should not hurt
+
+
+def test_omniquant_let():
+    model = make_tiny_adapter(seed=72)
+    cfg = DotDict({
+        "method": "OmniQuant",
+        "weight": {"bit": 8, "symmetric": True, "granularity": "per_channel"},
+        "act": {"bit": 8, "symmetric": True, "granularity": "per_token"},
+        "special": {"epochs": 2, "lwc": True, "let": True,
+                    "lwc_lr": 5e-3, "let_lr": 1e-3},
+    })
+    algo = ALGO_REGISTRY["OmniQuant"](model, cfg, _calib(model), None,
+                                      DotDict({}))
+    algo.run_block_loop()
+    algo.deploy("fake_quant")
+    assert np.isfinite(_ppl(model))
+
+
+def test_tesseraq_rounding():
+    ppl_rtn = _rtn_baseline(73)
+    model = make_tiny_adapter(seed=73)
+    cfg = DotDict({"method": "TesseraQ", "weight": dict(W3G16),
+                   "special": {"thresholds": [0.5, 0.25, 0.0],
+                               "epochs_per_round": 2, "lr": 1e-2}})
+    algo = ALGO_REGISTRY["TesseraQ"](model, cfg, _calib(model), None,
+                                     DotDict({}))
+    algo.run_block_loop()
+    st = algo.layer_state[0]["attn.q"]
+    assert "rounding" in st
+    r = np.asarray(st["rounding"])
+    assert set(np.unique(r)).issubset({0.0, 1.0})  # fully hardened
+    algo.deploy("fake_quant")
+    ppl = _ppl(model)
+    assert np.isfinite(ppl)
+    assert ppl < ppl_rtn * 1.05
+
+
+def test_spqr_outliers():
+    model = make_tiny_adapter(seed=74)
+    cfg = DotDict({
+        "method": "SpQR", "weight": dict(W3G16),
+        "special": {"blocksize": 16, "outlier_ratio": 0.02},
+        "quant_out": True,
+    })
+    algo = ALGO_REGISTRY["SpQR"](model, cfg, _calib(model), None, DotDict({}))
+    algo.run_block_loop()
+    st = algo.layer_state[0]["attn.q"]
+    mask = np.asarray(st["outlier_mask"])
+    frac = mask.mean()
+    assert 0.005 < frac < 0.1
+    algo.deploy("fake_quant")
+    assert np.isfinite(_ppl(model))
