@@ -1,0 +1,101 @@
+"""Scaled quantized matmuls — the W8A8/FP8 serving GEMMs.
+
+The vLLM ``cutlass_scaled_mm`` / Triton ``fp8_gemm`` analogue (SURVEY §2.6):
+on TPU the MXU multiplies int8 natively, so W8A8 is a plain
+``lax.dot_general`` on int8 operands with int32 accumulation — XLA fuses the
+per-token/per-channel rescale into the epilogue; no hand-written kernel
+needed for this path (the Pallas W4 kernel exists because *unpacking* is the
+hard part there).
+
+- ``int8_matmul_dynamic``: per-token dynamic act quant + int8 MXU + rescale
+  (scaled_int8_quant + cutlass path, module_utils.py:145-190).
+- ``int8_matmul_static``: static act scale variant.
+- ``fp8_matmul``: e4m3 weights x bf16 acts via upcast (v5e has no fp8 MXU;
+  on fp8-capable generations XLA lowers the cast-free path).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def quantize_act_int8(x: Array):
+    """Per-token symmetric int8: returns (q, scales) with scales (..., 1)."""
+    amax = jnp.clip(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True),
+        1e-5, None,
+    )
+    scales = amax / 127.0
+    q = jnp.clip(jnp.round(x / scales), -128, 127).astype(jnp.int8)
+    return q, scales
+
+
+def int8_matmul_dynamic(
+    x: Array,
+    w_q: Array,  # (oc, ic) int8
+    w_scales: Array,  # (oc,) or (oc, 1) f32
+    bias: Optional[Array] = None,
+) -> Array:
+    """y = (int8(x) @ w_q^T) * x_scale * w_scale — int8 on the MXU."""
+    xq, xs = quantize_act_int8(x)
+    acc = jax.lax.dot_general(
+        xq, w_q,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ws = w_scales.reshape(-1).astype(jnp.float32)
+    y = acc.astype(jnp.float32) * xs * ws
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def int8_matmul_static(
+    x: Array,
+    w_q: Array,
+    w_scales: Array,
+    x_scale: Array,  # scalar static act scale
+    bias: Optional[Array] = None,
+) -> Array:
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / x_scale), -128, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ws = w_scales.reshape(-1).astype(jnp.float32)
+    y = acc.astype(jnp.float32) * x_scale * ws
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
+def fp8_matmul(
+    x: Array,
+    w_fp8: Array,  # (oc, ic) float8_e4m3fn
+    w_scales: Array,  # per-channel (oc,) or per-block (nb_r, nb_c)
+    bias: Optional[Array] = None,
+    block_size: int = 0,
+) -> Array:
+    if block_size:
+        from ..quant import weight_cast_to_bf16
+
+        w = weight_cast_to_bf16(w_fp8, w_scales, block_size)
+    else:
+        w = (
+            w_fp8.astype(jnp.float32) * w_scales.reshape(-1, 1)
+        ).astype(jnp.bfloat16)
+    y = jnp.einsum(
+        "...i,oi->...o", x.astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)

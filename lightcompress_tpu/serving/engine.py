@@ -1,0 +1,280 @@
+"""TPU serving engine: continuous batching over quantized weights + KV.
+
+The in-repo replacement for the external serving engines the reference
+exports to (vLLM/SGLang/LightLLM, SURVEY §7).  Slot-based continuous
+batching: a fixed number of sequence slots share one jitted batched decode
+step (compiled once); prefill compiles per length bucket.  New requests are
+admitted into free slots between steps; finished sequences retire
+immediately — no static batch barrier.
+
+Weights: W4 plane-packed (Pallas fused kernel) / W8 int8 (MXU) / bf16.
+KV: int8-quantized slot cache (serving/kv_cache.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import arch as A
+from .kv_cache import KVCache, append_kv, read_kv
+from .quantized_model import ServingWeights, apply_qlinear
+from .sampler import SamplingParams, sample
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: np.ndarray  # (T,) int32
+    max_new_tokens: int
+    out_tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _block_apply(
+    sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
+    k_full: Array, v_full: Array, mask: Array,
+) -> Tuple[Array, Array, Array]:
+    """One block on (S, T, H) with externally-managed KV.
+
+    Returns (y, k_new, v_new); attention runs over (cache ++ new)."""
+    arch = sw.arch
+    S, T, _ = x.shape
+    nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    h1 = A.apply_norm(x, entry["ln1"], arch)
+    q = apply_qlinear(entry["attn.q"], h1)
+    k = apply_qlinear(entry["attn.k"], h1)
+    v = apply_qlinear(entry["attn.v"], h1)
+    q = q.reshape(S, T, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
+    if arch.qk_norm:
+        q = A.rmsnorm(q, entry["q_norm"]["weight"], arch.rms_eps)
+        k = A.rmsnorm(k, entry["k_norm"]["weight"], arch.rms_eps)
+    if cos is not None:
+        q, k = A.apply_rope(q, k, cos, sin)
+    k_all = jnp.concatenate([k_full, k.astype(k_full.dtype)], axis=2)
+    v_all = jnp.concatenate([v_full, v.astype(v_full.dtype)], axis=2)
+    ctx = A.sdpa(q, k_all, v_all, mask, kv_groups=nh // nkv)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(S, T, nh * hd)
+    attn_out = apply_qlinear(entry["attn.o"], ctx)
+    h = x + attn_out
+    h2 = A.apply_norm(h, entry["ln2"], arch)
+    if arch.family == "llama":
+        g = apply_qlinear(entry["mlp.gate"], h2)
+        u = apply_qlinear(entry["mlp.up"], h2)
+        mid = jax.nn.silu(g) * u
+        y = h + apply_qlinear(entry["mlp.down"], mid)
+    else:
+        f1 = apply_qlinear(entry["mlp.fc1"], h2)
+        y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1))
+    return y, k, v
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        weights: ServingWeights,
+        max_slots: int = 8,
+        max_len: int = 1024,
+        kv_bits: int = 8,
+        prefill_buckets: Sequence[int] = (64, 128, 256, 512),
+        seed: int = 0,
+    ):
+        self.sw = weights
+        self.arch = weights.arch
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.kv_bits = kv_bits
+        self.prefill_buckets = [b for b in prefill_buckets if b <= max_len]
+        self.key = jax.random.PRNGKey(seed)
+        self.reset()
+        self._decode_jit = jax.jit(self._decode_step)
+        self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",))
+
+    def reset(self):
+        a = self.arch
+        self.cache = KVCache.create(
+            a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
+            a.head_dim, bits=self.kv_bits,
+        )
+        self.lengths = jnp.zeros((self.max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
+        self.slot_req: List[Optional[Request]] = [None] * self.max_slots
+
+    # ------------------------------------------------------------------
+    def _prefill(self, cache, lengths, ids, slot, true_len, T: int):
+        """Run one padded prompt (1, T) through the model, writing KV into
+        ``slot``; returns (cache, lengths, last-token logits)."""
+        sw, arch = self.sw, self.arch
+        x = sw.embed[ids]  # (1, T, H)
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[jnp.arange(T) + 2]
+        cos, sin = (
+            A.rope_cos_sin(arch, jnp.arange(T))
+            if arch.family == "llama" else (None, None)
+        )
+        mask = A.causal_mask(T, T)
+        # also mask out padding (cols >= true_len)
+        mask = mask + jnp.where(
+            jnp.arange(T) < true_len, 0.0, jnp.finfo(jnp.float32).min
+        )[None, :]
+        zero_kv = jnp.zeros(
+            (1, arch.num_kv_heads, 0, arch.head_dim), jnp.bfloat16
+        )
+        for li, entry in enumerate(sw.blocks):
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, zero_kv, zero_kv, mask
+            )
+            cache = _append_one_slot(cache, li, slot, k_new, v_new)
+        xl = A.rmsnorm(
+            x, self.sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, self.sw.norm.get("weight"),
+                        self.sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        last = logits[0, true_len - 1]
+        lengths = lengths.at[slot].set(true_len)
+        return cache, lengths, last
+
+    # ------------------------------------------------------------------
+    def _decode_step(self, cache, lengths, cur_tokens, active_mask):
+        """One token for every active slot (S batched)."""
+        sw, arch = self.sw, self.arch
+        S = self.max_slots
+        x = sw.embed[cur_tokens][:, None, :]  # (S, 1, H)
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[lengths + 2][:, None, :]
+        if arch.family == "llama":
+            cos, sin = A.rope_cos_sin(arch, lengths[:, None])  # (S,1,D)
+        else:
+            cos = sin = None
+        # attention mask over fixed cache length + the new token (the new
+        # token sits at concat index T and is always visible)
+        T = self.max_len
+        j = jnp.arange(T + 1)[None, None, None, :]
+        visible = (j < lengths[:, None, None, None]) | (j == T)
+        mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
+        for li, entry in enumerate(sw.blocks):
+            k_full, v_full = read_kv(cache, li)
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, k_full, v_full, mask
+            )
+            cache = append_kv(cache, li, k_new, v_new, lengths)
+        xl = A.rmsnorm(
+            x, self.sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, self.sw.norm.get("weight"),
+                        self.sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+        lengths = jnp.where(active_mask, lengths + 1, lengths)
+        return cache, lengths, logits
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self.prefill_buckets:
+            if n <= b:
+                return b
+        return self.max_len
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        sampling: SamplingParams = SamplingParams(),
+        eos_token_id: Optional[int] = None,
+    ) -> List[List[int]]:
+        """Continuous-batching generation over all prompts."""
+        queue = deque(
+            Request(i, np.asarray(p, np.int32), sampling.max_new_tokens)
+            for i, p in enumerate(prompts)
+        )
+        results: Dict[int, List[int]] = {}
+        n_total = len(queue)
+
+        while len(results) < n_total:
+            # admit into free slots
+            for slot in range(self.max_slots):
+                if self.slot_req[slot] is None and queue:
+                    req = queue.popleft()
+                    T = self._bucket(len(req.prompt))
+                    ids = np.zeros((1, T), np.int32)
+                    ids[0, : len(req.prompt)] = req.prompt
+                    self.cache, self.lengths, logits = self._prefill_jit(
+                        self.cache, self.lengths, jnp.asarray(ids),
+                        jnp.asarray(slot), jnp.asarray(len(req.prompt)), T=T,
+                    )
+                    self.key, sk = jax.random.split(self.key)
+                    tok = int(sample(logits[None, :], sampling, sk)[0])
+                    req.out_tokens.append(tok)
+                    self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+                    self.slot_req[slot] = req
+
+            active = [r is not None for r in self.slot_req]
+            if not any(active):
+                continue
+            active_mask = jnp.asarray(active)
+            self.cache, self.lengths, logits = self._decode_jit(
+                self.cache, self.lengths, self.cur_tokens, active_mask
+            )
+            self.key, sk = jax.random.split(self.key)
+            toks = np.asarray(sample(logits, sampling, sk))
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                tok = int(toks[slot])
+                req.out_tokens.append(tok)
+                self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+                hit_eos = eos_token_id is not None and tok == eos_token_id
+                full = int(self.lengths[slot]) >= self.max_len - 1
+                if len(req.out_tokens) >= req.max_new_tokens or hit_eos or full:
+                    results[req.req_id] = req.out_tokens
+                    self.slot_req[slot] = None
+                    self.lengths = self.lengths.at[slot].set(0)
+        return [results[i] for i in range(n_total)]
+
+
+def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):
+    """Write (1, H, T, D) new KV at position 0 of one slot (prefill)."""
+    from .kv_cache import quantize_kv
+
+    if cache.bits == 8:
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, kq.astype(cache.k.dtype)[None],
+            (layer, slot, 0, 0, 0),
+        )
+        v = jax.lax.dynamic_update_slice(
+            cache.v, vq.astype(cache.v.dtype)[None],
+            (layer, slot, 0, 0, 0),
+        )
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks[None], (layer, slot, 0, 0)
+        )
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs[None], (layer, slot, 0, 0)
+        )
+        return KVCache(k, v, k_scale, v_scale, 8)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, k_new.astype(cache.k.dtype)[None], (layer, slot, 0, 0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, v_new.astype(cache.v.dtype)[None], (layer, slot, 0, 0, 0)
+    )
+    return KVCache(k, v, None, None, 16)

@@ -1,0 +1,100 @@
+"""Serving-side quantized model: adapter params -> packed serving weights.
+
+The consumer of the export path (the role vLLM/SGLang play for the
+reference): block linears become QLinearParams (plane-packed int4 for the
+Pallas kernel, int8, or fp8), embeddings/norms stay bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import arch as A
+from ..models.base import BaseModel, resolve
+from ..ops.qlinear import QLinearParams, qlinear_apply, quantize_linear
+from ..ops.scaled_matmul import int8_matmul_dynamic
+from ..quant import QParams, QuantSpec
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class ServingWeights:
+    arch: A.ArchSpec
+    embed: Array  # bf16 (vocab, hidden)
+    embed_pos: Optional[Array]
+    norm: Dict[str, Array]
+    lm_head: Array
+    blocks: List[Dict[str, Any]]  # name -> QLinearParams | {'weight','bias'}
+    wbits: int
+
+    def tree_blocks(self):
+        return self.blocks
+
+
+def build_serving_weights(
+    model: BaseModel,
+    wspec: QuantSpec,
+    algo=None,
+) -> ServingWeights:
+    """Quantize every block linear for serving.  If ``algo`` is given, its
+    searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
+    the algorithm's w_qdq output losslessly re-coded; otherwise direct RTN
+    real-quant of the (transformed) weights."""
+    arch = model.arch
+    params = model.params
+    blocks_out = []
+    for idx in range(model.num_blocks):
+        bp = params["blocks"][idx]
+        entry: Dict[str, Any] = {}
+        for name in model.get_block_linear_names(idx):
+            node = resolve(bp, name)
+            w = node["weight"]
+            if algo is not None:
+                w = algo.w_qdq(w, idx, name)
+            qp = quantize_linear(
+                w.astype(jnp.float32), wspec, bias=node.get("bias"),
+                layout="planes" if wspec.bit == 4 else "rows",
+            )
+            entry[name] = qp
+        for ln in ("ln1", "ln2"):
+            entry[ln] = {k: v for k, v in resolve(bp, ln).items()}
+        if arch.qk_norm:
+            entry["q_norm"] = dict(bp["attn"]["q_norm"])
+            entry["k_norm"] = dict(bp["attn"]["k_norm"])
+        blocks_out.append(entry)
+    return ServingWeights(
+        arch=arch,
+        embed=params["embed"]["weight"].astype(jnp.bfloat16),
+        embed_pos=(
+            params["embed_pos"]["weight"].astype(jnp.bfloat16)
+            if "embed_pos" in params else None
+        ),
+        norm={k: v for k, v in params["norm"].items()},
+        lm_head=(
+            params["embed"]["weight"] if arch.tie_word_embeddings
+            else params["lm_head"]["weight"]
+        ).astype(jnp.bfloat16),
+        blocks=blocks_out,
+        wbits=wspec.bit if isinstance(wspec.bit, int) else 8,
+    )
+
+
+def apply_qlinear(entry: Any, x: Array) -> Array:
+    """Dispatch by stored weight format."""
+    if isinstance(entry, QLinearParams):
+        if entry.bits == 4:
+            return qlinear_apply(x, entry)
+        if entry.bits == 8 and not entry.is_float:
+            return int8_matmul_dynamic(
+                x, entry.codes, entry.scales, bias=entry.bias
+            )
+        from ..ops.qlinear import qlinear_xla
+
+        return qlinear_xla(x, entry)
+    w = entry["weight"]
+    return A.default_linear("", w, entry.get("bias"), x)
