@@ -64,6 +64,8 @@ class AutoClipper:
                 continue
             node = resolve(bp, name)
             w = node["weight"]
+            if w.ndim != 2:
+                continue  # stacked MoE experts not clipped yet
             xs = jnp.concatenate(
                 [x.reshape(-1, x.shape[-1]) for x in input_feat[name]], axis=0
             )

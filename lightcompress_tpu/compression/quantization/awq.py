@@ -49,7 +49,8 @@ class Awq(BaseBlockwiseQuantization):
             scale = jnp.abs(r) / jnp.clip(
                 jnp.max(jnp.abs(r), axis=-1, keepdims=True), 1e-12, None
             )
-            scale = scale.reshape(org_shape).mean(axis=0)
+            # mean over all output rows (leading dims incl. stacked experts)
+            scale = scale.reshape(-1, org_shape[-1]).mean(axis=0)
             total = scale if total is None else total + scale
         return total / len(layer_names)
 
@@ -128,6 +129,9 @@ class Awq(BaseBlockwiseQuantization):
         if subset.prev_type == "linear":
             fc1 = resolve(bp, subset.prev_op)
             fc2 = resolve(bp, subset.layers[0])
+            if fc1["weight"].ndim == 3 or fc2["weight"].ndim == 3:
+                # per-expert fc-fc scaling of stacked MoE weights: future work
+                return
             if fc1["weight"].shape[0] != fc2["weight"].shape[1]:
                 # GQA o_proj: only with do_gqa_trans (awq.py:344-351)
                 if not (self.has_gqa and self.do_gqa_trans):

@@ -234,6 +234,9 @@ class GPTQ(BaseBlockwiseQuantization):
                 continue
             node = resolve(bp, name)
             W = node["weight"]
+            if W.ndim == 3:
+                # stacked MoE experts: per-expert Hessian loop is future work
+                continue
             H = self.compute_hessian(input_feat[name], name)
             W_new, scales, zeros, perm = gptq_quantize_layer(
                 W.astype(jnp.float32), H, self.wspec,

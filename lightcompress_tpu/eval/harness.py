@@ -36,7 +36,7 @@ def make_lm_eval_adapter(model, batch_size: int = 1):
             "lm-eval-harness is not installed; pip install lm-eval"
         ) from e
 
-    fwd = jax.jit(model.forward)
+    fwd = model.jit_forward()
     tok = model.tokenizer
 
     class _Adapter(LM):

@@ -43,7 +43,7 @@ class PerplexityEval:
     def eval(self, model) -> float:
         seq_len, bs = self.seq_len, self.bs
         nsamples = self.testenc.size // seq_len
-        fwd = jax.jit(model.forward)
+        fwd = model.jit_forward()
 
         total_nll = 0.0
         for i in range(0, nsamples, bs):
@@ -67,8 +67,8 @@ class TokenConsistencyEval:
     def eval(self, model_quant, model_origin) -> float:
         seq_len, bs = self.seq_len, self.bs
         nsamples = self.testenc.size // seq_len
-        fwd_q = jax.jit(model_quant.forward)
-        fwd_o = jax.jit(model_origin.forward)
+        fwd_q = model_quant.jit_forward()
+        fwd_o = model_origin.jit_forward()
         consistent = total = 0
         for i in range(0, nsamples, bs):
             j = min(i + bs, nsamples)

@@ -34,12 +34,41 @@ LinearFn = Callable[[str, Array, Optional[Array], Array], Array]
 
 
 def default_linear(name: str, w: Array, b: Optional[Array], x: Array) -> Array:
+    if w.ndim == 3:  # stacked experts (E, out, in) — dense MoE compute
+        if x.ndim >= 3 and x.shape[0] == w.shape[0]:
+            # paired: x already carries the expert dim (down_proj)
+            y = jnp.einsum(
+                "e...i,eoi->e...o", x, w, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        else:
+            y = jnp.einsum(
+                "...i,eoi->e...o", x, w, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        if b is not None:
+            y = y + b.reshape(b.shape[0], *([1] * (y.ndim - 2)), b.shape[-1])
+        return y
     y = jnp.einsum(
         "...i,oi->...o", x, w, preferred_element_type=jnp.float32
     ).astype(x.dtype)
     if b is not None:
         y = y + b
     return y
+
+
+@dataclasses.dataclass(frozen=True)
+class MoESpec:
+    """Mixture-of-experts MLP config (mixtral / qwen2moe / deepseek-class).
+
+    Experts are stored stacked (E, out, in) so expert-parallel sharding is a
+    NamedSharding over axis 0 and the dense-compute path is one einsum."""
+
+    num_experts: int
+    top_k: int
+    moe_intermediate_size: int
+    num_shared_experts: int = 0  # deepseek/qwen2moe shared expert
+    gating: str = "softmax"  # 'softmax' (mixtral) | 'sigmoid' (deepseek-v3)
+    norm_topk_prob: bool = True
+    routed_scaling_factor: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +94,7 @@ class ArchSpec:
     # 'default' | 'rmsnorm': QuaRot converts LayerNorm models to RMSNorm
     # after mean-removal + bias folding (quarot preprocess)
     norm_type: str = "default"
+    moe: Optional[MoESpec] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -101,12 +131,37 @@ def init_block_params(key, arch: ArchSpec) -> Dict:
                 "v": _lin(ks[2], kvd, h, arch.attn_bias, dt),
                 "o": _lin(ks[3], h, qd, False, dt),
             },
-            "mlp": {
+        }
+        if arch.moe is not None:
+            m = arch.moe
+            mi = m.moe_intermediate_size
+            ek = jax.random.split(ks[4], 4)
+            scale = (2.0 / (h + mi)) ** 0.5
+            bp["mlp"] = {
+                "router": {"weight": (
+                    jax.random.normal(ek[0], (m.num_experts, h)) * 0.02
+                ).astype(dt)},
+                "gate": {"weight": (
+                    jax.random.normal(ek[1], (m.num_experts, mi, h)) * scale
+                ).astype(dt)},
+                "up": {"weight": (
+                    jax.random.normal(ek[2], (m.num_experts, mi, h)) * scale
+                ).astype(dt)},
+                "down": {"weight": (
+                    jax.random.normal(ek[3], (m.num_experts, h, mi)) * scale
+                ).astype(dt)},
+            }
+            if m.num_shared_experts > 0:
+                si = mi * m.num_shared_experts
+                bp["mlp"]["shared_gate"] = _lin(ks[5], si, h, False, dt)
+                bp["mlp"]["shared_up"] = _lin(ks[6], si, h, False, dt)
+                bp["mlp"]["shared_down"] = _lin(ks[7], h, si, False, dt)
+        else:
+            bp["mlp"] = {
                 "gate": _lin(ks[4], i, h, arch.mlp_bias, dt),
                 "up": _lin(ks[5], i, h, arch.mlp_bias, dt),
                 "down": _lin(ks[6], h, i, arch.mlp_bias, dt),
-            },
-        }
+            }
         if arch.qk_norm:
             bp["attn"]["q_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
             bp["attn"]["k_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
@@ -342,12 +397,16 @@ def block_forward(
         mp = bp["mlp"]
         feats["mlp.gate"] = h2
         feats["mlp.up"] = h2
-        g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
-        u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
-        mid = _act(g, arch.act_fn) * u
-        feats["mlp.down"] = mid
-        d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
-        y = h + d
+        if arch.moe is not None:
+            feats["mlp.router"] = h2
+            y = h + moe_mlp_forward(arch, mp, h2, linear_fn, feats=feats)
+        else:
+            g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
+            u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
+            mid = _act(g, arch.act_fn) * u
+            feats["mlp.down"] = mid
+            d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
+            y = h + d
     else:
         h2 = apply_norm(h, bp["ln2"], arch) if arch.do_layer_norm_before else h
         mp = bp["mlp"]
@@ -395,10 +454,66 @@ def attn_inspect(
     return linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
 
 
+def moe_mlp_forward(
+    arch: ArchSpec,
+    mp: Dict,
+    x: Array,
+    linear_fn: LinearFn = default_linear,
+    feats: Optional[Dict[str, Array]] = None,
+) -> Array:
+    """Mixture-of-experts MLP: dense-compute all experts (one stacked einsum
+    per projection — MXU-friendly; EP shards the leading expert dim), then
+    combine by the router's top-k weights."""
+    m = arch.moe
+    B, T, H = x.shape
+    logits = linear_fn("mlp.router", mp["router"]["weight"], None, x)
+    lf = logits.reshape(-1, m.num_experts).astype(jnp.float32)
+    if m.gating == "sigmoid":
+        scores = jax.nn.sigmoid(lf)
+    else:
+        scores = jax.nn.softmax(lf, axis=-1)
+    topw, topi = jax.lax.top_k(scores, m.top_k)
+    if m.norm_topk_prob:
+        topw = topw / jnp.clip(jnp.sum(topw, axis=-1, keepdims=True), 1e-9,
+                               None)
+    topw = topw * m.routed_scaling_factor
+
+    g = linear_fn("mlp.gate", mp["gate"]["weight"], None, x)  # (E,B,T,I)
+    u = linear_fn("mlp.up", mp["up"]["weight"], None, x)
+    mid = _act(g, arch.act_fn) * u
+    if feats is not None:
+        feats["mlp.down"] = mid
+    d = linear_fn("mlp.down", mp["down"]["weight"], None, mid)  # (E,B,T,H)
+
+    n = B * T
+    w_full = jnp.zeros((n, m.num_experts), jnp.float32)
+    w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
+    y = jnp.einsum(
+        "enh,ne->nh", d.reshape(m.num_experts, n, H).astype(jnp.float32),
+        w_full,
+    ).reshape(B, T, H).astype(x.dtype)
+
+    if "shared_gate" in mp:
+        if feats is not None:
+            feats["mlp.shared_gate"] = x
+            feats["mlp.shared_up"] = x
+        sg = linear_fn("mlp.shared_gate", mp["shared_gate"]["weight"], None, x)
+        su = linear_fn("mlp.shared_up", mp["shared_up"]["weight"], None, x)
+        smid = _act(sg, arch.act_fn) * su
+        if feats is not None:
+            feats["mlp.shared_down"] = smid
+        y = y + linear_fn(
+            "mlp.shared_down", mp["shared_down"]["weight"], None, smid
+        )
+    return y
+
+
 def mlp_inspect(
     arch: ArchSpec, bp: Dict, x: Array, linear_fn: LinearFn = default_linear
 ) -> Array:
     mp = bp["mlp"]
+    if arch.family == "llama" and arch.moe is not None:
+        return moe_mlp_forward(arch, mp, x, linear_fn)
     if arch.family == "llama":
         g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), x)
         u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), x)

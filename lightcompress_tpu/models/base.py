@@ -79,6 +79,37 @@ LLAMA_SUBSETS = (
     ),
 )
 
+# MoE topology (deepseekv3.py:69-192 / mixtral.py / qwen2moe.py): router +
+# all experts' gate/up (+ shared) scaled together under ln2; expert down
+# projections form their own subset (stacked 3D weights here).
+MOE_SUBSETS = LLAMA_SUBSETS[:2] + (
+    Subset(
+        layers=("mlp.router", "mlp.gate", "mlp.up",
+                "mlp.shared_gate", "mlp.shared_up"),
+        prev_op="ln2",
+        prev_type="norm",
+        input="mlp.gate",
+        inspect="mlp",
+        is_mlp=True,
+    ),
+    Subset(
+        layers=("mlp.down",),
+        prev_op="mlp.up",
+        prev_type="linear",
+        input="mlp.down",
+        inspect="mlp.down",
+        is_mlp=True,
+    ),
+    Subset(
+        layers=("mlp.shared_down",),
+        prev_op="mlp.shared_up",
+        prev_type="linear",
+        input="mlp.shared_down",
+        inspect="mlp.shared_down",
+        is_mlp=True,
+    ),
+)
+
 # opt.py topology
 OPT_SUBSETS = (
     Subset(
@@ -185,6 +216,18 @@ class BaseModel:
         return len(self.params["blocks"])
 
     def get_subsets_in_block(self, block_idx: int) -> Tuple[Subset, ...]:
+        if self.arch.moe is not None:
+            has_shared = self.arch.moe.num_shared_experts > 0
+            subsets = []
+            for s in MOE_SUBSETS:
+                layers = tuple(
+                    n for n in s.layers
+                    if has_shared or not n.startswith("mlp.shared")
+                )
+                if not layers:
+                    continue
+                subsets.append(dataclasses.replace(s, layers=layers))
+            return tuple(subsets)
         return self.subsets
 
     def get_block_linear_names(self, block_idx: int) -> List[str]:
@@ -268,6 +311,32 @@ class BaseModel:
             kv_hooks=self.kv_hooks,
         )
 
+    def jit_forward(self):
+        """A safely-jitted forward bound to the CURRENT deployment.
+
+        NEVER use ``jax.jit(model.forward)``: bound methods of the same
+        object hash equal, so pjit can reuse a cached executable traced with
+        OLD params (they're closed-over constants) after the params tree was
+        replaced — e.g. evaluating 'transformed' silently re-running the
+        'pretrain' model.  Here params are a traced ARGUMENT and the wrapper
+        is a fresh function object (own cache) per call.
+        """
+        arch = self.arch
+        lfs = self.linear_fns
+        if lfs is None:
+            lf = self.default_linear_fn()
+            if lf is not None:
+                lfs = [lf] * self.num_blocks
+        hooks = self.kv_hooks
+
+        @jax.jit
+        def f(params, input_ids):
+            return A.model_forward(
+                arch, params, input_ids, linear_fns=lfs, kv_hooks=hooks
+            )
+
+        return lambda ids: f(self.params, ids)
+
     # -- deploy ------------------------------------------------------------
     def deploy_float(self):
         self.linear_fns = None
@@ -327,3 +396,28 @@ class Qwen3(BaseModel):
 @MODEL_REGISTRY
 class Opt(BaseModel):
     subsets = OPT_SUBSETS
+
+
+@MODEL_REGISTRY
+class Mixtral(BaseModel):
+    subsets = LLAMA_SUBSETS  # overridden by get_subsets_in_block via arch.moe
+
+
+@MODEL_REGISTRY
+class Qwen2Moe(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Qwen3Moe(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class DeepseekV2(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class DeepseekV3(BaseModel):
+    subsets = LLAMA_SUBSETS

@@ -59,6 +59,64 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
             ),
             dtype=dtype,
         )
+    if mt in ("mixtral", "qwen2_moe", "qwen3_moe", "deepseek_v2", "deepseek_v3"):
+        n_heads = cfg["num_attention_heads"]
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+        if mt == "mixtral":
+            moe = A.MoESpec(
+                num_experts=cfg["num_local_experts"],
+                top_k=cfg["num_experts_per_tok"],
+                moe_intermediate_size=cfg["intermediate_size"],
+                gating="softmax",
+                norm_topk_prob=True,
+            )
+        elif mt in ("qwen2_moe", "qwen3_moe"):
+            moe = A.MoESpec(
+                num_experts=cfg["num_experts"],
+                top_k=cfg["num_experts_per_tok"],
+                moe_intermediate_size=cfg["moe_intermediate_size"],
+                num_shared_experts=(
+                    cfg.get("shared_expert_intermediate_size", 0)
+                    // max(1, cfg["moe_intermediate_size"])
+                    if mt == "qwen2_moe" else 0
+                ),
+                gating="softmax",
+                norm_topk_prob=cfg.get("norm_topk_prob", False),
+            )
+        else:  # deepseek v2/v3
+            if cfg.get("q_lora_rank") or cfg.get("kv_lora_rank"):
+                raise NotImplementedError(
+                    "DeepSeek MLA attention (q/kv LoRA compression) is not "
+                    "yet supported; planned for the MLA family"
+                )
+            moe = A.MoESpec(
+                num_experts=cfg["n_routed_experts"],
+                top_k=cfg["num_experts_per_tok"],
+                moe_intermediate_size=cfg["moe_intermediate_size"],
+                num_shared_experts=cfg.get("n_shared_experts", 0),
+                gating="sigmoid" if cfg.get("scoring_func") == "sigmoid"
+                else "softmax",
+                norm_topk_prob=cfg.get("norm_topk_prob", True),
+                routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+            )
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=head_dim,
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-6),
+            attn_bias=cfg.get("attention_bias", mt == "qwen2_moe"),
+            qk_norm=(mt == "qwen3_moe"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            moe=moe,
+            dtype=dtype,
+        )
     if mt == "opt":
         h = cfg["hidden_size"]
         return A.ArchSpec(
@@ -228,7 +286,32 @@ def _np_to_jnp(a: np.ndarray, dtype) -> jnp.ndarray:
 # load / save
 # ---------------------------------------------------------------------------
 
-def load_params(model_dir: str, arch: A.ArchSpec) -> Dict:
+def _moe_key_prefixes(model_type: str, i: int):
+    if model_type == "mixtral":
+        p = f"model.layers.{i}.block_sparse_moe."
+        return {
+            "router": p + "gate.weight",
+            "expert": lambda e, proj: p + f"experts.{e}." + {
+                "gate": "w1", "up": "w3", "down": "w2"
+            }[proj] + ".weight",
+            "shared": None,
+        }
+    p = f"model.layers.{i}.mlp."
+    return {
+        "router": p + "gate.weight",
+        "expert": lambda e, proj: p + f"experts.{e}.{proj}_proj.weight",
+        "shared": (
+            lambda proj: p + (
+                f"shared_expert.{proj}_proj.weight"
+                if model_type == "qwen2_moe"
+                else f"shared_experts.{proj}_proj.weight"
+            )
+        ),
+    }
+
+
+def load_params(model_dir: str, arch: A.ArchSpec,
+                model_type: str = "llama") -> Dict:
     reader = _ShardReader(model_dir)
     dt = arch.dtype
 
@@ -246,9 +329,27 @@ def load_params(model_dir: str, arch: A.ArchSpec) -> Dict:
         return out
 
     params = fill(_top_key_map(arch))
-    params["blocks"] = [
-        fill(_block_key_map(arch, i)) for i in range(arch.num_layers)
-    ]
+    params["blocks"] = []
+    for i in range(arch.num_layers):
+        bp = fill(_block_key_map(arch, i))
+        if arch.moe is not None:
+            km = _moe_key_prefixes(model_type, i)
+            mlp: Dict[str, Any] = {
+                "router": {"weight": _np_to_jnp(reader.get(km["router"]), dt)}
+            }
+            for proj in ("gate", "up", "down"):
+                stacked = np.stack([
+                    np.asarray(reader.get(km["expert"](e, proj)))
+                    for e in range(arch.moe.num_experts)
+                ])
+                mlp[proj] = {"weight": _np_to_jnp(stacked, dt)}
+            if arch.moe.num_shared_experts > 0 and km["shared"] is not None:
+                for proj in ("gate", "up", "down"):
+                    mlp[f"shared_{proj}"] = {
+                        "weight": _np_to_jnp(reader.get(km["shared"](proj)), dt)
+                    }
+            bp["mlp"] = mlp
+        params["blocks"].append(bp)
     return params
 
 
@@ -257,7 +358,8 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
     arch = arch_from_hf_config(cfg, dtype=dtype)
-    params = load_params(model_dir, arch)
+    params = load_params(model_dir, arch,
+                         model_type=cfg.get("model_type", "llama"))
     tok = None
     if with_tokenizer:
         try:
@@ -274,6 +376,11 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
         "qwen2": "Qwen2",
         "qwen3": "Qwen3",
         "opt": "Opt",
+        "mixtral": "Mixtral",
+        "qwen2_moe": "Qwen2Moe",
+        "qwen3_moe": "Qwen3Moe",
+        "deepseek_v2": "DeepseekV2",
+        "deepseek_v3": "DeepseekV3",
     }[cfg.get("model_type", "llama")]
     return MODEL_REGISTRY[cls_name](arch, params, tokenizer=tok, config=cfg)
 

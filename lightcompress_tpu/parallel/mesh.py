@@ -58,6 +58,11 @@ def _block_pspecs(family: str) -> Dict[str, P]:
             "mlp.gate.weight": P("tp", None), "mlp.gate.bias": P("tp"),
             "mlp.up.weight": P("tp", None), "mlp.up.bias": P("tp"),
             "mlp.down.weight": P(None, "tp"), "mlp.down.bias": P(),
+            # MoE: experts sharded over the model axis (EP); router replicated
+            "mlp.router.weight": P(),
+            "mlp.shared_gate.weight": P("tp", None),
+            "mlp.shared_up.weight": P("tp", None),
+            "mlp.shared_down.weight": P(None, "tp"),
         })
     else:
         common.update({
