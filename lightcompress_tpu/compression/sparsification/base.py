@@ -60,6 +60,17 @@ class BaseBlockwiseSparsification(BlockwiseOpt):
         wcfg = self.sparsity_config.get("weight", self.sparsity_config)
         self.sparsity, self.nm = parse_pattern(wcfg)
         self.sparsity_out = self.sparsity_config.get("sparsity_out", False)
+        # sparse KV caches (ShadowKV / Sink, kvsparse.py) configured under
+        # the sparsification section's kvcache key
+        kvc = self.sparsity_config.get("kvcache", None)
+        if kvc:
+            from ...registry import KV_REGISTRY
+
+            self.kv_module = KV_REGISTRY[kvc["method"]](
+                "sparse", dict(kvc), model.num_blocks
+            )
+        else:
+            self.kv_module = None
 
     def make_mask(self, metric: Array) -> Array:
         if self.nm is not None:
@@ -84,6 +95,11 @@ class BaseBlockwiseSparsification(BlockwiseOpt):
 
     def deploy(self, mode: str = "transformed"):
         self.model.deploy_float()
+        if self.kv_module is not None:
+            self.model.kv_hooks = [
+                self.kv_module.make_hook(i)
+                for i in range(self.model.num_blocks)
+            ]
 
     def restore_float(self):
         self.model.deploy_float()

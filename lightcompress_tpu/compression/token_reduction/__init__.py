@@ -1,0 +1,3 @@
+from .base import TokenReductionModule  # noqa: F401
+from .fastv import FastV, RandomPrune  # noqa: F401
+from .tome import ToMe  # noqa: F401

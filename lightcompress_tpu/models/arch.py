@@ -379,7 +379,17 @@ def block_forward(
         v = jnp.concatenate([pv, v], axis=2)
     new_kv = (k, v)
     if kv_hook is not None:
-        k, v = kv_hook(k, v)
+        out = kv_hook(k, v)
+        if len(out) == 3:  # sparse-KV hooks also modify the attention mask
+            k, v, extra_mask = out
+            if extra_mask is not None:
+                if extra_mask.ndim == 4 and extra_mask.shape[1] not in (1, nh):
+                    extra_mask = jnp.repeat(
+                        extra_mask, nh // extra_mask.shape[1], axis=1
+                    )
+                mask = extra_mask if mask is None else mask + extra_mask
+        else:
+            k, v = out
 
     ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
