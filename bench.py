@@ -2,7 +2,7 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Measures tokens/s of a full 32-layer decode step (batch 8, 1024-token KV
+Measures tokens/s of a full 32-layer decode step (batch 32, 1024-token KV
 context) with grouped-INT4 weights dequantized on the fly, on the real TPU
 chip.  ``vs_baseline`` = fraction of the HBM-bandwidth roofline: a decode
 step must read every packed weight byte once, so
@@ -27,7 +27,7 @@ N_HEADS = 32
 N_KV = 8
 HEAD_DIM = 128
 LAYERS = 32
-BATCH = 8
+BATCH = 32
 CTX = 1024
 GROUP = 128
 

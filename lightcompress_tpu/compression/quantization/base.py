@@ -136,6 +136,13 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         self.online_rotate = special.get("online_rotate", False)
         self.do_gqa_trans = special.get("do_gqa_trans", False)
 
+        # token reduction composability (bbq.py:261-265)
+        if "token_reduction" in qc and qc.get("token_reduction"):
+            from ...registry import TOKEN_REDUCTION_REGISTRY
+
+            trc = qc["token_reduction"]
+            TOKEN_REDUCTION_REGISTRY[trc["method"]](dict(trc), self.model)
+
         # mixed precision ignored layers (bbq.py:137-144)
         ig = self.config.get("ignored_layers", None) if self.config else None
         if ig:
@@ -400,7 +407,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         if mode not in ("fake_quant", "fake_quant_wo_kv"):
             raise ValueError(mode)
         if not hasattr(model, "_fp_blocks"):
-            model._fp_blocks = model.params["blocks"]
+            model._fp_blocks = model.get_param_blocks()
         # copy-on-write bake of quantized weights
         new_blocks = []
         for idx, bp in enumerate(model._fp_blocks):
@@ -409,7 +416,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
                 node = resolve(nbp, name)
                 node["weight"] = self.w_qdq(node["weight"], idx, name)
             new_blocks.append(nbp)
-        model.params["blocks"] = new_blocks
+        model.set_param_blocks(new_blocks)
         # runtime act quant fns
         if not self.w_only:
             model.linear_fns = [
@@ -435,7 +442,7 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
     def restore_float(self):
         model = self.model
         if hasattr(model, "_fp_blocks"):
-            model.params["blocks"] = model._fp_blocks
+            model.set_param_blocks(model._fp_blocks)
         model.deploy_float()
 
     def save_model(self, save_dir: str):

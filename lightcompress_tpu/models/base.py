@@ -211,6 +211,13 @@ class BaseModel:
     def blocks(self) -> List[Dict]:
         return self.params["blocks"]
 
+    def get_param_blocks(self) -> List[Dict]:
+        """Blocks of the ACTIVE modality (VLMs override)."""
+        return self.params["blocks"]
+
+    def set_param_blocks(self, blocks: List[Dict]) -> None:
+        self.params["blocks"] = blocks
+
     @property
     def num_blocks(self) -> int:
         return len(self.params["blocks"])
