@@ -48,9 +48,14 @@ class BlockwiseOpt:
 
     # ------------------------------------------------------------------
     def run_block_loop(self):
+        from ..models.streaming import StreamingBlockContext
+
         for idx in range(self.model.num_blocks):
             self.block_idx = idx
-            self.block_opt(idx)
+            # host-offloaded models stream one block into HBM at a time
+            # (bbq.py:397,418 block cuda<->cpu analogue)
+            with StreamingBlockContext(self.model, idx):
+                self.block_opt(idx)
         self.save_artifacts()
 
     def save_artifacts(self):

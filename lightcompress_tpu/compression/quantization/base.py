@@ -408,13 +408,22 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             raise ValueError(mode)
         if not hasattr(model, "_fp_blocks"):
             model._fp_blocks = model.get_param_blocks()
-        # copy-on-write bake of quantized weights
+        # copy-on-write bake of quantized weights (host-offloaded blocks are
+        # quantized one at a time on device then returned to host RAM)
+        host = getattr(model, "host_offload", False)
+        if host:
+            from ...models.streaming import tree_to_device, tree_to_host
         new_blocks = []
         for idx, bp in enumerate(model._fp_blocks):
             nbp = _struct_copy(bp)
+            if host:
+                nbp = tree_to_device(nbp)
             for name in model.get_block_linear_names(idx):
                 node = resolve(nbp, name)
-                node["weight"] = self.w_qdq(node["weight"], idx, name)
+                node["weight"] = self.w_qdq(jnp.asarray(node["weight"]),
+                                            idx, name)
+            if host:
+                nbp = tree_to_host(nbp)
             new_blocks.append(nbp)
         model.set_param_blocks(new_blocks)
         # runtime act quant fns

@@ -5,3 +5,5 @@ from .ppl import (  # noqa: F401
     make_eval_text,
     tokenize_eval,
 )
+from .code import HumanEvalRunner, pass_at_k  # noqa: F401
+from .harness import CustomGenerate, make_lm_eval_adapter  # noqa: F401

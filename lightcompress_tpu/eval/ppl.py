@@ -35,15 +35,22 @@ def tokenize_eval(tokenizer, text: str) -> np.ndarray:
 class PerplexityEval:
     """Stride-seq_len PPL over a flat token stream (eval_ppl.py:13-58)."""
 
-    def __init__(self, testenc: np.ndarray, seq_len: int = 2048, bs: int = 1):
+    def __init__(self, testenc: np.ndarray, seq_len: int = 2048, bs: int = 1,
+                 inference_per_block: bool = False):
         self.testenc = testenc
         self.seq_len = seq_len
         self.bs = bs
+        self.inference_per_block = inference_per_block
 
     def eval(self, model) -> float:
         seq_len, bs = self.seq_len, self.bs
         nsamples = self.testenc.size // seq_len
-        fwd = model.jit_forward()
+        if self.inference_per_block:
+            from ..models.streaming import stream_forward
+
+            fwd = lambda ids: stream_forward(model, ids)  # noqa: E731
+        else:
+            fwd = model.jit_forward()
 
         total_nll = 0.0
         for i in range(0, nsamples, bs):

@@ -39,7 +39,10 @@ def build_eval(model, config) -> Optional[Dict]:
         raw = load_from_disk(ec["path"])
         testenc = tokenize_eval(model.tokenizer, make_eval_text(raw, name))
     return {
-        "ppl": PerplexityEval(testenc, seq_len=seq_len, bs=bs),
+        "ppl": PerplexityEval(
+            testenc, seq_len=seq_len, bs=bs,
+            inference_per_block=ec.get("inference_per_block", False),
+        ),
         "token_consist": (
             TokenConsistencyEval(testenc, seq_len=seq_len, bs=bs)
             if ec.get("eval_token_consist", False)
@@ -124,6 +127,11 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
     from .export import run_exports
 
     run_exports(blockwise_opt, config)
+
+    # external-harness bridge (__main__.py:164-176)
+    from .eval.opencompass_bridge import run_opencompass
+
+    run_opencompass(blockwise_opt, config)
 
     log.info("pipeline done in %.1fs", time.time() - t0)
     return results
