@@ -48,11 +48,15 @@ def make_layer_qweights(key):
         "up": (INTER, HIDDEN),
         "down": (HIDDEN, INTER),
     }
+    from lightcompress_tpu.ops.pallas_matmul import tile_packed
+
     out = {}
     ks = jax.random.split(key, len(shapes))
     for i, (name, (oc, ic)) in enumerate(shapes.items()):
         codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
                                    dtype=jnp.int32)
+        nt = next(t for t in (512, 256, 128) if oc % t == 0)
+        codes = tile_packed(codes, nt, GROUP)  # contiguous-tile layout
         scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
         zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
         # plane layout -> Pallas fused dequant-matmul kernel path

@@ -95,6 +95,15 @@ class ArchSpec:
     # after mean-removal + bias folding (quarot preprocess)
     norm_type: str = "default"
     moe: Optional[MoESpec] = None
+    # gemma2 family variants
+    gemma_norm: bool = False      # rmsnorm uses (1 + w)
+    sandwich_norms: bool = False  # post-attn / post-mlp norms
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    query_scale: float = 0.0      # 0 -> 1/sqrt(head_dim)
+    embed_scale: bool = False     # gemma: embeddings * sqrt(hidden)
+    # learned-position offset (OPT uses 2, gpt_bigcode 0)
+    pos_offset: int = 2
     dtype: Any = jnp.bfloat16
 
     @property
@@ -162,6 +171,12 @@ def init_block_params(key, arch: ArchSpec) -> Dict:
                 "up": _lin(ks[5], i, h, arch.mlp_bias, dt),
                 "down": _lin(ks[6], h, i, arch.mlp_bias, dt),
             }
+        if arch.sandwich_norms:
+            init = jnp.zeros if arch.gemma_norm else jnp.ones
+            bp["ln1_post"] = {"weight": init((h,), dt)}
+            bp["ln2_post"] = {"weight": init((h,), dt)}
+            bp["ln1"]["weight"] = init((h,), dt)
+            bp["ln2"]["weight"] = init((h,), dt)
         if arch.qk_norm:
             bp["attn"]["q_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
             bp["attn"]["k_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
@@ -236,7 +251,10 @@ def layernorm(x: Array, w: Optional[Array], b: Optional[Array], eps: float) -> A
 
 def apply_norm(x: Array, np_: Dict, arch: ArchSpec) -> Array:
     if arch.family == "llama" or arch.norm_type == "rmsnorm":
-        return rmsnorm(x, np_.get("weight"), arch.rms_eps)
+        w = np_.get("weight")
+        if arch.gemma_norm and w is not None:
+            w = 1.0 + w.astype(jnp.float32)
+        return rmsnorm(x, w, arch.rms_eps)
     return layernorm(x, np_.get("weight"), np_.get("bias"), 1e-5)
 
 
@@ -302,6 +320,8 @@ def sdpa(
     kv_groups: int = 1,
     matmul_hook: Optional[Callable] = None,
     softmax_hook: Optional[Callable] = None,
+    query_scale: float = 0.0,
+    softcap: float = 0.0,
 ) -> Array:
     """Scaled dot-product attention with optional quantization hooks on the
     two matmuls and the softmax (the LlmcMatmul/LlmcSoftmax analogue,
@@ -309,12 +329,14 @@ def sdpa(
     if kv_groups > 1:
         k = jnp.repeat(k, kv_groups, axis=1)
         v = jnp.repeat(v, kv_groups, axis=1)
-    scale = q.shape[-1] ** -0.5
+    scale = query_scale if query_scale else q.shape[-1] ** -0.5
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     if matmul_hook is not None:
         qf, kf = matmul_hook("qk", qf, kf)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
     if mask is not None:
         scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
@@ -391,11 +413,14 @@ def block_forward(
         else:
             k, v = out
 
-    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv)
+    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv,
+               query_scale=arch.query_scale, softcap=arch.attn_softcap)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
     feats["attn.o"] = ctx
     attn_out = linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
 
+    if arch.sandwich_norms:
+        attn_out = apply_norm(attn_out, bp["ln1_post"], arch)
     if arch.family == "opt" and not arch.do_layer_norm_before:
         attn_out = apply_norm(x + attn_out, bp["ln1"], arch)
         h = attn_out
@@ -416,6 +441,8 @@ def block_forward(
             mid = _act(g, arch.act_fn) * u
             feats["mlp.down"] = mid
             d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
+            if arch.sandwich_norms:
+                d = apply_norm(d, bp["ln2_post"], arch)
             y = h + d
     else:
         h2 = apply_norm(h, bp["ln2"], arch) if arch.do_layer_norm_before else h
@@ -554,9 +581,11 @@ def _resolve(tree: Dict, dotted: str) -> Dict:
 
 def embed_forward(arch: ArchSpec, params: Dict, input_ids: Array) -> Array:
     x = params["embed"]["weight"][input_ids]
+    if arch.embed_scale:
+        x = x * jnp.asarray(arch.hidden_size**0.5, x.dtype)
     if arch.family == "opt":
         T = input_ids.shape[-1]
-        pos = jnp.arange(T) + 2  # OPT's learned-position offset
+        pos = jnp.arange(T) + arch.pos_offset
         x = x + params["embed_pos"]["weight"][pos]
     return x
 
@@ -568,7 +597,11 @@ def head_forward(arch: ArchSpec, params: Dict, x: Array) -> Array:
         if arch.tie_word_embeddings
         else params["lm_head"]["weight"]
     )
-    return jnp.einsum("...i,oi->...o", x, w, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("...i,oi->...o", x, w,
+                        preferred_element_type=jnp.float32)
+    if arch.final_softcap:
+        logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
+    return logits
 
 
 def model_forward(

@@ -428,3 +428,28 @@ class DeepseekV2(BaseModel):
 @MODEL_REGISTRY
 class DeepseekV3(BaseModel):
     subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Gemma2(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Phi3(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Starcoder(BaseModel):
+    subsets = OPT_SUBSETS
+
+
+@MODEL_REGISTRY
+class SmolLM(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class StableLm(BaseModel):
+    subsets = LLAMA_SUBSETS

@@ -30,7 +30,8 @@ except ImportError:  # pragma: no cover
 # config.json -> ArchSpec
 # ---------------------------------------------------------------------------
 
-_LLAMA_LIKE = {"llama", "mistral", "qwen2", "qwen3", "smollm", "stablelm"}
+_LLAMA_LIKE = {"llama", "mistral", "qwen2", "qwen3", "smollm", "stablelm",
+               "phi3"}
 
 
 def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
@@ -57,6 +58,51 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
             act_fn={"silu": "silu", "gelu": "gelu"}.get(
                 cfg.get("hidden_act", "silu"), "silu"
             ),
+            dtype=dtype,
+        )
+    if mt == "gemma2":
+        n_heads = cfg["num_attention_heads"]
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+        qs = cfg.get("query_pre_attn_scalar", head_dim)
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=head_dim,
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-6),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            act_fn="gelu",
+            gemma_norm=True,
+            sandwich_norms=True,
+            attn_softcap=cfg.get("attn_logit_softcapping") or 0.0,
+            final_softcap=cfg.get("final_logit_softcapping") or 0.0,
+            query_scale=qs**-0.5,
+            embed_scale=True,
+            dtype=dtype,
+        )
+    if mt == "gpt_bigcode":  # starcoder: MQA + learned positions + LayerNorm
+        h = cfg["n_embd"]
+        n_heads = cfg["n_head"]
+        return A.ArchSpec(
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("n_inner") or 4 * h,
+            num_layers=cfg["n_layer"],
+            num_heads=n_heads,
+            num_kv_heads=1 if cfg.get("multi_query", True) else n_heads,
+            head_dim=h // n_heads,
+            max_position_embeddings=cfg.get("n_positions", 8192),
+            tie_word_embeddings=True,
+            act_fn="gelu",
+            do_layer_norm_before=True,
+            pos_offset=0,
             dtype=dtype,
         )
     if mt in ("mixtral", "qwen2_moe", "qwen3_moe", "deepseek_v2", "deepseek_v3"):
@@ -199,8 +245,68 @@ def _top_key_map(arch: A.ArchSpec) -> Dict[str, str]:
     return m
 
 
-def _block_key_map(arch: A.ArchSpec, i: int) -> Dict[str, str]:
+def _gemma2_key_map(i: int) -> Dict[str, str]:
+    m = _llama_key_map(i)
+    p = f"model.layers.{i}."
+    m["ln1_post.weight"] = p + "post_attention_layernorm.weight"
+    m["ln2.weight"] = p + "pre_feedforward_layernorm.weight"
+    m["ln2_post.weight"] = p + "post_feedforward_layernorm.weight"
+    return m
+
+
+def _bigcode_key_map(i: int) -> Dict[str, str]:
+    p = f"transformer.h.{i}."
+    return {
+        "ln1.weight": p + "ln_1.weight", "ln1.bias": p + "ln_1.bias",
+        "ln2.weight": p + "ln_2.weight", "ln2.bias": p + "ln_2.bias",
+        "attn.o.weight": p + "attn.c_proj.weight",
+        "attn.o.bias": p + "attn.c_proj.bias",
+        "mlp.fc1.weight": p + "mlp.c_fc.weight",
+        "mlp.fc1.bias": p + "mlp.c_fc.bias",
+        "mlp.fc2.weight": p + "mlp.c_proj.weight",
+        "mlp.fc2.bias": p + "mlp.c_proj.bias",
+    }
+
+
+def _block_key_map(arch: A.ArchSpec, i: int,
+                   model_type: str = "") -> Dict[str, str]:
+    if model_type == "gemma2":
+        return _gemma2_key_map(i)
+    if model_type == "gpt_bigcode":
+        return _bigcode_key_map(i)
     return _llama_key_map(i) if arch.family == "llama" else _opt_key_map(i)
+
+
+def _split_fused(bp: Dict, reader, arch: A.ArchSpec, i: int,
+                 model_type: str, dt) -> None:
+    """Split fused projections into canonical q/k/v (+ gate/up)."""
+    qd = arch.num_heads * arch.head_dim
+    kvd = arch.num_kv_heads * arch.head_dim
+    if model_type == "phi3":
+        p = f"model.layers.{i}.self_attn."
+        qkv = reader.get(p + "qkv_proj.weight")
+        if qkv is not None:
+            attn = bp.setdefault("attn", {})
+            attn["q"] = {"weight": _np_to_jnp(qkv[:qd], dt)}
+            attn["k"] = {"weight": _np_to_jnp(qkv[qd:qd + kvd], dt)}
+            attn["v"] = {"weight": _np_to_jnp(qkv[qd + kvd:], dt)}
+        gu = reader.get(f"model.layers.{i}.mlp.gate_up_proj.weight")
+        if gu is not None:
+            inter = arch.intermediate_size
+            mlp = bp.setdefault("mlp", {})
+            mlp["gate"] = {"weight": _np_to_jnp(gu[:inter], dt)}
+            mlp["up"] = {"weight": _np_to_jnp(gu[inter:], dt)}
+    elif model_type == "gpt_bigcode":
+        fused = reader.get(f"transformer.h.{i}.attn.c_attn.weight")
+        fbias = reader.get(f"transformer.h.{i}.attn.c_attn.bias")
+        if fused is not None:
+            attn = bp.setdefault("attn", {})
+            for name, sl in (("q", slice(0, qd)),
+                             ("k", slice(qd, qd + kvd)),
+                             ("v", slice(qd + kvd, qd + 2 * kvd))):
+                attn[name] = {"weight": _np_to_jnp(fused[sl], dt)}
+                if fbias is not None:
+                    attn[name]["bias"] = _np_to_jnp(fbias[sl], dt)
 
 
 # ---------------------------------------------------------------------------
@@ -328,10 +434,20 @@ def load_params(model_dir: str, arch: A.ArchSpec,
             node[parts[-1]] = _np_to_jnp(t, dt)
         return out
 
-    params = fill(_top_key_map(arch))
+    if model_type == "gpt_bigcode":
+        top_map = {
+            "embed.weight": "transformer.wte.weight",
+            "embed_pos.weight": "transformer.wpe.weight",
+            "norm.weight": "transformer.ln_f.weight",
+            "norm.bias": "transformer.ln_f.bias",
+        }
+    else:
+        top_map = _top_key_map(arch)
+    params = fill(top_map)
     params["blocks"] = []
     for i in range(arch.num_layers):
-        bp = fill(_block_key_map(arch, i))
+        bp = fill(_block_key_map(arch, i, model_type))
+        _split_fused(bp, reader, arch, i, model_type, dt)
         if arch.moe is not None:
             km = _moe_key_prefixes(model_type, i)
             mlp: Dict[str, Any] = {
@@ -381,6 +497,11 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
         "qwen3_moe": "Qwen3Moe",
         "deepseek_v2": "DeepseekV2",
         "deepseek_v3": "DeepseekV3",
+        "gemma2": "Gemma2",
+        "phi3": "Phi3",
+        "gpt_bigcode": "Starcoder",
+        "smollm": "SmolLM",
+        "stablelm": "StableLm",
     }[cfg.get("model_type", "llama")]
     return MODEL_REGISTRY[cls_name](arch, params, tokenizer=tok, config=cfg)
 

@@ -55,6 +55,27 @@ def unpack_int4_planes(packed: Array, k: int) -> Array:
     return planes.reshape(n, k)
 
 
+def tile_packed(wp: Array, n_tile: int, group: int) -> Array:
+    """(N, K/8) -> (N/NT, gpp, NT, g): every kernel grid step then DMAs ONE
+    fully-contiguous tile.  Without this, (NT, g) blocks of the row-major
+    array are read as 512-byte strided bursts — measured ~130 GB/s vs
+    ~500 GB/s contiguous on v5e (the single biggest kernel bottleneck)."""
+    n, kp = wp.shape
+    gpp = kp // group
+    assert n % n_tile == 0 and kp % group == 0
+    return wp.reshape(n // n_tile, n_tile, gpp, group).transpose(0, 2, 1, 3)
+
+
+def tile_scales(s: Array, n_tile: int, gpp: int) -> Array:
+    """(N, G=8*gpp) -> (gpp, N/NT, 8, NT) contiguous per-step scale tiles.
+    Row (j, gi) order matches the kernel's g_idx = j*gpp + gi."""
+    n, G = s.shape
+    assert G == 8 * gpp and n % n_tile == 0
+    # -> (N/NT, NT, 8, gpp) -> (gpp, N/NT, 8, NT)
+    r = s.reshape(n // n_tile, n_tile, 8, gpp)
+    return r.transpose(3, 0, 2, 1)
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
@@ -62,15 +83,16 @@ def unpack_int4_planes(packed: Array, k: int) -> Array:
 def _w4a16_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
     """Grid = (N/N_t, gpp): grid dim 1 walks the groups-within-plane; the
     8 nibble planes are unrolled inside (static shifts).  Every operand
-    arrives via a BlockSpec (Pallas double-buffers the DMA across grid
-    steps); there is no dynamic slicing in the kernel.
+    arrives via a BlockSpec over PRE-TILED storage, so each grid step's DMA
+    is one fully-contiguous chunk (tile_packed/tile_scales) — strided block
+    reads of the flat layout measured ~4x slower.
 
     Block shapes per step:
-      x:  (B, 8*group)  — x pre-reordered so step gi's 8 plane-slices are
-                          contiguous (see ``_reorder_x``)
-      wp: (N_t, group)  — packed words for group gi (shared by all planes)
-      s/zs: (8, N_t)    — the 8 (plane, gi) scale rows, pre-transposed
-      o:  (B, N_t) f32  — accumulated across grid dim 1
+      x:  (B, 8*group)     — x pre-reordered so step gi's 8 plane-slices are
+                             contiguous
+      wp: (1, 1, N_t, group) tile of (N/NT, gpp, NT, g)
+      s/zs: (1, 1, 8, N_t) tile of (gpp, N/NT, 8, NT)
+      o:  (B, N_t) f32     — accumulated across grid dim 1
     """
     gi = pl.program_id(1)
 
@@ -79,7 +101,9 @@ def _w4a16_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     xb = x_ref[:]
-    wpb = wp_ref[:]
+    wpb = wp_ref[0, 0]
+    s_ref = s_ref.at[0, 0]
+    zs_ref = zs_ref.at[0, 0]
     b, nt = o_ref.shape
     # 4 independent accumulators break the add dependency chain across the
     # 8 plane dots; bf16 operands halve MXU latency (f32 accumulate)
@@ -125,11 +149,18 @@ def w4a16_matmul_planes(
     from jax.experimental.pallas import tpu as pltpu
 
     B, K = x.shape
-    N, KP = wp.shape
-    assert KP * 8 == K, f"K mismatch: {K} vs packed {KP}"
-    assert K % (8 * group) == 0, "group must divide K/8"
-    n_tile = min(n_tile, N)
-    assert N % n_tile == 0
+    if wp.ndim == 4:  # pre-tiled (N/NT, gpp, NT, g) — the serving layout
+        n_blocks, gpp_w, n_tile, gw = wp.shape
+        N = n_blocks * n_tile
+        assert gw == group and gpp_w * group * 8 == K
+        wp_t = wp
+    else:
+        N, KP = wp.shape
+        assert KP * 8 == K, f"K mismatch: {K} vs packed {KP}"
+        assert K % (8 * group) == 0, "group must divide K/8"
+        n_tile = min(n_tile, N)
+        assert N % n_tile == 0
+        wp_t = tile_packed(wp, n_tile, group)
 
     in_dtype = x.dtype
     kp = K // 8
@@ -141,14 +172,13 @@ def w4a16_matmul_planes(
     xr = (
         xf.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
     )
-    # scales reorder: group index g = j*gpp + gi -> (gi, j) rows, transposed
     s = scales.astype(jnp.float32)
     if zeros is None:
         zs = jnp.zeros_like(s)
     else:
         zs = zeros.astype(jnp.float32) * s
-    sr = s.reshape(N, 8, gpp).transpose(2, 1, 0).reshape(gpp * 8, N)
-    zsr = zs.reshape(N, 8, gpp).transpose(2, 1, 0).reshape(gpp * 8, N)
+    sr = tile_scales(s, n_tile, gpp)
+    zsr = tile_scales(zs, n_tile, gpp)
 
     kernel = functools.partial(_w4a16_kernel, group=group)
     grid = (N // n_tile, gpp)
@@ -159,11 +189,11 @@ def w4a16_matmul_planes(
         in_specs=[
             pl.BlockSpec((B, 8 * group), lambda i, gi: (0, gi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, group), lambda i, gi: (i, gi),
+            pl.BlockSpec((1, 1, n_tile, group), lambda i, gi: (i, gi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_tile), lambda i, gi: (gi, i),
+            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n_tile), lambda i, gi: (gi, i),
+            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, n_tile), lambda i, gi: (0, i),
@@ -171,10 +201,10 @@ def w4a16_matmul_planes(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
-            bytes_accessed=N * KP * 4 + 2 * N * G * 4 + B * K * 4,
+            bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 4,
             transcendentals=0,
         ),
-    )(xr, wp, sr, zsr)
+    )(xr, wp_t, sr, zsr)
     return out.astype(in_dtype)
 
 
@@ -190,7 +220,8 @@ def w4a16_matmul_available(x: Array, qp) -> bool:
     *_, K = x.shape
     if K % (8 * qp.group_size) != 0:
         return False
-    N = qp.codes.shape[0]
+    N = (qp.codes.shape[0] * qp.codes.shape[2] if qp.codes.ndim == 4
+         else qp.codes.shape[0])
     return N % 128 == 0
 
 
@@ -198,8 +229,11 @@ def w4a16_matmul(x: Array, qp, interpret: bool = False) -> Array:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    N = qp.codes.shape[0]
-    n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
+    if qp.codes.ndim == 4:
+        n_tile = qp.codes.shape[2]
+    else:
+        N = qp.codes.shape[0]
+        n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
     y = w4a16_matmul_planes(
         x2, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
         n_tile=n_tile, interpret=interpret,

@@ -51,9 +51,16 @@ def quantize_linear(
                              8, 0, True)
     if spec.bit == 4:
         if layout == "planes":
-            from .pallas_matmul import pack_int4_planes
+            from .pallas_matmul import pack_int4_planes, tile_packed
 
             packed = pack_int4_planes(codes)
+            N = packed.shape[0]
+            gs = spec.group_size if spec.granularity == "per_group" else 0
+            if gs and packed.shape[1] % gs == 0:
+                nt = next((t for t in (512, 256, 128) if N % t == 0), None)
+                if nt:
+                    # contiguous-tile serving layout for the Pallas kernel
+                    packed = tile_packed(packed, nt, gs)
         else:
             from ..export import pack_int4
 
@@ -99,7 +106,11 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
         if qp.layout == "planes":
             from .pallas_matmul import unpack_int4_planes
 
-            u = unpack_int4_planes(qp.codes, qp.codes.shape[1] * 8).astype(
+            codes = qp.codes
+            if codes.ndim == 4:  # untile (N/NT, gpp, NT, g) -> (N, kp)
+                nb, gpp, nt, g = codes.shape
+                codes = codes.transpose(0, 2, 1, 3).reshape(nb * nt, gpp * g)
+            u = unpack_int4_planes(codes, codes.shape[1] * 8).astype(
                 jnp.float32
             )
         else:
