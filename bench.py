@@ -78,11 +78,12 @@ def decode_step(layers, x, k_cache, v_cache):
         v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
         kc = jnp.concatenate([k_cache[li], k], axis=2)
         vc = jnp.concatenate([v_cache[li], v], axis=2)
-        kr = jnp.repeat(kc, N_HEADS // N_KV, axis=1)
-        vr = jnp.repeat(vc, N_HEADS // N_KV, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * (HEAD_DIM**-0.5)
+        # grouped GQA attention — never materialize the repeated KV
+        G = N_HEADS // N_KV
+        qg = q.reshape(B, N_KV, G, 1, HEAD_DIM)
+        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kc) * (HEAD_DIM**-0.5)
         probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vr).reshape(B, 1, -1)[:, 0]
+        ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
         x = x + qlinear_apply(ctx, lw["o"])
         h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
         g = qlinear_apply(h2, lw["gate"])

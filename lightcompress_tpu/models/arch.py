@@ -35,8 +35,9 @@ LinearFn = Callable[[str, Array, Optional[Array], Array], Array]
 
 def default_linear(name: str, w: Array, b: Optional[Array], x: Array) -> Array:
     if w.ndim == 3:  # stacked experts (E, out, in) — dense MoE compute
-        if x.ndim >= 3 and x.shape[0] == w.shape[0]:
-            # paired: x already carries the expert dim (down_proj)
+        if x.ndim == 4 and x.shape[0] == w.shape[0]:
+            # paired: x already carries the expert dim (down_proj input is
+            # (E, B, T, I); gate/up inputs are 3D (B, T, H))
             y = jnp.einsum(
                 "e...i,eoi->e...o", x, w, preferred_element_type=jnp.float32
             ).astype(x.dtype)
@@ -326,15 +327,23 @@ def sdpa(
     """Scaled dot-product attention with optional quantization hooks on the
     two matmuls and the softmax (the LlmcMatmul/LlmcSoftmax analogue,
     attn_utils.py:7-60)."""
-    if kv_groups > 1:
-        k = jnp.repeat(k, kv_groups, axis=1)
-        v = jnp.repeat(v, kv_groups, axis=1)
     scale = query_scale if query_scale else q.shape[-1] ** -0.5
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
     if matmul_hook is not None:
         qf, kf = matmul_hook("qk", qf, kf)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if kv_groups > 1:
+        # grouped GQA attention: never materialize the repeated K/V —
+        # jnp.repeat would write+read kv_groups x the KV cache through HBM
+        # (measured dominant in decode); a batched einsum broadcasts instead
+        B, H, Tq, D = qf.shape
+        nkv = H // kv_groups
+        qg = qf.reshape(B, nkv, kv_groups, Tq, D)
+        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kf) * scale
+        scores = scores.reshape(B, H, Tq, -1)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
     if softcap:
         scores = softcap * jnp.tanh(scores / softcap)
     if mask is not None:
@@ -342,10 +351,14 @@ def sdpa(
     probs = jax.nn.softmax(scores, axis=-1)
     if softmax_hook is not None:
         probs = softmax_hook(probs)
-    vf = v.astype(jnp.float32)
     if matmul_hook is not None:
         probs, vf = matmul_hook("pv", probs, vf)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    if kv_groups > 1:
+        pg = probs.reshape(B, nkv, kv_groups, Tq, -1)
+        out = jnp.einsum("bkgqs,bksd->bkgqd", pg, vf)
+        out = out.reshape(B, H, Tq, D)
+    else:
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
     return out.astype(q.dtype)
 
 

@@ -29,15 +29,21 @@ def make_mesh(
     n_devices: Optional[int] = None,
     dp: Optional[int] = None,
     tp: Optional[int] = None,
+    ep: int = 1,
 ) -> Mesh:
+    """(dp, tp[, ep]) mesh.  ep > 1 adds an expert-parallel axis for MoE
+    (experts sharded over hosts, SURVEY §2.11 TPU-native equivalents)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
     if tp is None:
-        tp = n if dp is None else n // dp
+        tp = (n // ep) if dp is None else n // (dp * ep)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != {n}"
+        dp = n // (tp * ep)
+    assert dp * tp * ep == n, f"dp({dp})*tp({tp})*ep({ep}) != {n}"
+    if ep > 1:
+        arr = np.array(devs).reshape(dp, tp, ep)
+        return Mesh(arr, axis_names=("dp", "tp", "ep"))
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 
@@ -58,7 +64,9 @@ def _block_pspecs(family: str) -> Dict[str, P]:
             "mlp.gate.weight": P("tp", None), "mlp.gate.bias": P("tp"),
             "mlp.up.weight": P("tp", None), "mlp.up.bias": P("tp"),
             "mlp.down.weight": P(None, "tp"), "mlp.down.bias": P(),
-            # MoE: experts sharded over the model axis (EP); router replicated
+            # MoE: stacked 3D expert weights are detected by ndim in
+            # _fit_spec and sharded over 'ep' (or 'tp' on 2-axis meshes);
+            # router replicated
             "mlp.router.weight": P(),
             "mlp.shared_gate.weight": P("tp", None),
             "mlp.shared_up.weight": P("tp", None),
@@ -117,7 +125,13 @@ def shard_params(params: Dict, mesh: Mesh, arch) -> Dict:
 
 
 def _fit_spec(arr, spec: P, mesh: Mesh) -> P:
-    """Drop sharding on axes not divisible by the mesh axis size."""
+    """Drop sharding on axes not divisible by the mesh axis size; route
+    stacked 3D expert weights onto the 'ep' axis when present."""
+    if arr.ndim == 3 and len(spec) <= 2:
+        ep_axis = "ep" if "ep" in mesh.axis_names else (
+            spec[0] if len(spec) and isinstance(spec[0], str) else None
+        )
+        spec = P(ep_axis, None, None)
     new = []
     for dim, s in enumerate(spec):
         if s is None:
