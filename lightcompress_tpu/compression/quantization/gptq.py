@@ -235,7 +235,9 @@ class GPTQ(BaseBlockwiseQuantization):
             node = resolve(bp, name)
             W = node["weight"]
             if W.ndim == 3:
-                # stacked MoE experts: per-expert Hessian loop is future work
+                # stacked MoE experts: per-expert loop (deepseekv3.py:150-162
+                # iterates experts sequentially; same here on the stacked dim)
+                self._transform_experts(block_idx, name, node, input_feat, gs)
                 continue
             H = self.compute_hessian(input_feat[name], name)
             W_new, scales, zeros, perm = gptq_quantize_layer(
@@ -255,9 +257,62 @@ class GPTQ(BaseBlockwiseQuantization):
                 "group_size": gs if gs > 0 else W.shape[1],
             }
 
+    def _transform_experts(self, block_idx, name, node, input_feat, gs):
+        """Per-expert GPTQ over stacked (E, oc, ic) weights.  The collected
+        feature for expert-paired inputs is (E, B, T, ic); plain (B, T, ic)
+        inputs (gate/up, router) share the Hessian across experts."""
+        W = node["weight"]
+        E = W.shape[0]
+        new_w = []
+        states = []
+        for e in range(E):
+            feats_e = []
+            for x in input_feat[name]:
+                feats_e.append(x[e] if x.ndim == 4 else x)
+            H = self.compute_hessian(feats_e, name)
+            W_new, scales, zeros, perm = gptq_quantize_layer(
+                W[e].astype(jnp.float32), H, self.wspec,
+                blocksize=min(self.blocksize, W.shape[2]),
+                group_size=gs,
+                actorder=self.actorder,
+                static_groups=self.static_groups,
+                percdamp=self.percdamp,
+            )
+            new_w.append(W_new)
+            states.append({
+                "scales": scales, "zeros": zeros,
+                "perm": perm if self.actorder else None,
+            })
+        node["weight"] = jnp.stack(new_w).astype(W.dtype)
+        st = self.state(block_idx, name)
+        st["gptq_experts"] = {
+            "scales": jnp.stack([s["scales"] for s in states]),
+            "zeros": jnp.stack([s["zeros"] for s in states]),
+            "perm": (jnp.stack([s["perm"] for s in states])
+                     if self.actorder else None),
+            "group_size": gs if gs > 0 else W.shape[2],
+        }
+
     # ------------------------------------------------------------------
     def w_qdq(self, w: Array, block_idx: int, name: str) -> Array:
         st = self.layer_state[block_idx].get(name, {})
+        if "gptq_experts" in st:
+            g = st["gptq_experts"]
+            gs = g["group_size"]
+            E, oc, cols = w.shape
+            wf = w.astype(jnp.float32)
+            if g["perm"] is not None:
+                wf = jnp.take_along_axis(wf, g["perm"][:, None, :], axis=2)
+            wg = wf.reshape(E, oc, cols // gs, gs)
+            s = g["scales"][:, :, :, None]
+            z = g["zeros"][:, :, :, None]
+            q = jnp.clip(jnp.round(wg / s) + z, self.wspec.qmin,
+                         self.wspec.qmax)
+            dq = ((q - z) * s).reshape(E, oc, cols)
+            if g["perm"] is not None:
+                invperm = jnp.argsort(g["perm"], axis=1)
+                dq = jnp.take_along_axis(dq, invperm[:, None, :], axis=2)
+            return dq.astype(w.dtype)
         if "gptq" not in st:
             return super().w_qdq(w, block_idx, name)
         g = st["gptq"]

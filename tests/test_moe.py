@@ -140,3 +140,27 @@ def test_moe_expert_parallel_sharding():
     with jax.set_mesh(mesh):
         out = np.asarray(jax.jit(m.forward)(ids))
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-2)
+
+
+def test_moe_gptq_per_expert():
+    m = make_tiny_moe(seed=5)
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 128, (1, 16)), jnp.int32)
+           for _ in range(2)]
+    inputs = m.collect_first_block_input(ids)
+    cfg = DotDict({
+        "method": "GPTQ",
+        "weight": {"bit": 4, "symmetric": False, "granularity": "per_group",
+                   "group_size": 16},
+        "special": {"blocksize": 16, "actorder": False},
+        "quant_out": True,
+    })
+    algo = ALGO_REGISTRY["GPTQ"](m, cfg, inputs, None, DotDict({}))
+    algo.run_block_loop()
+    st = algo.layer_state[0]["mlp.down"]
+    assert "gptq_experts" in st
+    assert st["gptq_experts"]["scales"].shape[0] == 4  # per-expert qparams
+    algo.deploy("fake_quant")
+    enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
+    ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
+    assert np.isfinite(ppl)
