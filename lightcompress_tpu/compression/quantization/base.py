@@ -439,6 +439,25 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             ]
         else:
             model.kv_hooks = None
+        # attention-internal quant (LlmcMatmul/LlmcSoftmax, attn_utils.py)
+        if self.quant_attn and self.aspec is not None:
+            aspec = self.aspec
+
+            def matmul_hook(which, a, b):
+                return (
+                    fake_quant_act_dynamic(a, aspec),
+                    fake_quant_act_dynamic(b, aspec),
+                )
+
+            model.attn_matmul_hook = matmul_hook
+            if self.quant_softmax:
+                # softmax outputs are in [0,1]: asymmetric quant
+                sspec = aspec.with_(symmetric=False)
+
+                def softmax_hook(p):
+                    return fake_quant_act_dynamic(p, sspec)
+
+                model.attn_softmax_hook = softmax_hook
 
     def _act_linear_fn(self, block_idx: int) -> A.LinearFn:
         def lf(name, w, b, x):
@@ -452,6 +471,8 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
         model = self.model
         if hasattr(model, "_fp_blocks"):
             model.set_param_blocks(model._fp_blocks)
+        model.attn_matmul_hook = None
+        model.attn_softmax_hook = None
         model.deploy_float()
 
     def save_model(self, save_dir: str):

@@ -376,6 +376,8 @@ def block_forward(
     linear_fn: LinearFn = default_linear,
     kv_hook: Optional[Callable] = None,
     kv_cache: Optional[Tuple[Array, Array]] = None,
+    matmul_hook: Optional[Callable] = None,
+    softmax_hook: Optional[Callable] = None,
 ) -> Tuple[Array, Dict[str, Array], Optional[Tuple[Array, Array]]]:
     """One transformer block.  Returns (y, feats, new_kv).
 
@@ -427,6 +429,7 @@ def block_forward(
             k, v = out
 
     ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv,
+               matmul_hook=matmul_hook, softmax_hook=softmax_hook,
                query_scale=arch.query_scale, softcap=arch.attn_softcap)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
     feats["attn.o"] = ctx
@@ -623,6 +626,8 @@ def model_forward(
     input_ids: Array,
     linear_fns: Optional[List[LinearFn]] = None,
     kv_hooks: Optional[List[Optional[Callable]]] = None,
+    matmul_hook: Optional[Callable] = None,
+    softmax_hook: Optional[Callable] = None,
 ) -> Array:
     """Full causal-LM forward returning float32 logits."""
     B, T = input_ids.shape
@@ -635,5 +640,7 @@ def model_forward(
     for idx, bp in enumerate(params["blocks"]):
         lf = linear_fns[idx] if linear_fns is not None else default_linear
         kh = kv_hooks[idx] if kv_hooks is not None else None
-        x, _, _ = block_forward(arch, bp, x, cos, sin, mask, linear_fn=lf, kv_hook=kh)
+        x, _, _ = block_forward(arch, bp, x, cos, sin, mask, linear_fn=lf,
+                                kv_hook=kh, matmul_hook=matmul_hook,
+                                softmax_hook=softmax_hook)
     return head_forward(arch, params, x)

@@ -179,6 +179,10 @@ class BaseModel:
         # QuaRot online rotations: name -> ('full', 0) | ('head', head_dim)
         # (the RotateLinear analogue, module_utils.py:553-676)
         self.rotate_cfg: Dict[str, tuple] = {}
+        # attention-internal quant hooks (LlmcMatmul/LlmcSoftmax analogue,
+        # attn_utils.py:7-60); installed by deploy when quant_attn is set
+        self.attn_matmul_hook = None
+        self.attn_softmax_hook = None
 
     # -- online rotation ---------------------------------------------------
     def apply_online_rotate(self, name: str, x: Array) -> Array:
@@ -282,6 +286,8 @@ class BaseModel:
             mask,
             linear_fn=linear_fn or self.default_linear_fn() or A.default_linear,
             kv_hook=kv_hook,
+            matmul_hook=self.attn_matmul_hook,
+            softmax_hook=self.attn_softmax_hook,
         )
 
     def inspect_forward(
@@ -316,6 +322,8 @@ class BaseModel:
             input_ids,
             linear_fns=lfs,
             kv_hooks=self.kv_hooks,
+            matmul_hook=self.attn_matmul_hook,
+            softmax_hook=self.attn_softmax_hook,
         )
 
     def jit_forward(self):
@@ -335,11 +343,13 @@ class BaseModel:
             if lf is not None:
                 lfs = [lf] * self.num_blocks
         hooks = self.kv_hooks
+        mh, sh = self.attn_matmul_hook, self.attn_softmax_hook
 
         @jax.jit
         def f(params, input_ids):
             return A.model_forward(
-                arch, params, input_ids, linear_fns=lfs, kv_hooks=hooks
+                arch, params, input_ids, linear_fns=lfs, kv_hooks=hooks,
+                matmul_hook=mh, softmax_hook=sh,
             )
 
         return lambda ids: f(self.params, ids)

@@ -127,6 +127,8 @@ class Vit(BaseModel):
             x, _, _ = A.block_forward(
                 self.arch, bp, x, None, None, None,
                 linear_fn=lf or A.default_linear,
+                matmul_hook=self.attn_matmul_hook,
+                softmax_hook=self.attn_softmax_hook,
             )
         return A.layernorm(x, self.params["norm"]["weight"],
                            self.params["norm"]["bias"], 1e-6)
@@ -149,6 +151,8 @@ class Vit(BaseModel):
         return A.block_forward(
             self.arch, bp, x, None, None, None,
             linear_fn=linear_fn or A.default_linear, kv_hook=kv_hook,
+            matmul_hook=self.attn_matmul_hook,
+            softmax_hook=self.attn_softmax_hook,
         )
 
     def inspect_forward(self, block_idx, subset, x, linear_fn=None,

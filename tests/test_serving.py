@@ -127,3 +127,30 @@ def test_w4_serving_weights(tiny_setup):
                        prefill_buckets=(8,))
     out = engine.generate([[1, 2, 3, 4]], SamplingParams(max_new_tokens=4))
     assert len(out[0]) == 4
+
+
+def test_serving_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """quantize -> export serving checkpoint -> load -> generate: results
+    identical to the in-memory weights (the save_vllm->serve story,
+    in-repo)."""
+    import numpy as np
+    from lightcompress_tpu.quant import QuantSpec
+    from lightcompress_tpu.serving import export_serving, load_serving
+
+    model, _ = tiny_setup
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=16)
+    sw = build_serving_weights(model, wspec)
+    d = str(tmp_path / "ckpt")
+    export_serving(sw, d)
+    sw2 = load_serving(d)
+    assert sw2.arch.hidden_size == model.arch.hidden_size
+
+    eng1 = LLMEngine(sw, max_slots=1, max_len=32, kv_bits=16,
+                     prefill_buckets=(8,))
+    eng2 = LLMEngine(sw2, max_slots=1, max_len=32, kv_bits=16,
+                     prefill_buckets=(8,))
+    p = [1, 5, 9, 44]
+    out1 = eng1.generate([p], SamplingParams(max_new_tokens=5))
+    out2 = eng2.generate([p], SamplingParams(max_new_tokens=5))
+    assert out1 == out2

@@ -99,3 +99,28 @@ def test_tome_cls_never_merged(tiny_vit):
     assert out.shape == (2, 12, 8)
     # cls marker survives unmerged (first kept-A slot ordering may move it)
     assert bool(jnp.any(jnp.all(jnp.abs(out - 99.0) < 1e-5, axis=-1)))
+
+
+def test_quant_attn_and_softmax(tiny_vit):
+    """quant_attn/quant_softmax install attention-internal qdq hooks
+    (LlmcViTSelfAttention analogue)."""
+    px = [_images(2, seed=5)]
+    inputs = tiny_vit.collect_first_block_input(px)
+    cfg = DotDict({
+        "method": "RTN",
+        "weight": {"bit": 8, "symmetric": True, "granularity": "per_channel"},
+        "act": {"bit": 8, "symmetric": True, "granularity": "per_token",
+                "quant_attn": True, "quant_softmax": True},
+    })
+    algo = ALGO_REGISTRY["RTN"](tiny_vit, cfg, inputs, None, DotDict({}))
+    algo.run_block_loop()
+    ref = tiny_vit.classify(_images(2, seed=6))
+    algo.deploy("fake_quant")
+    assert tiny_vit.attn_matmul_hook is not None
+    assert tiny_vit.attn_softmax_hook is not None
+    out = tiny_vit.classify(_images(2, seed=6))
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # quantized attention changes the logits (hooks actually fire)
+    assert not np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    algo.restore_float()
+    assert tiny_vit.attn_matmul_hook is None
