@@ -130,7 +130,10 @@ class Awq(BaseBlockwiseQuantization):
             fc1 = resolve(bp, subset.prev_op)
             fc2 = resolve(bp, subset.layers[0])
             if fc1["weight"].ndim == 3 or fc2["weight"].ndim == 3:
-                # per-expert fc-fc scaling of stacked MoE weights: future work
+                # stacked MoE experts: per-expert up->down scale search
+                # (deepseekv3.py per-expert down subsets)
+                if self.trans and fc1["weight"].ndim == 3 == fc2["weight"].ndim:
+                    self._transform_moe_down(block_idx, bp, subset, input_feat)
                 return
             if fc1["weight"].shape[0] != fc2["weight"].shape[1]:
                 # GQA o_proj: only with do_gqa_trans (awq.py:344-351)
@@ -145,6 +148,66 @@ class Awq(BaseBlockwiseQuantization):
         if self.save_scale:
             for name in subset.layers:
                 self.act_scales[f"block.{block_idx}.{name}"] = scales
+
+    def _search_scale_single_linear(self, w: Array, x: Array) -> Array:
+        """20-point ratio grid for one 2D linear (one MoE expert)."""
+        wspec, aspec, w_only = self.wspec, self.aspec, self.w_only
+        trans_v, n_grid = self.trans_version, self.n_grid
+
+        def search(w, x):
+            wf = w.astype(jnp.float32)
+            r2 = reshape_tensor(wf, wspec)
+            w_max = (jnp.abs(r2) / jnp.clip(
+                jnp.max(jnp.abs(r2), axis=-1, keepdims=True), 1e-12, None)
+            ).reshape(-1, wf.shape[-1]).mean(axis=0)
+            x_mean = jnp.mean(jnp.abs(x.reshape(-1, x.shape[-1])), axis=0)
+            org = jnp.einsum("...i,oi->...o", x.astype(jnp.float32), wf)
+
+            def eval_ratio(ratio):
+                if trans_v == "v1":
+                    s = jnp.clip(x_mean**ratio /
+                                 jnp.clip(w_max, 1e-12, None)**(1 - ratio),
+                                 1e-4, None)
+                else:
+                    s = jnp.clip(x_mean**ratio, 1e-4, None)
+                s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+                wq = fake_quant_weight_dynamic(wf * s[None, :], wspec)
+                xs = x.astype(jnp.float32) / s
+                if not w_only and aspec is not None:
+                    xs = fake_quant_act_dynamic(xs, aspec)
+                out = jnp.einsum("...i,oi->...o", xs, wq)
+                return jnp.mean((org - out) ** 2), s
+
+            ratios = jnp.arange(n_grid, dtype=jnp.float32) / n_grid
+            losses, ss = jax.lax.map(eval_ratio, ratios)
+            return ss[jnp.argmin(losses)]
+
+        key = ("single", w.shape, x.shape)
+        if key not in self._search_cache:
+            self._search_cache[key] = jax.jit(search)
+        return self._search_cache[key](w, x)
+
+    def _transform_moe_down(self, block_idx, bp, subset: Subset, input_feat):
+        up = resolve(bp, subset.prev_op)
+        down = resolve(bp, subset.layers[0])
+        E = down["weight"].shape[0]
+        xs = input_feat.get(subset.input)
+        if not xs or xs[0].ndim != 4:
+            return
+        for e in range(E):
+            x = jnp.concatenate([f[e] for f in xs], axis=0)
+            s = self._search_scale_single_linear(down["weight"][e], x)
+            uw = up["weight"]
+            up["weight"] = uw.at[e].set(
+                (uw[e].astype(jnp.float32) / s[:, None]).astype(uw.dtype)
+            )
+            dw = down["weight"]
+            down["weight"] = dw.at[e].set(
+                (dw[e].astype(jnp.float32) * s[None, :]).astype(dw.dtype)
+            )
+            input_feat[subset.input] = [
+                f.at[e].set(f[e] / s) for f in input_feat[subset.input]
+            ]
 
     def block_transform(self, block_idx, input_feat):
         if self.trans:
