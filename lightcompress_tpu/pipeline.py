@@ -38,6 +38,17 @@ def build_eval(model, config) -> Optional[Dict]:
 
         raw = load_from_disk(ec["path"])
         testenc = tokenize_eval(model.tokenizer, make_eval_text(raw, name))
+    if ec.get("type") == "decode_ppl":
+        from .eval import DecodePerplexityEval
+
+        return {
+            "ppl": DecodePerplexityEval(
+                testenc[:, : ec.get("num_eval_tokens", 256) + 1],
+                num_eval_tokens=ec.get("num_eval_tokens", 256),
+            ),
+            "token_consist": None,
+            "positions": list(ec.get("eval_pos", [])),
+        }
     return {
         "ppl": PerplexityEval(
             testenc, seq_len=seq_len, bs=bs,
