@@ -57,6 +57,24 @@ def default_linear(name: str, w: Array, b: Optional[Array], x: Array) -> Array:
 
 
 @dataclasses.dataclass(frozen=True)
+class MLASpec:
+    """DeepSeek multi-head latent attention (deepseekv3.py MLA subsets):
+    low-rank compressed q (optional) and kv projections with a decoupled
+    rope sub-dimension shared MQA-style across heads."""
+
+    kv_lora_rank: int
+    qk_rope_head_dim: int
+    qk_nope_head_dim: int
+    v_head_dim: int
+    q_lora_rank: Optional[int] = None
+    rope_interleave: bool = True
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+
+@dataclasses.dataclass(frozen=True)
 class MoESpec:
     """Mixture-of-experts MLP config (mixtral / qwen2moe / deepseek-class).
 
@@ -70,6 +88,9 @@ class MoESpec:
     gating: str = "softmax"  # 'softmax' (mixtral) | 'sigmoid' (deepseek-v3)
     norm_topk_prob: bool = True
     routed_scaling_factor: float = 1.0
+    # deepseek-v3 group-limited routing (DeepseekV3TopkRouter)
+    n_group: int = 1
+    topk_group: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +117,7 @@ class ArchSpec:
     # after mean-removal + bias folding (quarot preprocess)
     norm_type: str = "default"
     moe: Optional[MoESpec] = None
+    mla: Optional[MLASpec] = None
     # gemma2 family variants
     gemma_norm: bool = False      # rmsnorm uses (1 + w)
     sandwich_norms: bool = False  # post-attn / post-mlp norms
@@ -132,15 +154,39 @@ def init_block_params(key, arch: ArchSpec) -> Dict:
     kvd = arch.num_kv_heads * arch.head_dim
     dt = arch.dtype
     if arch.family == "llama":
-        bp = {
-            "ln1": {"weight": jnp.ones((h,), dt)},
-            "ln2": {"weight": jnp.ones((h,), dt)},
-            "attn": {
+        if arch.mla is not None:
+            mla = arch.mla
+            attn = {
+                "kv_a": _lin(ks[1], mla.kv_lora_rank + mla.qk_rope_head_dim,
+                             h, arch.attn_bias, dt),
+                "kv_a_norm": {"weight": jnp.ones((mla.kv_lora_rank,), dt)},
+                "kv_b": _lin(ks[2], arch.num_heads * (
+                    mla.qk_nope_head_dim + mla.v_head_dim), mla.kv_lora_rank,
+                    False, dt),
+                "o": _lin(ks[3], h, arch.num_heads * mla.v_head_dim, False,
+                          dt),
+            }
+            if mla.q_lora_rank:
+                attn["q_a"] = _lin(ks[0], mla.q_lora_rank, h,
+                                   arch.attn_bias, dt)
+                attn["q_a_norm"] = {"weight": jnp.ones((mla.q_lora_rank,),
+                                                       dt)}
+                attn["q_b"] = _lin(ks[8], arch.num_heads * mla.qk_head_dim,
+                                   mla.q_lora_rank, False, dt)
+            else:
+                attn["q"] = _lin(ks[0], arch.num_heads * mla.qk_head_dim, h,
+                                 False, dt)
+        else:
+            attn = {
                 "q": _lin(ks[0], qd, h, arch.attn_bias, dt),
                 "k": _lin(ks[1], kvd, h, arch.attn_bias, dt),
                 "v": _lin(ks[2], kvd, h, arch.attn_bias, dt),
                 "o": _lin(ks[3], h, qd, False, dt),
-            },
+            }
+        bp = {
+            "ln1": {"weight": jnp.ones((h,), dt)},
+            "ln2": {"weight": jnp.ones((h,), dt)},
+            "attn": attn,
         }
         if arch.moe is not None:
             m = arch.moe
@@ -362,9 +408,120 @@ def sdpa(
     return out.astype(q.dtype)
 
 
+def apply_rope_interleave(q: Array, k: Array, cos: Array, sin: Array):
+    """DeepSeek interleaved-weight rope: de-interleave pairs then standard
+    rotate_half (modeling_deepseek_v3.apply_rotary_pos_emb_interleave)."""
+    if cos.ndim == 2:
+        cos_b = cos[None, None, :, :]
+        sin_b = sin[None, None, :, :]
+    else:
+        cos_b = cos[:, None, :, :]
+        sin_b = sin[:, None, :, :]
+
+    def deint(x):
+        b, h, t, d = x.shape
+        return x.reshape(b, h, t, d // 2, 2).transpose(0, 1, 2, 4, 3).reshape(
+            b, h, t, d)
+
+    q = deint(q)
+    k = deint(k)
+    cos_b = cos_b.astype(q.dtype)
+    sin_b = sin_b.astype(q.dtype)
+    return (q * cos_b + _rotate_half(q) * sin_b,
+            k * cos_b + _rotate_half(k) * sin_b)
+
+
+def mla_attn_forward(
+    arch: ArchSpec,
+    ap: Dict,
+    x: Array,
+    cos: Array,
+    sin: Array,
+    mask: Optional[Array],
+    linear_fn: LinearFn = default_linear,
+    feats: Optional[Dict[str, Array]] = None,
+    kv_hook: Optional[Callable] = None,
+):
+    """Multi-head latent attention (HF DeepseekV3Attention semantics).
+
+    Returns (attn_out, (k, v))."""
+    mla = arch.mla
+    B, T, _ = x.shape
+    nh = arch.num_heads
+    qk_d, nope, rope_d = mla.qk_head_dim, mla.qk_nope_head_dim, \
+        mla.qk_rope_head_dim
+    if feats is not None:
+        key = "attn.q_a" if mla.q_lora_rank else "attn.q"
+        feats[key] = x
+        feats["attn.kv_a"] = x
+    if mla.q_lora_rank:
+        qa = linear_fn("attn.q_a", ap["q_a"]["weight"],
+                       ap["q_a"].get("bias"), x)
+        qa = rmsnorm(qa, ap["q_a_norm"]["weight"], arch.rms_eps)
+        if feats is not None:
+            feats["attn.q_b"] = qa
+        q_states = linear_fn("attn.q_b", ap["q_b"]["weight"], None, qa)
+    else:
+        q_states = linear_fn("attn.q", ap["q"]["weight"], None, x)
+    q_states = q_states.reshape(B, T, nh, qk_d).transpose(0, 2, 1, 3)
+    q_pass, q_rot = q_states[..., :nope], q_states[..., nope:]
+
+    ckv = linear_fn("attn.kv_a", ap["kv_a"]["weight"],
+                    ap["kv_a"].get("bias"), x)
+    k_pass_c, k_rot = ckv[..., : mla.kv_lora_rank], ckv[..., mla.kv_lora_rank:]
+    k_pass_n = rmsnorm(k_pass_c, ap["kv_a_norm"]["weight"], arch.rms_eps)
+    if feats is not None:
+        feats["attn.kv_b"] = k_pass_n
+    kv = linear_fn("attn.kv_b", ap["kv_b"]["weight"], None, k_pass_n)
+    kv = kv.reshape(B, T, nh, nope + mla.v_head_dim).transpose(0, 2, 1, 3)
+    k_pass, v = kv[..., :nope], kv[..., nope:]
+    k_rot = k_rot.reshape(B, 1, T, rope_d)
+
+    if mla.rope_interleave:
+        q_rot, k_rot = apply_rope_interleave(q_rot, k_rot, cos, sin)
+    else:
+        q_rot, k_rot = apply_rope(q_rot, k_rot, cos, sin)
+    k_rot = jnp.broadcast_to(k_rot, (B, nh, T, rope_d))
+
+    q = jnp.concatenate([q_pass, q_rot], axis=-1)
+    k = jnp.concatenate([k_pass, k_rot], axis=-1)
+    if kv_hook is not None:
+        out = kv_hook(k, v)
+        k, v = out[0], out[1]
+    ctx = sdpa(q, k, v, mask, kv_groups=1, query_scale=qk_d**-0.5)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * mla.v_head_dim)
+    if feats is not None:
+        feats["attn.o"] = ctx
+    attn_out = linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"),
+                         ctx)
+    return attn_out, (k, v)
+
+
 # ---------------------------------------------------------------------------
 # block forward (returns per-linear input features — the hook replacement)
 # ---------------------------------------------------------------------------
+
+def _mlp_tail(arch: ArchSpec, bp: Dict, h: Array, linear_fn: LinearFn,
+              feats: Dict[str, Array], new_kv):
+    """llama-family MLP (dense, MoE, sandwich norms) after the residual."""
+    h2 = apply_norm(h, bp["ln2"], arch)
+    mp = bp["mlp"]
+    feats["mlp.gate"] = h2
+    feats["mlp.up"] = h2
+    if arch.moe is not None and "router" in mp:
+        feats["mlp.router"] = h2
+        y = h + moe_mlp_forward(arch, mp, h2, linear_fn, feats=feats)
+    else:
+        g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
+        u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
+        mid = _act(g, arch.act_fn) * u
+        feats["mlp.down"] = mid
+        d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
+        if arch.sandwich_norms:
+            d = apply_norm(d, bp["ln2_post"], arch)
+        y = h + d
+    return y, feats, new_kv
+
 
 def block_forward(
     arch: ArchSpec,
@@ -393,6 +550,15 @@ def block_forward(
         h1 = apply_norm(x, bp["ln1"], arch)
     else:
         h1 = apply_norm(x, bp["ln1"], arch) if arch.do_layer_norm_before else x
+
+    if arch.mla is not None:
+        attn_out, new_kv = mla_attn_forward(
+            arch, bp["attn"], h1, cos, sin, mask, linear_fn=linear_fn,
+            feats=feats, kv_hook=kv_hook,
+        )
+        h = x + attn_out
+        return _mlp_tail(arch, bp, h, linear_fn, feats, new_kv)
+
     feats["attn.q"] = h1
     feats["attn.k"] = h1
     feats["attn.v"] = h1
@@ -444,22 +610,8 @@ def block_forward(
         h = x + attn_out
 
     if arch.family == "llama":
-        h2 = apply_norm(h, bp["ln2"], arch)
-        mp = bp["mlp"]
-        feats["mlp.gate"] = h2
-        feats["mlp.up"] = h2
-        if arch.moe is not None:
-            feats["mlp.router"] = h2
-            y = h + moe_mlp_forward(arch, mp, h2, linear_fn, feats=feats)
-        else:
-            g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
-            u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
-            mid = _act(g, arch.act_fn) * u
-            feats["mlp.down"] = mid
-            d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
-            if arch.sandwich_norms:
-                d = apply_norm(d, bp["ln2_post"], arch)
-            y = h + d
+        y, feats, new_kv = _mlp_tail(arch, bp, h, linear_fn, feats, new_kv)
+        return y, feats, new_kv
     else:
         h2 = apply_norm(h, bp["ln2"], arch) if arch.do_layer_norm_before else h
         mp = bp["mlp"]
@@ -488,6 +640,9 @@ def attn_inspect(
     linear_fn: LinearFn = default_linear,
 ) -> Array:
     """self_attn sub-forward: x is the post-ln1 hidden states."""
+    if arch.mla is not None:
+        return mla_attn_forward(arch, bp["attn"], x, cos, sin, mask,
+                                linear_fn=linear_fn)[0]
     B, T, _ = x.shape
     nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     ap = bp["attn"]
@@ -525,7 +680,24 @@ def moe_mlp_forward(
         scores = jax.nn.sigmoid(lf)
     else:
         scores = jax.nn.softmax(lf, axis=-1)
-    topw, topi = jax.lax.top_k(scores, m.top_k)
+    # selection scores: + e_score_correction_bias, optionally group-limited
+    # (DeepseekV3TopkRouter); combination WEIGHTS use the raw scores
+    sel = scores
+    if "router_bias" in mp:
+        sel = sel + mp["router_bias"].astype(jnp.float32)[None, :]
+    if m.n_group > 1:
+        n = sel.shape[0]
+        gsize = m.num_experts // m.n_group
+        grouped = sel.reshape(n, m.n_group, gsize)
+        group_scores = jnp.sum(jax.lax.top_k(grouped, 2)[0], axis=-1)
+        gidx = jax.lax.top_k(group_scores, m.topk_group)[1]
+        gmask = jnp.zeros((n, m.n_group), jnp.float32)
+        gmask = gmask.at[jnp.arange(n)[:, None], gidx].set(1.0)
+        sel = jnp.where(
+            jnp.repeat(gmask, gsize, axis=1) > 0, sel, -jnp.inf
+        )
+    topi = jax.lax.top_k(sel, m.top_k)[1]
+    topw = jnp.take_along_axis(scores, topi, axis=-1)
     if m.norm_topk_prob:
         topw = topw / jnp.clip(jnp.sum(topw, axis=-1, keepdims=True), 1e-9,
                                None)
@@ -565,7 +737,7 @@ def mlp_inspect(
     arch: ArchSpec, bp: Dict, x: Array, linear_fn: LinearFn = default_linear
 ) -> Array:
     mp = bp["mlp"]
-    if arch.family == "llama" and arch.moe is not None:
+    if arch.family == "llama" and arch.moe is not None and "router" in mp:
         return moe_mlp_forward(arch, mp, x, linear_fn)
     if arch.family == "llama":
         g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), x)

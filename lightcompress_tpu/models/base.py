@@ -227,8 +227,11 @@ class BaseModel:
         return len(self.params["blocks"])
 
     def get_subsets_in_block(self, block_idx: int) -> Tuple[Subset, ...]:
-        if self.arch.moe is not None:
-            has_shared = self.arch.moe.num_shared_experts > 0
+        bp = self.get_param_blocks()[block_idx]
+        if self.arch.mla is not None:
+            return self._mla_subsets(bp)
+        if self.arch.moe is not None and "router" in bp.get("mlp", {}):
+            has_shared = "shared_gate" in bp["mlp"]
             subsets = []
             for s in MOE_SUBSETS:
                 layers = tuple(
@@ -240,6 +243,49 @@ class BaseModel:
                 subsets.append(dataclasses.replace(s, layers=layers))
             return tuple(subsets)
         return self.subsets
+
+    def _mla_subsets(self, bp) -> Tuple[Subset, ...]:
+        """DeepSeek MLA topology (deepseekv3.py:69-127)."""
+        mla = self.arch.mla
+        subsets = []
+        if mla.q_lora_rank:
+            subsets.append(Subset(
+                layers=("attn.q_a", "attn.kv_a"), prev_op="ln1",
+                prev_type="norm", input="attn.q_a", inspect="attn",
+                has_kwargs=True,
+            ))
+            subsets.append(Subset(
+                layers=("attn.q_b",), prev_op="attn.q_a_norm",
+                prev_type="norm", input="attn.q_b", inspect="attn.q_b",
+                skip_rotate=True,
+            ))
+        else:
+            subsets.append(Subset(
+                layers=("attn.q", "attn.kv_a"), prev_op="ln1",
+                prev_type="norm", input="attn.q", inspect="attn",
+                has_kwargs=True,
+            ))
+        subsets.append(Subset(
+            layers=("attn.o",), prev_op=None, prev_type=None,
+            input="attn.o", inspect="attn.o",
+        ))
+        subsets.append(Subset(
+            layers=("attn.kv_b",), prev_op="attn.kv_a_norm",
+            prev_type="norm", input="attn.kv_b", inspect="attn.kv_b",
+            skip_rotate=True,
+        ))
+        if "router" in bp.get("mlp", {}):
+            has_shared = "shared_gate" in bp["mlp"]
+            for sub in MOE_SUBSETS[2:]:
+                layers = tuple(
+                    n for n in sub.layers
+                    if has_shared or not n.startswith("mlp.shared")
+                )
+                if layers:
+                    subsets.append(dataclasses.replace(sub, layers=layers))
+        else:
+            subsets.extend(LLAMA_SUBSETS[2:])
+        return tuple(subsets)
 
     def get_block_linear_names(self, block_idx: int) -> List[str]:
         names: List[str] = []

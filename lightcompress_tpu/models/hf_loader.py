@@ -107,7 +107,8 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
         )
     if mt in ("mixtral", "qwen2_moe", "qwen3_moe", "deepseek_v2", "deepseek_v3"):
         n_heads = cfg["num_attention_heads"]
-        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+        head_dim = cfg.get("head_dim") or cfg.get("v_head_dim") or \
+            cfg["hidden_size"] // n_heads
         if mt == "mixtral":
             moe = A.MoESpec(
                 num_experts=cfg["num_local_experts"],
@@ -130,20 +131,27 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
                 norm_topk_prob=cfg.get("norm_topk_prob", False),
             )
         else:  # deepseek v2/v3
-            if cfg.get("q_lora_rank") or cfg.get("kv_lora_rank"):
-                raise NotImplementedError(
-                    "DeepSeek MLA attention (q/kv LoRA compression) is not "
-                    "yet supported; planned for the MLA family"
-                )
             moe = A.MoESpec(
                 num_experts=cfg["n_routed_experts"],
                 top_k=cfg["num_experts_per_tok"],
                 moe_intermediate_size=cfg["moe_intermediate_size"],
-                num_shared_experts=cfg.get("n_shared_experts", 0),
+                num_shared_experts=cfg.get("n_shared_experts", 0) or 0,
                 gating="sigmoid" if cfg.get("scoring_func") == "sigmoid"
                 else "softmax",
                 norm_topk_prob=cfg.get("norm_topk_prob", True),
                 routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0),
+                n_group=cfg.get("n_group", 1) or 1,
+                topk_group=cfg.get("topk_group", 1) or 1,
+            )
+        mla = None
+        if cfg.get("kv_lora_rank"):
+            mla = A.MLASpec(
+                kv_lora_rank=cfg["kv_lora_rank"],
+                qk_rope_head_dim=cfg["qk_rope_head_dim"],
+                qk_nope_head_dim=cfg["qk_nope_head_dim"],
+                v_head_dim=cfg["v_head_dim"],
+                q_lora_rank=cfg.get("q_lora_rank"),
+                rope_interleave=cfg.get("rope_interleave", True),
             )
         return A.ArchSpec(
             family="llama",
@@ -161,6 +169,7 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
             qk_norm=(mt == "qwen3_moe"),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             moe=moe,
+            mla=mla,
             dtype=dtype,
         )
     if mt == "opt":
@@ -448,8 +457,26 @@ def load_params(model_dir: str, arch: A.ArchSpec,
     for i in range(arch.num_layers):
         bp = fill(_block_key_map(arch, i, model_type))
         _split_fused(bp, reader, arch, i, model_type, dt)
-        if arch.moe is not None:
-            km = _moe_key_prefixes(model_type, i)
+        if arch.mla is not None:
+            p = f"model.layers.{i}.self_attn."
+            mla_map = {
+                "attn.q.weight": p + "q_proj.weight",
+                "attn.q_a.weight": p + "q_a_proj.weight",
+                "attn.q_a_norm.weight": p + "q_a_layernorm.weight",
+                "attn.q_b.weight": p + "q_b_proj.weight",
+                "attn.kv_a.weight": p + "kv_a_proj_with_mqa.weight",
+                "attn.kv_a_norm.weight": p + "kv_a_layernorm.weight",
+                "attn.kv_b.weight": p + "kv_b_proj.weight",
+            }
+            extra = fill(mla_map)
+            bp.setdefault("attn", {}).update(extra.get("attn", {}))
+        km = _moe_key_prefixes(model_type, i) if arch.moe is not None else None
+        is_moe_block = (
+            arch.moe is not None and reader.get(km["router"]) is not None
+        )
+        if arch.moe is not None and not is_moe_block:
+            pass  # dense block (first_k_dense_replace): llama map already
+        elif arch.moe is not None:
             mlp: Dict[str, Any] = {
                 "router": {"weight": _np_to_jnp(reader.get(km["router"]), dt)}
             }
@@ -464,6 +491,11 @@ def load_params(model_dir: str, arch: A.ArchSpec,
                     mlp[f"shared_{proj}"] = {
                         "weight": _np_to_jnp(reader.get(km["shared"](proj)), dt)
                     }
+            bias = reader.get(
+                f"model.layers.{i}.mlp.gate.e_score_correction_bias")
+            if bias is not None:
+                mlp["router_bias"] = jnp.asarray(np.asarray(bias),
+                                                 jnp.float32)
             bp["mlp"] = mlp
         params["blocks"].append(bp)
     return params
