@@ -46,7 +46,7 @@ def _group_qparams(Wg: Array, spec: QuantSpec) -> QParams:
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "blocksize", "group_size", "actorder",
-                     "static_groups", "percdamp"),
+                     "static_groups", "percdamp", "n_out"),
 )
 def gptq_quantize_layer(
     W: Array,
@@ -57,6 +57,7 @@ def gptq_quantize_layer(
     actorder: bool = False,
     static_groups: bool = False,
     percdamp: float = 0.01,
+    n_out: int = 0,
 ):
     """Returns (W_new, scales (oc, n_groups), zeros (oc, n_groups), perm).
 
@@ -73,12 +74,28 @@ def gptq_quantize_layer(
     H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
     W = W * (~dead)[None, :]
 
-    if actorder:
+    if n_out > 0:
+        # OWQ (gptq.py:58-83): top-n_out sensitivity columns moved LAST and
+        # kept full-precision
+        desc = jnp.argsort(-jnp.diagonal(H))
+        if actorder:
+            perm = jnp.concatenate([desc[n_out:], desc[:n_out]])
+        else:
+            mask = jnp.ones((cols,), bool).at[desc[:n_out]].set(False)
+            # kept columns in ORIGINAL order, then the outliers
+            kept = jnp.argsort(
+                jnp.where(mask, jnp.arange(cols), cols + jnp.arange(cols))
+            )[: cols - n_out]
+            perm = jnp.concatenate([kept, desc[:n_out]])
+        W = W[:, perm]
+        H = H[perm][:, perm]
+    elif actorder:
         perm = jnp.argsort(-jnp.diagonal(H))
         W = W[:, perm]
         H = H[perm][:, perm]
     else:
         perm = jnp.arange(cols)
+    n_nonout = cols - n_out
 
     damp = percdamp * jnp.mean(jnp.diagonal(H))
     H = H + damp * jnp.eye(cols)
@@ -166,6 +183,9 @@ def gptq_quantize_layer(
             z = jax.lax.dynamic_slice(all_zeros, (0, g_idx), (oc, 1))[:, 0]
             q = jnp.clip(jnp.round(w / s) + z, spec.qmin, spec.qmax)
             dq = (q - z) * s
+            # OWQ outlier columns (global idx >= n_nonout) stay fp: no error
+            is_q = (i1 + i) < n_nonout
+            dq = jnp.where(is_q, dq, w)
             err = (w - dq) / d
             u_row = jax.lax.dynamic_index_in_dim(U1, i, 0, keepdims=False)
             mask = (col_ids > i).astype(jnp.float32)
@@ -240,6 +260,11 @@ class GPTQ(BaseBlockwiseQuantization):
                 self._transform_experts(block_idx, name, node, input_feat, gs)
                 continue
             H = self.compute_hessian(input_feat[name], name)
+            n_out = 0
+            if self.owq:
+                n_out = int(W.shape[1] * self.n_out_ratio)
+                if gs > 0:
+                    n_out = (n_out // gs) * gs  # keep group alignment
             W_new, scales, zeros, perm = gptq_quantize_layer(
                 W.astype(jnp.float32), H, self.wspec,
                 blocksize=min(self.blocksize, W.shape[1]),
@@ -247,14 +272,16 @@ class GPTQ(BaseBlockwiseQuantization):
                 actorder=self.actorder,
                 static_groups=self.static_groups,
                 percdamp=self.percdamp,
+                n_out=n_out,
             )
             node["weight"] = W_new.astype(W.dtype)
             st = self.state(block_idx, name)
             st["gptq"] = {
                 "scales": scales,
                 "zeros": zeros,
-                "perm": perm if self.actorder else None,
+                "perm": perm if (self.actorder or n_out > 0) else None,
                 "group_size": gs if gs > 0 else W.shape[1],
+                "n_out": n_out,
             }
 
     def _transform_experts(self, block_idx, name, node, input_feat, gs):
@@ -327,6 +354,11 @@ class GPTQ(BaseBlockwiseQuantization):
         z = g["zeros"][:, :, None]
         q = jnp.clip(jnp.round(wg / s) + z, self.wspec.qmin, self.wspec.qmax)
         dq = ((q - z) * s).reshape(oc, cols)
+        n_out = g.get("n_out", 0)
+        if n_out:
+            # OWQ: the trailing permuted columns stay full precision
+            keep_fp = jnp.arange(cols) >= cols - n_out
+            dq = jnp.where(keep_fp[None, :], wf, dq)
         if g["perm"] is not None:
             invperm = jnp.argsort(g["perm"])
             dq = dq[:, invperm]

@@ -134,3 +134,36 @@ def test_gptq_true_sequential_and_actorder():
     enc = np.random.RandomState(1).randint(0, 256, (1, 64)).astype(np.int32)
     ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(model)
     assert np.isfinite(ppl)
+
+
+def test_gptq_owq_outlier_columns():
+    """OWQ: top-sensitivity columns stay full precision."""
+    model = make_tiny_adapter(seed=33)
+    cfg = DotDict({
+        "method": "GPTQ",
+        "weight": {"bit": 3, "symmetric": False, "granularity": "per_group",
+                   "group_size": 16},
+        "special": {"blocksize": 16, "owq": True, "n_out_ratio": 0.25},
+        "quant_out": True,
+    })
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 256, (1, 16)), jnp.int32)]
+    inputs = model.collect_first_block_input(ids)
+    algo = ALGO_REGISTRY["GPTQ"](model, cfg, inputs, None, DotDict({}))
+    algo.run_block_loop()
+    st = algo.layer_state[0]["attn.q"]["gptq"]
+    assert st["n_out"] == 16  # 64 cols * 0.25 aligned to g16
+    # w_qdq keeps those columns exactly equal to the input weight
+    w = model.blocks[0]["attn"]["q"]["weight"]
+    q = algo.w_qdq(w, 0, "attn.q")
+    outlier_ids = np.asarray(st["perm"])[-16:]
+    np.testing.assert_allclose(
+        np.asarray(q)[:, outlier_ids], np.asarray(w)[:, outlier_ids],
+        atol=1e-6,
+    )
+    # non-outlier columns are quantized (changed)
+    kept = np.asarray(st["perm"])[:-16]
+    assert not np.allclose(np.asarray(q)[:, kept], np.asarray(w)[:, kept])
+    algo.deploy("fake_quant")
+    enc = rng.randint(0, 256, (1, 64)).astype(np.int32)
+    assert np.isfinite(PerplexityEval(enc, seq_len=16, bs=1).eval(model))
