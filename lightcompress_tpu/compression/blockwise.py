@@ -41,7 +41,9 @@ class BlockwiseOpt:
         self.input_batches = list(input_batches)
         self.padding_masks = padding_masks
         self.block_idx: int = -1
-        self.n_samples = sum(int(b.shape[0]) for b in input_batches)
+        self.n_samples = sum(
+            int(_split_batch(b)[0].shape[0]) for b in input_batches
+        )
         # saved-artifact composability (blockwise_optimization.py:40-51)
         self.act_scales: Dict[str, Any] = {}
         self.act_shifts: Dict[str, Any] = {}
@@ -82,19 +84,22 @@ class BlockwiseOpt:
         model = self.model
         bp = model.blocks[block_idx]
 
-        def one(bp, x):
+        def one(bp, x, extra):
             y, feats, kv = model.block_forward(
-                block_idx, x, linear_fn=linear_fn, block_params=bp
+                block_idx, x, linear_fn=linear_fn, block_params=bp,
+                **({"extra": extra} if extra is not None else {}),
             )
             return y, feats, kv
 
-        run = jax.jit(one) if linear_fn is None else one
+        run = jax.jit(one, static_argnames=()) if linear_fn is None else one
         feats_acc: Dict[str, List[jax.Array]] = {}
-        outs: List[jax.Array] = []
+        outs: List = []
         kvs: List = []
-        for x in self.input_batches:
-            y, feats, kv = run(bp, x)
-            outs.append(y)
+        for item in self.input_batches:
+            x, extra = _split_batch(item)
+            y, feats, kv = one(bp, x, extra) if extra is not None else \
+                run(bp, x, None)
+            outs.append((y, extra) if extra is not None else y)
             kvs.append(kv)
             for k, v in feats.items():
                 feats_acc.setdefault(k, []).append(v)
@@ -107,14 +112,19 @@ class BlockwiseOpt:
         model = self.model
         bp = model.blocks[block_idx]
 
-        def one(bp, x):
+        def one(bp, x, extra):
             y, _, _ = model.block_forward(
-                block_idx, x, linear_fn=linear_fn, block_params=bp
+                block_idx, x, linear_fn=linear_fn, block_params=bp,
+                **({"extra": extra} if extra is not None else {}),
             )
             return y
 
-        run = jax.jit(one) if linear_fn is None else one
-        return [run(bp, x) for x in self.input_batches]
+        out = []
+        for item in self.input_batches:
+            x, extra = _split_batch(item)
+            y = one(bp, x, extra)
+            out.append((y, extra) if extra is not None else y)
+        return out
 
     # ------------------------------------------------------------------
     def block_opt(self, block_idx: int):  # pragma: no cover - abstract
@@ -122,3 +132,12 @@ class BlockwiseOpt:
 
     def block_transform(self, block_idx: int, input_feat, *args):
         raise NotImplementedError
+
+
+def _split_batch(item):
+    """Calib batches are either plain arrays or (x, extras) tuples — extras
+    carry per-batch conditioning (DiT timestep/context embeddings, the Wan
+    per-denoising-step kwargs, wan_t2v.py Catcher)."""
+    if isinstance(item, tuple):
+        return item[0], item[1]
+    return item, None
