@@ -124,3 +124,36 @@ def test_quant_attn_and_softmax(tiny_vit):
     assert not np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
     algo.restore_float()
     assert tiny_vit.attn_matmul_hook is None
+
+
+def test_pyramiddrop_stages(tiny_vit):
+    tiny_vit.token_hooks.clear()
+    TOKEN_REDUCTION_REGISTRY["PyramidDrop"](
+        {"special": {"layers": [0, 1], "ratio": 0.5}}, tiny_vit
+    )
+    feats = tiny_vit.forward_features(_images())
+    # 16 -> 8 at layer 0, 8 -> 4 at layer 1 (+cls)
+    assert feats.shape[1] == 1 + 4
+    tiny_vit.token_hooks.clear()
+
+
+def test_vispruner_diversity(tiny_vit):
+    tiny_vit.token_hooks.clear()
+    TOKEN_REDUCTION_REGISTRY["VisPruner"](
+        {"special": {"filter_layer": 1, "rate": 0.5,
+                     "important_frac": 0.5}}, tiny_vit
+    )
+    feats = tiny_vit.forward_features(_images())
+    assert feats.shape[1] == 1 + 8
+    tiny_vit.token_hooks.clear()
+
+
+def test_dart_duplication(tiny_vit):
+    tiny_vit.token_hooks.clear()
+    TOKEN_REDUCTION_REGISTRY["DART"](
+        {"special": {"filter_layer": 0, "rate": 0.25, "n_pivots": 4}},
+        tiny_vit,
+    )
+    feats = tiny_vit.forward_features(_images())
+    assert feats.shape[1] == 1 + 12
+    tiny_vit.token_hooks.clear()
