@@ -43,6 +43,23 @@ class Llava(BaseModel):
         self.projector = projector
         self.image_token_id = image_token_id
         self.modality = "language"
+        # token-reduction hook surfaces (reference pruning_config analogue):
+        #  feature_hooks: applied to projected image features (B, Tv, H)
+        #    in encode_images — the reference's projector/2dPool hook stage
+        #    (visionzip/fastervlm/dycoke act here).
+        #  lang_token_hooks: idx -> fn(model, idx, x, vis_start, n_vis) ->
+        #    (x', vis_start', n_vis') applied before language block idx —
+        #    the reference's LLM-decoder-layer hook stage (sparsevlm/fastv-
+        #    on-LLM act here).  Must keep static shapes (fixed keep counts).
+        self.feature_hooks: List[Any] = []
+        self.lang_token_hooks: Dict[int, Any] = {}
+        self.num_frames: int = 1  # video inputs: frames stacked in batch dim
+        self.pruning_config: Dict[str, Any] = {
+            "image_token_length": (vision.arch.max_position_embeddings - 1),
+            "select_layer": vision.arch.num_layers - 1,
+            "select_feature": "patch",
+            "image_token_index": image_token_id,
+        }
 
     # -- modality switch ---------------------------------------------------
     def set_modality(self, modality: str):
@@ -94,7 +111,10 @@ class Llava(BaseModel):
         fc1, fc2 = self.projector["fc1"], self.projector["fc2"]
         h = A.default_linear("proj.fc1", fc1["weight"], fc1.get("bias"), feats)
         h = jax.nn.gelu(h)
-        return A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), h)
+        h = A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), h)
+        for hook in self.feature_hooks:
+            h = hook(self, h)
+        return h
 
     def multimodal_embed(self, input_ids: Array, pixels: Array) -> Array:
         """Splice image tokens at the (single) image-token position.
@@ -103,7 +123,9 @@ class Llava(BaseModel):
         token position may vary per row (dynamic_update via gather of a
         per-row permutation).
         """
-        img_embeds = self.encode_images(pixels)  # (B, Tv, H)
+        return self._splice(input_ids, self.encode_images(pixels))
+
+    def _splice(self, input_ids: Array, img_embeds: Array):
         txt = A.embed_forward(self.language.arch, self.language.params,
                               input_ids)  # (B, T, H)
         B, T, H = txt.shape
@@ -129,13 +151,25 @@ class Llava(BaseModel):
         return out
 
     def forward_multimodal(self, input_ids: Array, pixels: Array) -> Array:
-        x = self.multimodal_embed(input_ids, pixels)
+        img_embeds = self.encode_images(pixels)
+        x = self._splice(input_ids, img_embeds)
         arch = self.language.arch
-        T = x.shape[1]
-        cos, sin = self.language.rope_tables(T)
-        mask = A.causal_mask(T, T)
+        n_vis = img_embeds.shape[1]
+        vis_start = jnp.argmax(
+            (input_ids == self.image_token_id).astype(jnp.int32), axis=1
+        )
         lfs = self.language.linear_fns
+        cos_sin_cache: Dict[int, Any] = {}
         for idx, bp in enumerate(self.language.params["blocks"]):
+            if idx in self.lang_token_hooks:
+                x, vis_start, n_vis = self.lang_token_hooks[idx](
+                    self, idx, x, vis_start, n_vis
+                )
+            T = x.shape[1]
+            if T not in cos_sin_cache:
+                cos, sin = self.language.rope_tables(T)
+                cos_sin_cache[T] = (cos, sin, A.causal_mask(T, T))
+            cos, sin, mask = cos_sin_cache[T]
             lf = lfs[idx] if lfs is not None else None
             x, _, _ = A.block_forward(
                 arch, bp, x, cos, sin, mask,
