@@ -35,3 +35,6 @@ from .hf_loader import (  # noqa: F401
     load_params,
     save_params,
 )
+from .vit import Vit  # noqa: F401
+from .llava import Llava  # noqa: F401
+from .audio import AudioTower, Qwen2Audio  # noqa: F401

@@ -127,11 +127,39 @@ class ArchSpec:
     embed_scale: bool = False     # gemma: embeddings * sqrt(hidden)
     # learned-position offset (OPT uses 2, gpt_bigcode 0)
     pos_offset: int = 2
+    # bloom / falcon / phi / chatglm / minicpm family features
+    alibi: bool = False            # bloom: ALiBi attention bias, no positions
+    use_rope: Optional[bool] = None  # default: llama yes, opt no
+    learned_pos: bool = True       # opt family learned position embeddings
+    embed_norm: bool = False       # bloom word_embeddings_layernorm
+    parallel_residual: bool = False  # falcon/phi: x + attn(n(x)) + mlp(n(x))
+    parallel_two_norms: bool = False  # falcon new-arch: ln_attn + ln_mlp
+    partial_rotary_factor: float = 1.0  # phi/chatglm: rope on a dim prefix
+    rope_interleave: bool = False  # chatglm: interleaved pair rotation
+    glm_rope: bool = False  # HF-Glm: truncated repeat-interleaved tables
+    opt_bias: bool = True          # opt-family linear biases (falcon: False)
+    head_bias: bool = False        # phi: lm_head has a bias
+    residual_multiplier: float = 0.0  # minicpm scale_depth/sqrt(L); 0 = off
+    embed_multiplier: float = 0.0  # minicpm scale_emb; 0 = off
+    logit_divisor: float = 0.0     # minicpm hidden/dim_model_base; 0 = off
     dtype: Any = jnp.bfloat16
 
     @property
     def kv_groups(self) -> int:
         return self.num_heads // self.num_kv_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        d = int(self.head_dim * self.partial_rotary_factor)
+        return d - (d % 2)
+
+    @property
+    def rope_enabled(self) -> bool:
+        if self.alibi:
+            return False
+        if self.use_rope is not None:
+            return self.use_rope
+        return self.family == "llama"
 
 
 # ---------------------------------------------------------------------------
@@ -229,18 +257,19 @@ def init_block_params(key, arch: ArchSpec) -> Dict:
             bp["attn"]["k_norm"] = {"weight": jnp.ones((arch.head_dim,), dt)}
         return bp
     if arch.family == "opt":
+        b = arch.opt_bias
         return {
             "ln1": {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)},
             "ln2": {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)},
             "attn": {
-                "q": _lin(ks[0], qd, h, True, dt),
-                "k": _lin(ks[1], qd, h, True, dt),
-                "v": _lin(ks[2], qd, h, True, dt),
-                "o": _lin(ks[3], h, qd, True, dt),
+                "q": _lin(ks[0], qd, h, b, dt),
+                "k": _lin(ks[1], kvd, h, b, dt),
+                "v": _lin(ks[2], kvd, h, b, dt),
+                "o": _lin(ks[3], h, qd, b, dt),
             },
             "mlp": {
-                "fc1": _lin(ks[4], i, h, True, dt),
-                "fc2": _lin(ks[5], h, i, True, dt),
+                "fc1": _lin(ks[4], i, h, b, dt),
+                "fc2": _lin(ks[5], h, i, b, dt),
             },
         }
     raise ValueError(arch.family)
@@ -258,15 +287,21 @@ def init_params(key, arch: ArchSpec) -> Dict:
         params["norm"] = {"weight": jnp.ones((h,), dt)}
     else:
         params["norm"] = {"weight": jnp.ones((h,), dt), "bias": jnp.zeros((h,), dt)}
-        params["embed_pos"] = {
-            "weight": (
-                jax.random.normal(ks[1], (arch.max_position_embeddings + 2, h)) * 0.02
-            ).astype(dt)
-        }
+        if arch.learned_pos:
+            params["embed_pos"] = {
+                "weight": (
+                    jax.random.normal(ks[1], (arch.max_position_embeddings + 2, h)) * 0.02
+                ).astype(dt)
+            }
+    if arch.embed_norm:
+        params["embed_norm"] = {"weight": jnp.ones((h,), dt),
+                                "bias": jnp.zeros((h,), dt)}
     if not arch.tie_word_embeddings:
         params["lm_head"] = {
             "weight": (jax.random.normal(ks[-1], (v, h)) * 0.02).astype(dt)
         }
+        if arch.head_bias:
+            params["lm_head"]["bias"] = jnp.zeros((v,), dt)
     return params
 
 
@@ -320,8 +355,11 @@ def _act(x: Array, name: str) -> Array:
 # ---------------------------------------------------------------------------
 
 def rope_cos_sin(arch: ArchSpec, positions: Array) -> Tuple[Array, Array]:
-    """HF-Llama-convention rotary tables; positions (T,) or (B, T)."""
-    d = arch.head_dim
+    """HF-Llama-convention rotary tables; positions (T,) or (B, T).
+
+    Partial-rotary models (phi/chatglm/stablelm) build tables for the
+    rotary prefix only (``arch.rotary_dim``)."""
+    d = arch.rotary_dim
     inv_freq = 1.0 / (
         arch.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     )
@@ -348,6 +386,26 @@ def apply_rope(q: Array, k: Array, cos: Array, sin: Array):
     return q * cos + _rotate_half(q) * sin, k * cos + _rotate_half(k) * sin
 
 
+def rope_apply_arch(arch: ArchSpec, q: Array, k: Array, cos: Array,
+                    sin: Array):
+    """Arch-aware rope: partial rotary (phi/chatglm apply rope to the first
+    ``rotary_dim`` dims only), interleaved pair convention (chatglm), and
+    the HF-Glm convention (tables truncated to d/2 then repeat-interleaved,
+    modeling_glm.apply_rotary_pos_emb)."""
+    d = arch.rotary_dim
+    if arch.glm_rope:
+        cos = jnp.repeat(cos[..., : d // 2], 2, axis=-1)
+        sin = jnp.repeat(sin[..., : d // 2], 2, axis=-1)
+        fn = apply_rope
+    else:
+        fn = apply_rope_interleave if arch.rope_interleave else apply_rope
+    if d >= q.shape[-1]:
+        return fn(q, k, cos, sin)
+    q1, k1 = fn(q[..., :d], k[..., :d], cos, sin)
+    return (jnp.concatenate([q1, q[..., d:]], axis=-1),
+            jnp.concatenate([k1, k[..., d:]], axis=-1))
+
+
 # ---------------------------------------------------------------------------
 # attention
 # ---------------------------------------------------------------------------
@@ -357,6 +415,30 @@ def causal_mask(t_q: int, t_k: int, dtype=jnp.float32) -> Array:
     j = jax.lax.broadcasted_iota(jnp.int32, (t_q, t_k), 1)
     offset = t_k - t_q
     return jnp.where(j <= i + offset, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def alibi_slopes(num_heads: int) -> Array:
+    """Standard ALiBi head slopes (HF bloom build_alibi_tensor semantics)."""
+    import math
+
+    p2 = 2 ** math.floor(math.log2(num_heads))
+    base = 2.0 ** (-(2.0 ** -(math.log2(p2) - 3)))
+    slopes = [base ** (i + 1) for i in range(p2)]
+    if p2 != num_heads:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * p2) - 3)))
+        slopes += [extra_base ** (2 * i + 1) for i in range(num_heads - p2)]
+    return jnp.asarray(slopes, jnp.float32)
+
+
+def alibi_bias(num_heads: int, t_q: int, t_k: int) -> Array:
+    """(H, t_q, t_k) additive attention bias: slope_h * key_position_delta
+    (relative distance; matches HF bloom where bias = slopes * arange(T)
+    broadcast over queries, shifted so the diagonal is 0)."""
+    slopes = alibi_slopes(num_heads)  # (H,)
+    i = jnp.arange(t_q)[:, None] + (t_k - t_q)
+    j = jnp.arange(t_k)[None, :]
+    rel = (j - i).astype(jnp.float32)  # <= 0 on the causal part
+    return slopes[:, None, None] * rel[None]
 
 
 def sdpa(
@@ -506,11 +588,12 @@ def _mlp_tail(arch: ArchSpec, bp: Dict, h: Array, linear_fn: LinearFn,
     """llama-family MLP (dense, MoE, sandwich norms) after the residual."""
     h2 = apply_norm(h, bp["ln2"], arch)
     mp = bp["mlp"]
+    rm = arch.residual_multiplier or 1.0
     feats["mlp.gate"] = h2
     feats["mlp.up"] = h2
     if arch.moe is not None and "router" in mp:
         feats["mlp.router"] = h2
-        y = h + moe_mlp_forward(arch, mp, h2, linear_fn, feats=feats)
+        y = h + moe_mlp_forward(arch, mp, h2, linear_fn, feats=feats) * rm
     else:
         g = linear_fn("mlp.gate", mp["gate"]["weight"], mp["gate"].get("bias"), h2)
         u = linear_fn("mlp.up", mp["up"]["weight"], mp["up"].get("bias"), h2)
@@ -519,7 +602,7 @@ def _mlp_tail(arch: ArchSpec, bp: Dict, h: Array, linear_fn: LinearFn,
         d = linear_fn("mlp.down", mp["down"]["weight"], mp["down"].get("bias"), mid)
         if arch.sandwich_norms:
             d = apply_norm(d, bp["ln2_post"], arch)
-        y = h + d
+        y = h + d * rm
     return y, feats, new_kv
 
 
@@ -575,7 +658,7 @@ def block_forward(
         q = rmsnorm(q, ap["q_norm"]["weight"], arch.rms_eps)
         k = rmsnorm(k, ap["k_norm"]["weight"], arch.rms_eps)
     if cos is not None:
-        q, k = apply_rope(q, k, cos, sin)
+        q, k = rope_apply_arch(arch, q, k, cos, sin)
     if kv_cache is not None:
         pk, pv = kv_cache
         k = jnp.concatenate([pk, k], axis=2)
@@ -603,11 +686,28 @@ def block_forward(
 
     if arch.sandwich_norms:
         attn_out = apply_norm(attn_out, bp["ln1_post"], arch)
+    rm = arch.residual_multiplier or 1.0
+    if arch.parallel_residual:
+        # falcon/phi decoder: mlp reads the SAME normed input as attention
+        # and both residuals add at once (modeling_falcon parallel_attn);
+        # falcon new-decoder-architecture norms the mlp branch separately
+        # (ln_attn/ln_mlp -> our ln1/ln2)
+        mp = bp["mlp"]
+        mlp_in = apply_norm(x, bp["ln2"], arch) if arch.parallel_two_norms \
+            else h1
+        feats["mlp.fc1"] = mlp_in
+        f1 = linear_fn("mlp.fc1", mp["fc1"]["weight"], mp["fc1"].get("bias"),
+                       mlp_in)
+        mid = _act(f1, arch.act_fn)
+        feats["mlp.fc2"] = mid
+        f2 = linear_fn("mlp.fc2", mp["fc2"]["weight"], mp["fc2"].get("bias"),
+                       mid)
+        return x + attn_out + f2, feats, new_kv
     if arch.family == "opt" and not arch.do_layer_norm_before:
         attn_out = apply_norm(x + attn_out, bp["ln1"], arch)
         h = attn_out
     else:
-        h = x + attn_out
+        h = x + attn_out * rm
 
     if arch.family == "llama":
         y, feats, new_kv = _mlp_tail(arch, bp, h, linear_fn, feats, new_kv)
@@ -656,8 +756,9 @@ def attn_inspect(
         q = rmsnorm(q, ap["q_norm"]["weight"], arch.rms_eps)
         k = rmsnorm(k, ap["k_norm"]["weight"], arch.rms_eps)
     if cos is not None:
-        q, k = apply_rope(q, k, cos, sin)
-    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv)
+        q, k = rope_apply_arch(arch, q, k, cos, sin)
+    ctx = sdpa(q, k, v, mask, kv_groups=nh // nkv,
+               query_scale=arch.query_scale, softcap=arch.attn_softcap)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
     return linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
 
@@ -771,10 +872,14 @@ def embed_forward(arch: ArchSpec, params: Dict, input_ids: Array) -> Array:
     x = params["embed"]["weight"][input_ids]
     if arch.embed_scale:
         x = x * jnp.asarray(arch.hidden_size**0.5, x.dtype)
-    if arch.family == "opt":
+    if arch.embed_multiplier:
+        x = x * jnp.asarray(arch.embed_multiplier, x.dtype)
+    if arch.family == "opt" and arch.learned_pos:
         T = input_ids.shape[-1]
         pos = jnp.arange(T) + arch.pos_offset
         x = x + params["embed_pos"]["weight"][pos]
+    if arch.embed_norm and "embed_norm" in params:
+        x = apply_norm(x, params["embed_norm"], arch)
     return x
 
 
@@ -785,8 +890,14 @@ def head_forward(arch: ArchSpec, params: Dict, x: Array) -> Array:
         if arch.tie_word_embeddings
         else params["lm_head"]["weight"]
     )
+    if arch.logit_divisor:
+        x = x / jnp.asarray(arch.logit_divisor, x.dtype)
     logits = jnp.einsum("...i,oi->...o", x, w,
                         preferred_element_type=jnp.float32)
+    if not arch.tie_word_embeddings and arch.head_bias:
+        b = params["lm_head"].get("bias")
+        if b is not None:
+            logits = logits + b.astype(logits.dtype)
     if arch.final_softcap:
         logits = arch.final_softcap * jnp.tanh(logits / arch.final_softcap)
     return logits
@@ -805,7 +916,9 @@ def model_forward(
     B, T = input_ids.shape
     x = embed_forward(arch, params, input_ids)
     mask = causal_mask(T, T)
-    if arch.family == "llama":
+    if arch.alibi:
+        mask = mask[None] + alibi_bias(arch.num_heads, T, T)  # (H, T, T)
+    if arch.rope_enabled:
         cos, sin = rope_cos_sin(arch, jnp.arange(T))
     else:
         cos = sin = None

@@ -146,6 +146,37 @@ OPT_SUBSETS = (
 )
 
 
+# parallel-residual blocks (falcon.py / phi.py): attention AND mlp.fc1 read
+# the SAME ln1 output, so an equivalent-transform scale into ln1 must divide
+# all four consumers together — one fused subset (the reference keeps them
+# separate, which double-scales the shared LN; grouping is strictly safer).
+PARALLEL_SUBSETS = (
+    Subset(
+        layers=("attn.q", "attn.k", "attn.v", "mlp.fc1"),
+        prev_op="ln1",
+        prev_type="norm",
+        input="attn.q",
+        inspect="attn",
+        has_kwargs=True,
+    ),
+    Subset(
+        layers=("attn.o",),
+        prev_op="attn.v",
+        prev_type="linear",
+        input="attn.o",
+        inspect="attn.o",
+    ),
+    Subset(
+        layers=("mlp.fc2",),
+        prev_op="mlp.fc1",
+        prev_type="linear",
+        input="mlp.fc2",
+        inspect="mlp.fc2",
+        is_mlp=True,
+    ),
+)
+
+
 def resolve(tree: Dict, dotted: str) -> Dict:
     node = tree
     for part in dotted.split("."):
@@ -301,7 +332,7 @@ class BaseModel:
 
     # -- forwards ----------------------------------------------------------
     def rope_tables(self, T: int):
-        if self.arch.family == "llama":
+        if self.arch.rope_enabled:
             return A.rope_cos_sin(self.arch, jnp.arange(T))
         return None, None
 
@@ -323,6 +354,8 @@ class BaseModel:
         T = x.shape[1]
         cos, sin = self.rope_tables(T)
         mask = A.causal_mask(T, T)
+        if self.arch.alibi:
+            mask = mask[None] + A.alibi_bias(self.arch.num_heads, T, T)
         return A.block_forward(
             self.arch,
             bp,
@@ -351,6 +384,8 @@ class BaseModel:
             T = x.shape[1]
             cos, sin = self.rope_tables(T)
             mask = A.causal_mask(T, T)
+            if self.arch.alibi:
+                mask = mask[None] + A.alibi_bias(self.arch.num_heads, T, T)
             return A.attn_inspect(self.arch, bp, x, cos, sin, mask, linear_fn=lf)
         if subset.inspect == "mlp":
             return A.mlp_inspect(self.arch, bp, x, linear_fn=lf)
@@ -508,4 +543,80 @@ class SmolLM(BaseModel):
 
 @MODEL_REGISTRY
 class StableLm(BaseModel):
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Bloom(BaseModel):
+    """ALiBi + LayerNorm + gelu MLP (reference bloom.py); fused
+    query_key_value split by the loader."""
+
+    subsets = OPT_SUBSETS
+
+
+@MODEL_REGISTRY
+class Falcon(BaseModel):
+    """Parallel attention/MLP residual, MQA, rope, no biases
+    (reference falcon.py)."""
+
+    @property
+    def subsets(self):
+        single_ln = self.arch.parallel_residual and \
+            not self.arch.parallel_two_norms
+        return PARALLEL_SUBSETS if single_ln else OPT_SUBSETS
+
+    def get_layernorm_names(self, block_idx):
+        single_ln = self.arch.parallel_residual and \
+            not self.arch.parallel_two_norms
+        return ["ln1"] if single_ln else ["ln1", "ln2"]
+
+
+@MODEL_REGISTRY
+class Phi(BaseModel):
+    """phi-1/1.5/2: parallel residual + partial rotary + LayerNorm
+    (reference phi.py)."""
+
+    subsets = PARALLEL_SUBSETS
+
+    def get_layernorm_names(self, block_idx):
+        return ["ln1"]
+
+
+@MODEL_REGISTRY
+class ChatGLM(BaseModel):
+    """GLM-2/3 lineage: RMSNorm, SwiGLU, MQA, half-dim interleaved rope
+    (reference chatglm.py)."""
+
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Glm(BaseModel):
+    """HF-native GLM-4 (model_type 'glm'/'glm4'): partial rotary with the
+    Glm table convention; glm4 adds sandwich norms."""
+
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class InternLM2(BaseModel):
+    """Llama topology with fused wqkv / w1-w3-w2 naming
+    (reference internlm2.py); loader renames + splits."""
+
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class Qwen(BaseModel):
+    """Qwen-1 (reference qwen.py): llama topology, fused c_attn with bias,
+    w2=gate / w1=up MLP naming."""
+
+    subsets = LLAMA_SUBSETS
+
+
+@MODEL_REGISTRY
+class MiniCPM(BaseModel):
+    """MiniCPM (reference minicpm.py): llama topology with depth-scaled
+    residuals (scale_depth/sqrt(L)), scaled embeddings and logits."""
+
     subsets = LLAMA_SUBSETS

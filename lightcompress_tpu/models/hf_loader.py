@@ -172,6 +172,178 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
             mla=mla,
             dtype=dtype,
         )
+    if mt == "bloom":
+        h = cfg.get("hidden_size") or cfg["n_embed"]
+        n_heads = cfg.get("n_head") or cfg["num_attention_heads"]
+        return A.ArchSpec(
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=4 * h,
+            num_layers=cfg.get("n_layer") or cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=n_heads,
+            head_dim=h // n_heads,
+            tie_word_embeddings=True,
+            act_fn="gelu",
+            alibi=True,
+            learned_pos=False,
+            embed_norm=True,
+            dtype=dtype,
+        )
+    if mt == "falcon":
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        new_arch = cfg.get("new_decoder_architecture", False)
+        if new_arch:
+            nkv = cfg.get("num_kv_heads", n_heads)
+        else:
+            nkv = 1 if cfg.get("multi_query", True) else n_heads
+        parallel = cfg.get("parallel_attn", True) or new_arch
+        use_alibi = cfg.get("alibi", False)
+        return A.ArchSpec(
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg.get("ffn_hidden_size") or 4 * h,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=nkv,
+            head_dim=h // n_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            act_fn="gelu",
+            alibi=use_alibi,
+            use_rope=not use_alibi,
+            learned_pos=False,
+            parallel_residual=parallel,
+            parallel_two_norms=new_arch,
+            opt_bias=cfg.get("bias", False),
+            dtype=dtype,
+        )
+    if mt == "phi":
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        return A.ArchSpec(
+            family="opt",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads") or n_heads,
+            head_dim=h // n_heads,
+            max_position_embeddings=cfg.get("max_position_embeddings", 2048),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            act_fn="gelu",
+            use_rope=True,
+            learned_pos=False,
+            parallel_residual=True,
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 0.5),
+            head_bias=True,
+            dtype=dtype,
+        )
+    if mt in ("glm", "glm4"):
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=cfg.get("head_dim") or h // n_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            attn_bias=cfg.get("attention_bias", True),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 0.5),
+            glm_rope=True,
+            sandwich_norms=(mt == "glm4"),
+            dtype=dtype,
+        )
+    if mt == "chatglm":
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        nkv = cfg.get("multi_query_group_num", n_heads) \
+            if cfg.get("multi_query_attention", False) else n_heads
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg.get("padded_vocab_size") or cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["ffn_hidden_size"],
+            num_layers=cfg["num_layers"],
+            num_heads=n_heads,
+            num_kv_heads=nkv,
+            head_dim=cfg.get("kv_channels") or h // n_heads,
+            rope_theta=10000.0 * cfg.get("rope_ratio", 1.0),
+            rms_eps=cfg.get("layernorm_epsilon", 1e-5),
+            attn_bias=cfg.get("add_qkv_bias", True),
+            tie_word_embeddings=False,
+            partial_rotary_factor=0.5,
+            rope_interleave=True,
+            dtype=dtype,
+        )
+    if mt == "internlm2":
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=h // n_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-6),
+            attn_bias=cfg.get("bias", False),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            dtype=dtype,
+        )
+    if mt == "qwen":  # qwen-1
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"] // 2,
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=n_heads,
+            num_kv_heads=n_heads,
+            head_dim=h // n_heads,
+            rope_theta=cfg.get("rotary_emb_base", 10000.0),
+            rms_eps=cfg.get("layer_norm_epsilon", 1e-6),
+            attn_bias=True,
+            tie_word_embeddings=False,
+            dtype=dtype,
+        )
+    if mt == "minicpm":
+        h = cfg["hidden_size"]
+        n_heads = cfg["num_attention_heads"]
+        L = cfg["num_hidden_layers"]
+        return A.ArchSpec(
+            family="llama",
+            vocab_size=cfg["vocab_size"],
+            hidden_size=h,
+            intermediate_size=cfg["intermediate_size"],
+            num_layers=L,
+            num_heads=n_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", n_heads),
+            head_dim=h // n_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rms_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            residual_multiplier=cfg.get("scale_depth", 1.0) / L**0.5,
+            embed_multiplier=cfg.get("scale_emb", 1.0),
+            logit_divisor=h / cfg.get("dim_model_base", h),
+            dtype=dtype,
+        )
     if mt == "opt":
         h = cfg["hidden_size"]
         return A.ArchSpec(
@@ -234,7 +406,44 @@ def _opt_key_map(i: int) -> Dict[str, str]:
     return m
 
 
-def _top_key_map(arch: A.ArchSpec) -> Dict[str, str]:
+def _top_key_map(arch: A.ArchSpec, model_type: str = "") -> Dict[str, str]:
+    if model_type in ("bloom", "falcon"):
+        m = {
+            "embed.weight": "transformer.word_embeddings.weight",
+            "norm.weight": "transformer.ln_f.weight",
+            "norm.bias": "transformer.ln_f.bias",
+            "embed_norm.weight": "transformer.word_embeddings_layernorm.weight",
+            "embed_norm.bias": "transformer.word_embeddings_layernorm.bias",
+        }
+        if not arch.tie_word_embeddings:
+            m["lm_head.weight"] = "lm_head.weight"
+        return m
+    if model_type == "phi":
+        return {
+            "embed.weight": "model.embed_tokens.weight",
+            "norm.weight": "model.final_layernorm.weight",
+            "norm.bias": "model.final_layernorm.bias",
+            "lm_head.weight": "lm_head.weight",
+            "lm_head.bias": "lm_head.bias",
+        }
+    if model_type == "chatglm":
+        return {
+            "embed.weight": "transformer.embedding.word_embeddings.weight",
+            "norm.weight": "transformer.encoder.final_layernorm.weight",
+            "lm_head.weight": "transformer.output_layer.weight",
+        }
+    if model_type == "internlm2":
+        return {
+            "embed.weight": "model.tok_embeddings.weight",
+            "norm.weight": "model.norm.weight",
+            "lm_head.weight": "output.weight",
+        }
+    if model_type == "qwen":
+        return {
+            "embed.weight": "transformer.wte.weight",
+            "norm.weight": "transformer.ln_f.weight",
+            "lm_head.weight": "lm_head.weight",
+        }
     if arch.family == "llama":
         m = {
             "embed.weight": "model.embed_tokens.weight",
@@ -277,12 +486,123 @@ def _bigcode_key_map(i: int) -> Dict[str, str]:
     }
 
 
+def _bloom_key_map(i: int) -> Dict[str, str]:
+    p = f"transformer.h.{i}."
+    return {
+        "ln1.weight": p + "input_layernorm.weight",
+        "ln1.bias": p + "input_layernorm.bias",
+        "ln2.weight": p + "post_attention_layernorm.weight",
+        "ln2.bias": p + "post_attention_layernorm.bias",
+        "attn.o.weight": p + "self_attention.dense.weight",
+        "attn.o.bias": p + "self_attention.dense.bias",
+        "mlp.fc1.weight": p + "mlp.dense_h_to_4h.weight",
+        "mlp.fc1.bias": p + "mlp.dense_h_to_4h.bias",
+        "mlp.fc2.weight": p + "mlp.dense_4h_to_h.weight",
+        "mlp.fc2.bias": p + "mlp.dense_4h_to_h.bias",
+    }
+
+
+def _falcon_key_map(i: int, arch: A.ArchSpec) -> Dict[str, str]:
+    p = f"transformer.h.{i}."
+    m = {
+        "attn.o.weight": p + "self_attention.dense.weight",
+        "mlp.fc1.weight": p + "mlp.dense_h_to_4h.weight",
+        "mlp.fc2.weight": p + "mlp.dense_4h_to_h.weight",
+    }
+    if arch.parallel_two_norms:
+        m["ln1.weight"] = p + "ln_attn.weight"
+        m["ln1.bias"] = p + "ln_attn.bias"
+        m["ln2.weight"] = p + "ln_mlp.weight"
+        m["ln2.bias"] = p + "ln_mlp.bias"
+    else:
+        m["ln1.weight"] = p + "input_layernorm.weight"
+        m["ln1.bias"] = p + "input_layernorm.bias"
+        m["ln2.weight"] = p + "post_attention_layernorm.weight"
+        m["ln2.bias"] = p + "post_attention_layernorm.bias"
+    return m
+
+
+def _phi_key_map(i: int) -> Dict[str, str]:
+    p = f"model.layers.{i}."
+    m = {
+        "ln1.weight": p + "input_layernorm.weight",
+        "ln1.bias": p + "input_layernorm.bias",
+        "attn.o.weight": p + "self_attn.dense.weight",
+        "attn.o.bias": p + "self_attn.dense.bias",
+        "mlp.fc1.weight": p + "mlp.fc1.weight",
+        "mlp.fc1.bias": p + "mlp.fc1.bias",
+        "mlp.fc2.weight": p + "mlp.fc2.weight",
+        "mlp.fc2.bias": p + "mlp.fc2.bias",
+    }
+    for c in ("q", "k", "v"):
+        m[f"attn.{c}.weight"] = p + f"self_attn.{c}_proj.weight"
+        m[f"attn.{c}.bias"] = p + f"self_attn.{c}_proj.bias"
+    return m
+
+
+def _glm_key_map(i: int, model_type: str) -> Dict[str, str]:
+    m = _llama_key_map(i)
+    p = f"model.layers.{i}."
+    del m["mlp.gate.weight"], m["mlp.up.weight"]  # fused gate_up_proj
+    if model_type == "glm4":
+        m["ln1_post.weight"] = p + "post_self_attn_layernorm.weight"
+        m["ln2_post.weight"] = p + "post_mlp_layernorm.weight"
+    return m
+
+
+def _chatglm_key_map(i: int) -> Dict[str, str]:
+    p = f"transformer.encoder.layers.{i}."
+    return {
+        "ln1.weight": p + "input_layernorm.weight",
+        "ln2.weight": p + "post_attention_layernorm.weight",
+        "attn.o.weight": p + "self_attention.dense.weight",
+        "mlp.down.weight": p + "mlp.dense_4h_to_h.weight",
+    }
+
+
+def _internlm2_key_map(i: int) -> Dict[str, str]:
+    p = f"model.layers.{i}."
+    return {
+        "ln1.weight": p + "attention_norm.weight",
+        "ln2.weight": p + "ffn_norm.weight",
+        "attn.o.weight": p + "attention.wo.weight",
+        "mlp.gate.weight": p + "feed_forward.w1.weight",
+        "mlp.up.weight": p + "feed_forward.w3.weight",
+        "mlp.down.weight": p + "feed_forward.w2.weight",
+    }
+
+
+def _qwen1_key_map(i: int) -> Dict[str, str]:
+    p = f"transformer.h.{i}."
+    # Qwen-1 MLP: c_proj(w1(x) * silu(w2(x))) -> w2 is the gate, w1 the up
+    return {
+        "ln1.weight": p + "ln_1.weight",
+        "ln2.weight": p + "ln_2.weight",
+        "attn.o.weight": p + "attn.c_proj.weight",
+        "mlp.gate.weight": p + "mlp.w2.weight",
+        "mlp.up.weight": p + "mlp.w1.weight",
+        "mlp.down.weight": p + "mlp.c_proj.weight",
+    }
+
+
+_BLOCK_MAPS = {
+    "gemma2": lambda i, arch: _gemma2_key_map(i),
+    "gpt_bigcode": lambda i, arch: _bigcode_key_map(i),
+    "bloom": lambda i, arch: _bloom_key_map(i),
+    "falcon": lambda i, arch: _falcon_key_map(i, arch),
+    "phi": lambda i, arch: _phi_key_map(i),
+    "glm": lambda i, arch: _glm_key_map(i, "glm"),
+    "glm4": lambda i, arch: _glm_key_map(i, "glm4"),
+    "chatglm": lambda i, arch: _chatglm_key_map(i),
+    "internlm2": lambda i, arch: _internlm2_key_map(i),
+    "qwen": lambda i, arch: _qwen1_key_map(i),
+}
+
+
 def _block_key_map(arch: A.ArchSpec, i: int,
                    model_type: str = "") -> Dict[str, str]:
-    if model_type == "gemma2":
-        return _gemma2_key_map(i)
-    if model_type == "gpt_bigcode":
-        return _bigcode_key_map(i)
+    if model_type in _BLOCK_MAPS:
+        return _BLOCK_MAPS[model_type](i, arch)
     return _llama_key_map(i) if arch.family == "llama" else _opt_key_map(i)
 
 
@@ -316,6 +636,84 @@ def _split_fused(bp: Dict, reader, arch: A.ArchSpec, i: int,
                 attn[name] = {"weight": _np_to_jnp(fused[sl], dt)}
                 if fbias is not None:
                     attn[name]["bias"] = _np_to_jnp(fbias[sl], dt)
+    elif model_type == "bloom":
+        # bloom fuses per-head [q, k, v] interleaved: (n_heads, 3, hd, h)
+        p = f"transformer.h.{i}.self_attention.query_key_value."
+        fused = reader.get(p + "weight")
+        fbias = reader.get(p + "bias")
+        if fused is not None:
+            nh, hd = arch.num_heads, arch.head_dim
+            w = fused.reshape(nh, 3, hd, -1)
+            attn = bp.setdefault("attn", {})
+            for j, name in enumerate(("q", "k", "v")):
+                attn[name] = {"weight": _np_to_jnp(
+                    w[:, j].reshape(nh * hd, -1), dt)}
+                if fbias is not None:
+                    b = fbias.reshape(nh, 3, hd)
+                    attn[name]["bias"] = _np_to_jnp(
+                        b[:, j].reshape(nh * hd), dt)
+    elif model_type in ("falcon", "internlm2"):
+        # grouped-GQA fused layout: (nkv, groups+2, hd, h) where each kv
+        # group carries its query heads then k then v (FalconAttention
+        # _split_heads / internlm2 wqkv)
+        key = (f"transformer.h.{i}.self_attention.query_key_value."
+               if model_type == "falcon"
+               else f"model.layers.{i}.attention.wqkv.")
+        fused = reader.get(key + "weight")
+        fbias = reader.get(key + "bias")
+        if fused is not None:
+            nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+            g = nh // nkv
+            w = fused.reshape(nkv, g + 2, hd, -1)
+            attn = bp.setdefault("attn", {})
+            attn["q"] = {"weight": _np_to_jnp(
+                w[:, :g].reshape(nh * hd, -1), dt)}
+            attn["k"] = {"weight": _np_to_jnp(
+                w[:, g].reshape(nkv * hd, -1), dt)}
+            attn["v"] = {"weight": _np_to_jnp(
+                w[:, g + 1].reshape(nkv * hd, -1), dt)}
+            if fbias is not None:
+                b = fbias.reshape(nkv, g + 2, hd)
+                attn["q"]["bias"] = _np_to_jnp(b[:, :g].reshape(-1), dt)
+                attn["k"]["bias"] = _np_to_jnp(b[:, g].reshape(-1), dt)
+                attn["v"]["bias"] = _np_to_jnp(b[:, g + 1].reshape(-1), dt)
+    elif model_type == "chatglm":
+        p = f"transformer.encoder.layers.{i}."
+        fused = reader.get(p + "self_attention.query_key_value.weight")
+        fbias = reader.get(p + "self_attention.query_key_value.bias")
+        if fused is not None:  # straight [q | k | v] concat
+            attn = bp.setdefault("attn", {})
+            for name, sl in (("q", slice(0, qd)),
+                             ("k", slice(qd, qd + kvd)),
+                             ("v", slice(qd + kvd, qd + 2 * kvd))):
+                attn[name] = {"weight": _np_to_jnp(fused[sl], dt)}
+                if fbias is not None:
+                    attn[name]["bias"] = _np_to_jnp(fbias[sl], dt)
+        gu = reader.get(p + "mlp.dense_h_to_4h.weight")
+        if gu is not None:  # swiglu chunk(2): first half gate, second up
+            inter = arch.intermediate_size
+            mlp = bp.setdefault("mlp", {})
+            mlp["gate"] = {"weight": _np_to_jnp(gu[:inter], dt)}
+            mlp["up"] = {"weight": _np_to_jnp(gu[inter:], dt)}
+    elif model_type == "qwen":
+        p = f"transformer.h.{i}.attn.c_attn."
+        fused = reader.get(p + "weight")
+        fbias = reader.get(p + "bias")
+        if fused is not None:
+            attn = bp.setdefault("attn", {})
+            for name, sl in (("q", slice(0, qd)),
+                             ("k", slice(qd, 2 * qd)),
+                             ("v", slice(2 * qd, 3 * qd))):
+                attn[name] = {"weight": _np_to_jnp(fused[sl], dt)}
+                if fbias is not None:
+                    attn[name]["bias"] = _np_to_jnp(fbias[sl], dt)
+    elif model_type in ("glm", "glm4"):
+        gu = reader.get(f"model.layers.{i}.mlp.gate_up_proj.weight")
+        if gu is not None:
+            inter = arch.intermediate_size
+            mlp = bp.setdefault("mlp", {})
+            mlp["gate"] = {"weight": _np_to_jnp(gu[:inter], dt)}
+            mlp["up"] = {"weight": _np_to_jnp(gu[inter:], dt)}
 
 
 # ---------------------------------------------------------------------------
@@ -425,9 +823,26 @@ def _moe_key_prefixes(model_type: str, i: int):
     }
 
 
+class _PrefixReader:
+    """View of a _ShardReader with a key prefix (nested submodels like
+    language_model.* inside multimodal checkpoints)."""
+
+    def __init__(self, reader, prefix: str):
+        self._r = reader
+        self._p = prefix
+
+    def keys(self):
+        return [k[len(self._p):] for k in self._r.keys()
+                if k.startswith(self._p)]
+
+    def get(self, key: str):
+        return self._r.get(self._p + key)
+
+
 def load_params(model_dir: str, arch: A.ArchSpec,
-                model_type: str = "llama") -> Dict:
-    reader = _ShardReader(model_dir)
+                model_type: str = "llama", reader=None) -> Dict:
+    if reader is None:
+        reader = _ShardReader(model_dir)
     dt = arch.dtype
 
     def fill(key_map: Dict[str, str]) -> Dict:
@@ -451,7 +866,7 @@ def load_params(model_dir: str, arch: A.ArchSpec,
             "norm.bias": "transformer.ln_f.bias",
         }
     else:
-        top_map = _top_key_map(arch)
+        top_map = _top_key_map(arch, model_type)
     params = fill(top_map)
     params["blocks"] = []
     for i in range(arch.num_layers):
@@ -501,10 +916,93 @@ def load_params(model_dir: str, arch: A.ArchSpec,
     return params
 
 
+def _load_audio_tower(reader, acfg: Dict, dtype):
+    """audio_tower.* keys (Qwen2AudioEncoder == Whisper encoder layout)."""
+    from .audio import AudioTower, make_audio_arch
+
+    arch = make_audio_arch(
+        d_model=acfg["d_model"], layers=acfg["encoder_layers"],
+        heads=acfg["encoder_attention_heads"], ffn=acfg["encoder_ffn_dim"],
+        num_mel_bins=acfg.get("num_mel_bins", 128),
+        max_source_positions=acfg.get("max_source_positions", 1500),
+        dtype=dtype,
+    )
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    params: Dict[str, Any] = {
+        "conv1": {"weight": g("conv1.weight"), "bias": g("conv1.bias")},
+        "conv2": {"weight": g("conv2.weight"), "bias": g("conv2.bias")},
+        "pos_embed": g("embed_positions.weight"),
+        "norm": {"weight": g("layer_norm.weight"),
+                 "bias": g("layer_norm.bias")},
+        "blocks": [],
+    }
+    for i in range(arch.num_layers):
+        p = f"layers.{i}."
+        bp: Dict[str, Any] = {
+            "ln1": {"weight": g(p + "self_attn_layer_norm.weight"),
+                    "bias": g(p + "self_attn_layer_norm.bias")},
+            "ln2": {"weight": g(p + "final_layer_norm.weight"),
+                    "bias": g(p + "final_layer_norm.bias")},
+            "attn": {}, "mlp": {},
+        }
+        for c, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("o", "out_proj")):
+            node = {"weight": g(p + f"self_attn.{hf}.weight")}
+            b = g(p + f"self_attn.{hf}.bias")
+            if b is not None:
+                node["bias"] = b
+            bp["attn"][c] = node
+        for c in ("fc1", "fc2"):
+            bp["mlp"][c] = {"weight": g(p + f"{c}.weight"),
+                            "bias": g(p + f"{c}.bias")}
+        params["blocks"].append(bp)
+    return AudioTower(arch, params,
+                      num_mel_bins=acfg.get("num_mel_bins", 128))
+
+
+def _load_qwen2audio(model_dir: str, cfg: Dict, dtype, tok):
+    from ..registry import MODEL_REGISTRY
+    from .audio import Qwen2Audio
+
+    reader = _ShardReader(model_dir)
+    tcfg = cfg["text_config"]
+    arch = arch_from_hf_config(tcfg, dtype=dtype)
+    lang_params = load_params(
+        model_dir, arch, tcfg.get("model_type", "qwen2"),
+        reader=_PrefixReader(reader, "language_model."),
+    )
+    lang = MODEL_REGISTRY["Qwen2"](arch, lang_params)
+    tower = _load_audio_tower(_PrefixReader(reader, "audio_tower."),
+                              cfg["audio_config"], dtype)
+    proj = {
+        "weight": _np_to_jnp(
+            reader.get("multi_modal_projector.linear.weight"), dtype),
+    }
+    pb = reader.get("multi_modal_projector.linear.bias")
+    if pb is not None:
+        proj["bias"] = _np_to_jnp(pb, dtype)
+    return Qwen2Audio(lang, tower, proj, tokenizer=tok, config=cfg,
+                      audio_token_id=cfg.get("audio_token_index", 151646))
+
+
 def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
     """Build a registered adapter from an HF model directory."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
+    if cfg.get("model_type") == "qwen2_audio":
+        tok = None
+        if with_tokenizer:
+            try:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(model_dir)
+            except Exception:
+                tok = None
+        return _load_qwen2audio(model_dir, cfg, dtype, tok)
     arch = arch_from_hf_config(cfg, dtype=dtype)
     params = load_params(model_dir, arch,
                          model_type=cfg.get("model_type", "llama"))
@@ -534,6 +1032,15 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
         "gpt_bigcode": "Starcoder",
         "smollm": "SmolLM",
         "stablelm": "StableLm",
+        "bloom": "Bloom",
+        "falcon": "Falcon",
+        "phi": "Phi",
+        "glm": "Glm",
+        "glm4": "Glm",
+        "chatglm": "ChatGLM",
+        "internlm2": "InternLM2",
+        "qwen": "Qwen",
+        "minicpm": "MiniCPM",
     }[cfg.get("model_type", "llama")]
     return MODEL_REGISTRY[cls_name](arch, params, tokenizer=tok, config=cfg)
 
