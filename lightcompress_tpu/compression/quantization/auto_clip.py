@@ -64,15 +64,41 @@ class AutoClipper:
                 continue
             node = resolve(bp, name)
             w = node["weight"]
-            if w.ndim != 2:
-                continue  # stacked MoE experts not clipped yet
+            from ...parallel.dist import all_reduce_mean
+
+            if w.ndim == 3:
+                # stacked MoE experts (E, oc, ic): per-expert grid search
+                # (the reference iterates experts sequentially,
+                # deepseekv3.py:128-167).  v2 factors don't have a stacked
+                # consumer yet — clip weights in place (v1 semantics).
+                E = w.shape[0]
+                feats = input_feat[name]
+                clipped = []
+                for e in range(E):
+                    if feats[0].ndim == 4 and feats[0].shape[0] == E:
+                        xs = jnp.concatenate(
+                            [x[e].reshape(-1, x.shape[-1]) for x in feats],
+                            axis=0)
+                    else:  # shared input (gate/up experts)
+                        xs = jnp.concatenate(
+                            [x.reshape(-1, x.shape[-1]) for x in feats],
+                            axis=0)
+                    mx, mn = self.auto_clip_layer(w[e], xs, n_sample_token)
+                    mx, mn = all_reduce_mean(mx), all_reduce_mean(mn)
+                    gs = self._group_size(w[e])
+                    w4 = w[e].astype(jnp.float32).reshape(
+                        w.shape[1], 1, -1, gs)
+                    lo = -mx if self.clip_sym else mn
+                    cw = jnp.clip(w4, lo[:, None], mx[:, None])
+                    clipped.append(
+                        cw.reshape(w.shape[1:]).astype(w.dtype))
+                node["weight"] = jnp.stack(clipped)
+                continue
             xs = jnp.concatenate(
                 [x.reshape(-1, x.shape[-1]) for x in input_feat[name]], axis=0
             )
             max_val, min_val = self.auto_clip_layer(w, xs, n_sample_token)
             # DP merge (auto_clip.py:72-76)
-            from ...parallel.dist import all_reduce_mean
-
             max_val = all_reduce_mean(max_val)
             min_val = all_reduce_mean(min_val)
             self.apply_clip(algo, block_idx, name, node, min_val, max_val)

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import arch as A
-from .kv_cache import KVCache, append_kv, read_kv
+from .kv_cache import (KVCache, PagedKVCache, PageAllocator, append_kv,
+                       paged_append_decode, paged_append_prefill, paged_read,
+                       read_kv)
 from .quantized_model import ServingWeights, apply_qlinear
 from .sampler import SamplingParams, sample
 
@@ -88,13 +90,25 @@ class LLMEngine:
         kv_bits: int = 8,
         prefill_buckets: Sequence[int] = (64, 128, 256, 512),
         seed: int = 0,
+        paged: bool = False,
+        page_size: int = 16,
+        n_pages: Optional[int] = None,
     ):
         self.sw = weights
         self.arch = weights.arch
         self.max_slots = max_slots
         self.max_len = max_len
         self.kv_bits = kv_bits
+        self.paged = paged
+        self.page_size = page_size
+        self.max_pages_per_slot = -(-max_len // page_size)
+        self.n_pages = (n_pages if n_pages is not None
+                        else max_slots * self.max_pages_per_slot)
         self.prefill_buckets = [b for b in prefill_buckets if b <= max_len]
+        if paged:
+            self.prefill_buckets = [
+                b for b in self.prefill_buckets if b % page_size == 0
+            ]
         self.key = jax.random.PRNGKey(seed)
         self.reset()
         self._decode_jit = jax.jit(self._decode_step)
@@ -102,13 +116,43 @@ class LLMEngine:
 
     def reset(self):
         a = self.arch
-        self.cache = KVCache.create(
-            a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
-            a.head_dim, bits=self.kv_bits,
-        )
+        if self.paged:
+            self.cache = PagedKVCache.create(
+                a.num_layers, self.n_pages + 1, self.max_slots,
+                self.max_pages_per_slot, a.num_kv_heads, self.page_size,
+                a.head_dim, bits=self.kv_bits,
+            )  # +1: page 0 is the reserved scratch page
+            self.allocator = PageAllocator(self.n_pages + 1)
+            self.slot_pages: List[List[int]] = [[] for _ in
+                                                range(self.max_slots)]
+        else:
+            self.cache = KVCache.create(
+                a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
+                a.head_dim, bits=self.kv_bits,
+            )
         self.lengths = jnp.zeros((self.max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * self.max_slots
+
+    # -- host-side page management (paged mode) -------------------------
+    def _map_pages(self, slot: int, n_tokens_needed: int):
+        """Ensure slot has pages mapped to cover n_tokens_needed tokens."""
+        need = -(-n_tokens_needed // self.page_size)
+        have = len(self.slot_pages[slot])
+        if need <= have:
+            return
+        new = self.allocator.alloc(need - have)
+        table = self.cache.block_table
+        for idx, pg in enumerate(new, start=have):
+            table = table.at[slot, idx].set(pg)
+        self.cache = dataclasses.replace(self.cache, block_table=table)
+        self.slot_pages[slot].extend(new)
+
+    def _release_pages(self, slot: int):
+        self.allocator.release(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        table = self.cache.block_table.at[slot].set(-1)
+        self.cache = dataclasses.replace(self.cache, block_table=table)
 
     # ------------------------------------------------------------------
     def _prefill(self, cache, lengths, ids, slot, true_len, T: int):
@@ -134,7 +178,10 @@ class LLMEngine:
             x, k_new, v_new = _block_apply(
                 sw, entry, x, cos, sin, zero_kv, zero_kv, mask
             )
-            cache = _append_one_slot(cache, li, slot, k_new, v_new)
+            if self.paged:
+                cache = paged_append_prefill(cache, li, slot, k_new, v_new)
+            else:
+                cache = _append_one_slot(cache, li, slot, k_new, v_new)
         xl = A.rmsnorm(
             x, self.sw.norm.get("weight"), arch.rms_eps
         ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
@@ -163,16 +210,23 @@ class LLMEngine:
             cos = sin = None
         # attention mask over fixed cache length + the new token (the new
         # token sits at concat index T and is always visible)
-        T = self.max_len
+        T = (self.max_pages_per_slot * self.page_size if self.paged
+             else self.max_len)
         j = jnp.arange(T + 1)[None, None, None, :]
         visible = (j < lengths[:, None, None, None]) | (j == T)
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
         for li, entry in enumerate(sw.blocks):
-            k_full, v_full = read_kv(cache, li)
+            if self.paged:
+                k_full, v_full = paged_read(cache, li)
+            else:
+                k_full, v_full = read_kv(cache, li)
             x, k_new, v_new = _block_apply(
                 sw, entry, x, cos, sin, k_full, v_full, mask
             )
-            cache = append_kv(cache, li, k_new, v_new, lengths)
+            if self.paged:
+                cache = paged_append_decode(cache, li, k_new, v_new, lengths)
+            else:
+                cache = append_kv(cache, li, k_new, v_new, lengths)
         xl = A.rmsnorm(
             x, self.sw.norm.get("weight"), arch.rms_eps
         ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
@@ -213,6 +267,8 @@ class LLMEngine:
                 if self.slot_req[slot] is None and queue:
                     req = queue.popleft()
                     T = self._bucket(len(req.prompt))
+                    if self.paged:
+                        self._map_pages(slot, T)
                     ids = np.zeros((1, T), np.int32)
                     ids[0, : len(req.prompt)] = req.prompt
                     self.cache, self.lengths, logits = self._prefill_jit(
@@ -228,6 +284,12 @@ class LLMEngine:
             active = [r is not None for r in self.slot_req]
             if not any(active):
                 continue
+            if self.paged:
+                # map a fresh page for any slot whose next token crosses a
+                # page boundary (host-side allocator, table is a jit arg)
+                for slot, req in enumerate(self.slot_req):
+                    if req is not None:
+                        self._map_pages(slot, int(self.lengths[slot]) + 1)
             active_mask = jnp.asarray(active)
             self.cache, self.lengths, logits = self._decode_jit(
                 self.cache, self.lengths, self.cur_tokens, active_mask
@@ -246,6 +308,8 @@ class LLMEngine:
                     results[req.req_id] = req.out_tokens
                     self.slot_req[slot] = None
                     self.lengths = self.lengths.at[slot].set(0)
+                    if self.paged:
+                        self._release_pages(slot)
         return [results[i] for i in range(n_total)]
 
 

@@ -104,3 +104,142 @@ def read_kv(cache: KVCache, layer: int) -> Tuple[Array, Array]:
         v = cache.v[layer].astype(jnp.float32) * cache.v_scale[layer][..., None]
         return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     return cache.k[layer], cache.v[layer]
+
+
+# ---------------------------------------------------------------------------
+# Paged KV cache (vLLM-style block tables, TPU-first layout)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Block-paged quantized KV pool.
+
+    Layout (L, n_blocks, H, P, D): whole (H, P, D) pages move per DMA —
+    page gathers stay large and contiguous on TPU.  A per-slot block table
+    (S, max_blocks) int32 maps logical token position t -> physical page
+    table[s, t // P]; the free-list allocator lives on the host (engine),
+    the table rides into jit as a traced array.
+    """
+
+    k: Array  # (L, N_blk, H, P, D) int8|bf16
+    v: Array
+    k_scale: Optional[Array]  # (L, N_blk, H, P) f32
+    v_scale: Optional[Array]
+    block_table: Array  # (S, max_blocks) int32, -1 = unmapped
+    bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    page: int = dataclasses.field(metadata=dict(static=True), default=16)
+
+    @staticmethod
+    def create(n_layers: int, n_blocks: int, n_slots: int, max_blocks: int,
+               n_kv_heads: int, page: int, head_dim: int,
+               bits: int = 8) -> "PagedKVCache":
+        shape = (n_layers, n_blocks, n_kv_heads, page, head_dim)
+        table = jnp.full((n_slots, max_blocks), -1, jnp.int32)
+        if bits == 8:
+            return PagedKVCache(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape[:-1], jnp.float32),
+                jnp.zeros(shape[:-1], jnp.float32),
+                table, 8, page,
+            )
+        return PagedKVCache(
+            jnp.zeros(shape, jnp.bfloat16), jnp.zeros(shape, jnp.bfloat16),
+            None, None, table, 16, page,
+        )
+
+    @property
+    def max_tokens(self) -> int:
+        return self.block_table.shape[1] * self.page
+
+
+def paged_append_decode(cache: PagedKVCache, layer: int, k_new: Array,
+                        v_new: Array, lengths: Array) -> PagedKVCache:
+    """Append ONE token per slot: k_new/v_new (S, H, 1, D)."""
+    P = cache.page
+    S = k_new.shape[0]
+    blk = cache.block_table[jnp.arange(S), lengths // P]  # (S,)
+    blk = jnp.maximum(blk, 0)  # unmapped slots write page 0 harmlessly
+    off = lengths % P
+    si = jnp.arange(S)
+    if cache.bits == 8:
+        kq, ks = quantize_kv(k_new)  # (S,H,1,D), (S,H,1)
+        vq, vs = quantize_kv(v_new)
+        k = cache.k.at[layer, blk, :, off].set(kq[:, :, 0])
+        v = cache.v.at[layer, blk, :, off].set(vq[:, :, 0])
+        k_scale = cache.k_scale.at[layer, blk, :, off].set(ks[:, :, 0])
+        v_scale = cache.v_scale.at[layer, blk, :, off].set(vs[:, :, 0])
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer, blk, :, off].set(
+        k_new[:, :, 0].astype(cache.k.dtype))
+    v = cache.v.at[layer, blk, :, off].set(
+        v_new[:, :, 0].astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def paged_append_prefill(cache: PagedKVCache, layer: int, slot,
+                         k_new: Array, v_new: Array) -> PagedKVCache:
+    """Write a whole padded prompt's KV (1, H, T, D) into slot's pages
+    (T must be a multiple of page; prefill buckets guarantee it)."""
+    P = cache.page
+    _, H, T, D = k_new.shape
+    nb = T // P
+    blks = jnp.maximum(cache.block_table[slot, :nb], 0)  # (nb,)
+
+    def paged_view(x):  # (1,H,T,D) -> (nb,H,P,D)
+        return x[0].reshape(H, nb, P, D).transpose(1, 0, 2, 3)
+
+    if cache.bits == 8:
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        k = cache.k.at[layer, blks].set(paged_view(kq))
+        v = cache.v.at[layer, blks].set(paged_view(vq))
+        k_scale = cache.k_scale.at[layer, blks].set(
+            ks[0].reshape(H, nb, P).transpose(1, 0, 2))
+        v_scale = cache.v_scale.at[layer, blks].set(
+            vs[0].reshape(H, nb, P).transpose(1, 0, 2))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer, blks].set(paged_view(k_new).astype(cache.k.dtype))
+    v = cache.v.at[layer, blks].set(paged_view(v_new).astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def paged_read(cache: PagedKVCache, layer: int) -> Tuple[Array, Array]:
+    """Gather every slot's pages: -> (S, H, max_blocks*P, D) bf16."""
+    blks = jnp.maximum(cache.block_table, 0)  # (S, maxB)
+    S, maxB = blks.shape
+    P = cache.page
+
+    def join(pages):  # (S, maxB, H, P, D) -> (S, H, maxB*P, D)
+        s, b, h, p, d = pages.shape
+        return pages.transpose(0, 2, 1, 3, 4).reshape(s, h, b * p, d)
+
+    k = cache.k[layer][blks]
+    v = cache.v[layer][blks]
+    if cache.bits == 8:
+        ks = cache.k_scale[layer][blks][..., None]
+        vs = cache.v_scale[layer][blks][..., None]
+        return (join(k.astype(jnp.float32) * ks).astype(jnp.bfloat16),
+                join(v.astype(jnp.float32) * vs).astype(jnp.bfloat16))
+    return join(k), join(v)
+
+
+class PageAllocator:
+    """Host-side free-list of physical pages (engine-managed).
+
+    Page 0 is reserved as a scratch target: inactive slots' unmapped table
+    entries clamp to it inside jit (paged_append_decode), so it must never
+    hold live data."""
+
+    def __init__(self, n_blocks: int, start: int = 1):
+        self.free = list(range(n_blocks - 1, start - 1, -1))
+
+    def alloc(self, n: int):
+        if len(self.free) < n:
+            raise RuntimeError("KV page pool exhausted")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages):
+        self.free.extend(int(p) for p in pages if int(p) >= 0)

@@ -164,3 +164,31 @@ def test_moe_gptq_per_expert():
     enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
     ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
     assert np.isfinite(ppl)
+
+
+def test_moe_per_expert_weight_clip():
+    """AutoClipper handles stacked (E, oc, ic) expert weights: per-expert
+    clip ranges shrink weights without breaking the forward."""
+    m = make_tiny_moe(seed=9)
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 128, (1, 16)), jnp.int32)
+           for _ in range(2)]
+    inputs = m.collect_first_block_input(ids)
+    cfg = DotDict({
+        "method": "Awq",
+        "weight": {"bit": 4, "symmetric": False, "granularity": "per_group",
+                   "group_size": 16},
+        "special": {"trans": True, "trans_version": "v2",
+                    "weight_clip": True, "clip_version": "v1"},
+    })
+    w_before = np.asarray(m.blocks[0]["mlp"]["down"]["weight"],
+                          dtype=np.float32).copy()
+    algo = ALGO_REGISTRY["Awq"](m, cfg, inputs, None, DotDict({}))
+    algo.run_block_loop()
+    w_after = np.asarray(m.blocks[0]["mlp"]["down"]["weight"],
+                         dtype=np.float32)
+    assert w_after.shape == w_before.shape  # stacked 3D preserved
+    algo.deploy("fake_quant")
+    enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
+    ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
+    assert np.isfinite(ppl)
