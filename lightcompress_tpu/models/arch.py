@@ -347,6 +347,8 @@ def _act(x: Array, name: str) -> Array:
         return jax.nn.relu(x)
     if name == "gelu":
         return jax.nn.gelu(x)
+    if name == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
+        return x * jax.nn.sigmoid(1.702 * x)
     raise ValueError(name)
 
 

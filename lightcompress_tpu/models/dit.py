@@ -139,7 +139,7 @@ def dit_block_forward(
     h2 = A.layernorm(x, bp["norm2"]["weight"], bp["norm2"].get("bias"), 1e-6)
     feats["attn2.q"] = h2
     a2 = _mha(bp["attn2"], h2, ctx, arch.num_heads, linear_fn, "attn2",
-              False)
+              "norm_q" in bp["attn2"])  # Wan cross-attn has rms qk-norm
     x = x + a2
 
     h3 = _ln_noaffine(x) * (1 + scale2) + shift2
@@ -219,3 +219,103 @@ class WanT2V(BaseModel):
                 idx, x, extra={"t_emb": t_emb, "ctx": ctx}
             )
         return x
+
+
+# ---------------------------------------------------------------------------
+# diffusers WanTransformer3DModel checkpoint reader (wan_t2v.py:18-165)
+# ---------------------------------------------------------------------------
+
+def load_wan_transformer(model_dir: str, dtype=jnp.float32) -> "WanT2V":
+    """Read a diffusers-format Wan transformer directory
+    (config.json + *.safetensors) into a WanT2V adapter.
+
+    Key map (diffusers transformer_wan.py):
+      blocks.{i}.attn1.to_{q,k,v} / to_out.0 / norm_{q,k}  -> attn1.*
+      blocks.{i}.attn2.*                                    -> attn2.*
+      blocks.{i}.norm2                                      -> norm2
+      blocks.{i}.ffn.net.0.proj / ffn.net.2                 -> ffn.proj/out
+      blocks.{i}.scale_shift_table (1,6,H)                  -> (6,H)
+      condition_embedder.* / patch_embedding / proj_out / scale_shift_table
+        kept under params['cond'] for the generation path.
+    The fake-affine fold points (affine_norm1/3, module_utils.py:63-128
+    LlmcWanTransformerBlock) initialize to ones.
+    """
+    import json
+    import os
+
+    from .hf_loader import _ShardReader, _np_to_jnp
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        cfg = json.load(f)
+    dim = cfg["num_attention_heads"] * cfg["attention_head_dim"]
+    arch = make_dit_arch(
+        hidden=dim, ffn=cfg["ffn_dim"], heads=cfg["num_attention_heads"],
+        layers=cfg["num_layers"], cross_dim=cfg.get("text_dim", dim),
+        dtype=dtype,
+    )
+    reader = _ShardReader(model_dir)
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    def lin(prefix):
+        node = {"weight": g(prefix + ".weight")}
+        b = g(prefix + ".bias")
+        if b is not None:
+            node["bias"] = b
+        return node
+
+    h = dim
+    blocks = []
+    for i in range(arch.num_layers):
+        p = f"blocks.{i}."
+        attn1 = {c: lin(p + f"attn1.to_{c}") for c in ("q", "k", "v")}
+        attn1["o"] = lin(p + "attn1.to_out.0")
+        for nrm in ("norm_q", "norm_k"):
+            w = g(p + f"attn1.{nrm}.weight")
+            if w is not None:
+                attn1[nrm] = {"weight": w}
+        attn2 = {c: lin(p + f"attn2.to_{c}") for c in ("q", "k", "v")}
+        attn2["o"] = lin(p + "attn2.to_out.0")
+        for nrm in ("norm_q", "norm_k"):
+            w = g(p + f"attn2.{nrm}.weight")
+            if w is not None:
+                attn2[nrm] = {"weight": w}
+        # i2v: image branch projections ride along for completeness
+        for extra in ("add_k_proj", "add_v_proj"):
+            w = g(p + f"attn2.{extra}.weight")
+            if w is not None:
+                attn2[extra] = {"weight": w,
+                                "bias": g(p + f"attn2.{extra}.bias")}
+        n2w = g(p + "norm2.weight")
+        bp = {
+            "affine_norm1": {"weight": jnp.ones((h,), dtype)},
+            "affine_norm3": {"weight": jnp.ones((h,), dtype)},
+            "norm2": ({"weight": n2w, "bias": g(p + "norm2.bias")}
+                      if n2w is not None
+                      else {"weight": jnp.ones((h,), dtype)}),
+            "scale_shift_table": g(p + "scale_shift_table").reshape(6, h),
+            "attn1": attn1,
+            "attn2": attn2,
+            "ffn": {"proj": lin(p + "ffn.net.0.proj"),
+                    "out": lin(p + "ffn.net.2")},
+        }
+        blocks.append(bp)
+    params = {"blocks": blocks}
+    cond = {}
+    for key in ("patch_embedding", "proj_out",
+                "condition_embedder.text_embedder.linear_1",
+                "condition_embedder.text_embedder.linear_2",
+                "condition_embedder.time_embedder.linear_1",
+                "condition_embedder.time_embedder.linear_2",
+                "condition_embedder.time_proj"):
+        w = g(key + ".weight")
+        if w is not None:
+            cond[key] = {"weight": w, "bias": g(key + ".bias")}
+    sst = g("scale_shift_table")
+    if sst is not None:
+        cond["scale_shift_table"] = sst.reshape(-1, h)
+    params["cond"] = cond
+    return WanT2V(arch, params, config=cfg,
+                  cross_dim=cfg.get("text_dim", dim))

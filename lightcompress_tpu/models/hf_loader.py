@@ -989,10 +989,133 @@ def _load_qwen2audio(model_dir: str, cfg: Dict, dtype, tok):
                       audio_token_id=cfg.get("audio_token_index", 151646))
 
 
+def _load_clip_vision_tower(reader, vcfg: Dict, dtype):
+    """CLIPVisionModel keys -> our Vit (pre-LN, quick_gelu, CLS+pos)."""
+    import dataclasses as _dc
+
+    from .vit import Vit, make_vit_arch
+
+    arch = make_vit_arch(
+        image_size=vcfg["image_size"], patch_size=vcfg["patch_size"],
+        hidden=vcfg["hidden_size"], inter=vcfg["intermediate_size"],
+        layers=vcfg["num_hidden_layers"],
+        heads=vcfg["num_attention_heads"], num_classes=1, dtype=dtype,
+    )
+    arch = _dc.replace(arch, act_fn={"quick_gelu": "quick_gelu"}.get(
+        vcfg.get("hidden_act", "quick_gelu"), "gelu"))
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    e = "vision_model.embeddings."
+    conv = reader.get(e + "patch_embedding.weight")  # (h, C, P, P)
+    P = vcfg["patch_size"]
+    params: Dict[str, Any] = {
+        "patch_embed": {"weight": _np_to_jnp(
+            conv.transpose(0, 2, 3, 1).reshape(conv.shape[0], -1), dtype)},
+        "cls_token": g(e + "class_embedding").reshape(1, 1, -1),
+        "pos_embed": g(e + "position_embedding.weight")[None],
+        "pre_ln": {"weight": g("vision_model.pre_layrnorm.weight"),
+                   "bias": g("vision_model.pre_layrnorm.bias")},
+        "norm": {"weight": g("vision_model.post_layernorm.weight"),
+                 "bias": g("vision_model.post_layernorm.bias")},
+        "blocks": [],
+    }
+    for i in range(arch.num_layers):
+        p = f"vision_model.encoder.layers.{i}."
+        bp: Dict[str, Any] = {
+            "ln1": {"weight": g(p + "layer_norm1.weight"),
+                    "bias": g(p + "layer_norm1.bias")},
+            "ln2": {"weight": g(p + "layer_norm2.weight"),
+                    "bias": g(p + "layer_norm2.bias")},
+            "attn": {}, "mlp": {},
+        }
+        for c, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("o", "out_proj")):
+            bp["attn"][c] = {"weight": g(p + f"self_attn.{hf}.weight"),
+                             "bias": g(p + f"self_attn.{hf}.bias")}
+        for c in ("fc1", "fc2"):
+            bp["mlp"][c] = {"weight": g(p + f"mlp.{c}.weight"),
+                            "bias": g(p + f"mlp.{c}.bias")}
+        params["blocks"].append(bp)
+    return Vit(arch, params, patch_size=P)
+
+
+def _load_llava(model_dir: str, cfg: Dict, dtype, tok):
+    from ..registry import MODEL_REGISTRY
+    from .llava import Llava
+
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    # transformers >=4.52 nests submodels under "model."
+    lang_p = ("model.language_model." if any(
+        k.startswith("model.language_model.") for k in keys)
+        else "language_model.")
+    vis_p = ("model.vision_tower." if any(
+        k.startswith("model.vision_tower.") for k in keys)
+        else "vision_tower.")
+    proj_p = ("model.multi_modal_projector." if any(
+        k.startswith("model.multi_modal_projector.") for k in keys)
+        else "multi_modal_projector.")
+    tcfg = cfg["text_config"]
+    arch = arch_from_hf_config(tcfg, dtype=dtype)
+    lr = _PrefixReader(reader, lang_p)
+    if lang_p == "model.language_model.":
+        # keys inside are "model.language_model.layers..." -> llama map
+        # expects "model.layers..."; re-prefix accordingly
+        class _R:
+            def keys(self):
+                return ["model." + k for k in lr.keys()] + (
+                    ["lm_head.weight"] if reader.get("lm_head.weight")
+                    is not None else [])
+
+            def get(self, k):
+                if k == "lm_head.weight":
+                    return reader.get("lm_head.weight")
+                return lr.get(k[len("model."):]) if k.startswith("model.") \
+                    else None
+        lang_reader = _R()
+    else:
+        lang_reader = lr
+    lang_params = load_params(model_dir, arch,
+                              tcfg.get("model_type", "llama"),
+                              reader=lang_reader)
+    cls_name = {"llama": "Llama", "mistral": "Mistral",
+                "qwen2": "Qwen2"}.get(tcfg.get("model_type", "llama"),
+                                      "Llama")
+    lang = MODEL_REGISTRY[cls_name](arch, lang_params)
+    vit = _load_clip_vision_tower(_PrefixReader(reader, vis_p),
+                                  cfg["vision_config"], dtype)
+
+    def g(k):
+        t = reader.get(proj_p + k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    projector = {
+        "fc1": {"weight": g("linear_1.weight"), "bias": g("linear_1.bias")},
+        "fc2": {"weight": g("linear_2.weight"), "bias": g("linear_2.bias")},
+    }
+    m = Llava(lang, vit, projector, tokenizer=tok, config=cfg,
+              image_token_id=cfg.get("image_token_index", 32000))
+    m.vision_feature_layer = cfg.get("vision_feature_layer", -2)
+    return m
+
+
 def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
     """Build a registered adapter from an HF model directory."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
+    if cfg.get("model_type") == "llava":
+        tok = None
+        if with_tokenizer:
+            try:
+                from transformers import AutoTokenizer
+
+                tok = AutoTokenizer.from_pretrained(model_dir)
+            except Exception:
+                tok = None
+        return _load_llava(model_dir, cfg, dtype, tok)
     if cfg.get("model_type") == "qwen2_audio":
         tok = None
         if with_tokenizer:

@@ -106,8 +106,18 @@ class Llava(BaseModel):
 
     # -- multimodal forward ------------------------------------------------
     def encode_images(self, pixels: Array) -> Array:
-        """pixels (B,H,W,C) -> projected vision tokens (B, T_v, H_llm)."""
-        feats = self.vision.forward_features(pixels)[:, 1:]  # drop cls
+        """pixels (B,H,W,C) -> projected vision tokens (B, T_v, H_llm).
+
+        ``vision_feature_layer`` follows llava-hf semantics: -1 = full
+        tower, -2 = penultimate hidden state (no final norm)."""
+        vfl = getattr(self, "vision_feature_layer", -1)
+        if vfl == -1:
+            feats = self.vision.forward_features(pixels)
+        else:
+            L = len(self.vision.params["blocks"])
+            feats = self.vision.forward_features(
+                pixels, until_layer=L + 1 + vfl, final_norm=False)
+        feats = feats[:, 1:]  # drop cls ('default' select strategy)
         fc1, fc2 = self.projector["fc1"], self.projector["fc2"]
         h = A.default_linear("proj.fc1", fc1["weight"], fc1.get("bias"), feats)
         h = jax.nn.gelu(h)

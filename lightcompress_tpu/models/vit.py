@@ -114,12 +114,23 @@ class Vit(BaseModel):
         B = x.shape[0]
         cls = jnp.broadcast_to(p["cls_token"], (B, 1, x.shape[-1]))
         x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
-        return x + p["pos_embed"][:, : x.shape[1]]
+        x = x + p["pos_embed"][:, : x.shape[1]]
+        if "pre_ln" in p:  # CLIP vision pre_layrnorm
+            x = A.layernorm(x, p["pre_ln"]["weight"], p["pre_ln"].get("bias"),
+                            1e-5)
+        return x
 
     def forward_features(self, pixels: Array,
-                         linear_fns: Optional[List] = None) -> Array:
+                         linear_fns: Optional[List] = None,
+                         until_layer: Optional[int] = None,
+                         final_norm: bool = True) -> Array:
+        """until_layer: stop after that many blocks (llava-hf's
+        vision_feature_layer=-2 reads the penultimate hidden state, i.e.
+        until_layer = num_layers - 1, no final norm)."""
         x = self.embed_pixels(pixels)
-        for idx, bp in enumerate(self.params["blocks"]):
+        n = until_layer if until_layer is not None else \
+            len(self.params["blocks"])
+        for idx, bp in enumerate(self.params["blocks"][:n]):
             if idx in self.token_hooks:
                 x = self.token_hooks[idx](self, idx, x)
             lf = (linear_fns[idx] if linear_fns is not None
@@ -130,8 +141,10 @@ class Vit(BaseModel):
                 matmul_hook=self.attn_matmul_hook,
                 softmax_hook=self.attn_softmax_hook,
             )
+        if not final_norm:
+            return x
         return A.layernorm(x, self.params["norm"]["weight"],
-                           self.params["norm"]["bias"], 1e-6)
+                           self.params["norm"]["bias"], 1e-5)
 
     def classify(self, pixels: Array) -> Array:
         feats = self.forward_features(pixels)

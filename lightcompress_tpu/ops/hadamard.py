@@ -136,6 +136,38 @@ def _check_hadamard(H: np.ndarray) -> bool:
     return bool(np.array_equal(H @ H.T, n * np.eye(n, dtype=H.dtype)))
 
 
+# Williamson quadruples found by tools/williamson_search.py (symmetric
+# circulant first rows; verified H H^T = K I at construction time).  The
+# reference ships these orders as hard-coded 156x156 / 172x172 tables
+# (hadamard_utils.py get_had156/get_had172); we store 4 first rows and
+# rebuild.  '+-' strings decode to +1/-1.
+_WILLIAMSON_ROWS = {
+    39: ("+-+-++-+--+--++----------++--+--+-++-+-",
+         "+-+++-++------+--+-++-+--+------++-+++-",
+         "+-+-++----+++--++------++--+++----++-+-",
+         "++---+-++++---+---+--+---+---++++-+---+"),
+}
+
+
+def _williamson_K(n: int) -> np.ndarray:
+    rows = _WILLIAMSON_ROWS[n]
+    mats = []
+    for r in rows:
+        row = np.array([1 if c == "+" else -1 for c in r], np.int64)
+        assert len(row) == n, (len(row), n)
+        idx = (np.arange(n)[None, :] - np.arange(n)[:, None]) % n
+        mats.append(row[idx])
+    a, b, c, d = mats
+    H = np.block([
+        [a, b, c, d],
+        [-b, a, -d, c],
+        [-c, d, a, -b],
+        [-d, -c, b, a],
+    ])
+    assert _check_hadamard(H), f"Williamson rows for n={n} are not valid"
+    return H
+
+
 @functools.lru_cache(maxsize=None)
 def hadamard_matrix_K(K: int) -> np.ndarray:
     """Small non-pow2 Hadamard matrix of order K (generated, not tabulated)."""
@@ -146,6 +178,8 @@ def hadamard_matrix_K(K: int) -> np.ndarray:
         while H.shape[0] < K:
             H = np.block([[H, H], [H, -H]])
         return H
+    if K % 4 == 0 and K // 4 in _WILLIAMSON_ROWS:
+        return _williamson_K(K // 4)
     q = K - 1
     if _is_prime(q) and q % 4 == 3:
         return _paley1(q)

@@ -134,7 +134,8 @@ def _feasible_pairs(psd_i, psd_j, n, chunk_rows):
             yield rr + r0, cc
 
 
-def search(n: int, max_solutions: int = 1, verbose: bool = True):
+def search(n: int, max_solutions: int = 1, verbose: bool = True,
+           only_dec: int = None):
     t0 = time.time()
     seqs = symmetric_sequences(n)
     psd = psd_table(seqs, n)
@@ -152,7 +153,9 @@ def search(n: int, max_solutions: int = 1, verbose: bool = True):
 
     m = (n - 1) // 2
     sols = []
-    for dec in decompositions(n):
+    for di, dec in enumerate(decompositions(n)):
+        if only_dec is not None and di != only_dec:
+            continue
         if any(s not in classes for s in dec):
             continue
         # choose the A-class (decimation-canonicalized) = rarest class value
@@ -222,5 +225,10 @@ def search(n: int, max_solutions: int = 1, verbose: bool = True):
 
 
 if __name__ == "__main__":
-    for n in [int(a) for a in sys.argv[1:]] or [39, 43]:
-        search(n)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--dec="):
+            only = int(a.split("=")[1])
+    for n in [int(a) for a in args] or [39, 43]:
+        search(n, only_dec=only)
