@@ -146,6 +146,10 @@ _WILLIAMSON_ROWS = {
          "+-+++-++------+--+-++-+--+------++-+++-",
          "+-+-++----+++--++------++--+++----++-+-",
          "++---+-++++---+---+--+---+---++++-+---+"),
+    43: ("++---++++-+--+--++--------++--+--+-++++---+",
+         "++-++++++----+-+--++-++-++--+-+----++++++-+",
+         "+++-+-++--+-+-++++-+----+-++++-+-+--++-+-++",
+         "+---++--++++-+-+++-++--++-+++-+-++++--++---"),
 }
 
 

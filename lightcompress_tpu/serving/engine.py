@@ -93,7 +93,13 @@ class LLMEngine:
         paged: bool = False,
         page_size: int = 16,
         n_pages: Optional[int] = None,
+        mesh=None,
     ):
+        self.mesh = mesh
+        if mesh is not None:
+            from .sharding import shard_serving_weights
+
+            weights = shard_serving_weights(weights, mesh)
         self.sw = weights
         self.arch = weights.arch
         self.max_slots = max_slots
@@ -130,6 +136,10 @@ class LLMEngine:
                 a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
                 a.head_dim, bits=self.kv_bits,
             )
+        if self.mesh is not None:
+            from .sharding import shard_kv_cache
+
+            self.cache = shard_kv_cache(self.cache, self.mesh)
         self.lengths = jnp.zeros((self.max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
         self.slot_req: List[Optional[Request]] = [None] * self.max_slots

@@ -83,3 +83,23 @@ def test_quarot_unties_embeddings():
     assert not model.arch.tie_word_embeddings
     algo.deploy("transformed")
     assert abs(_ppl(model) - ppl_fp) / ppl_fp < 0.01
+
+
+def test_williamson_hadamard_orders():
+    """Orders 156/172 (the reference's largest tabulated Hadamards,
+    get_had156/172) construct from our searched Williamson quadruples;
+    Llama-2's 11008 = 2^6 * 172 factors online."""
+    import numpy as np
+    from lightcompress_tpu.ops.hadamard import (get_hadK, hadamard_matrix_K,
+                                                matmul_hadU)
+
+    for K in (156, 172):
+        H = hadamard_matrix_K(K)
+        assert np.array_equal(H @ H.T, K * np.eye(K, dtype=np.int64))
+    for n, expect_K in ((11008, 172), (4992, 156)):
+        _, K = get_hadK(n)
+        assert K == expect_K
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, n))
+        y = matmul_hadU(x)
+        np.testing.assert_allclose(float(jnp.linalg.norm(y)),
+                                   float(jnp.linalg.norm(x)), rtol=1e-5)

@@ -192,3 +192,42 @@ def test_page_allocator_reuse(tiny_setup):
     engine.generate(prompts, SamplingParams(max_new_tokens=4))
     assert len(engine.allocator.free) == free0
     assert all(int(b) == -1 for b in np.asarray(engine.cache.block_table[0]))
+
+
+def test_tensor_parallel_serving_matches_single(tiny_setup):
+    """TP-sharded engine (GSPMD over a (tp,) mesh) generates the SAME
+    greedy tokens as the unsharded engine (SURVEY §2.11 serving TP)."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, sw = tiny_setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multi-device backend")
+    mesh = Mesh(np.array(devs[:2]), ("tp",))
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(1, 128, size=rng.randint(3, 10)))
+               for _ in range(3)]
+    sp = SamplingParams(max_new_tokens=5)
+    ref = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                    prefill_buckets=(8, 16))
+    tp = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                   prefill_buckets=(8, 16), mesh=mesh)
+    assert ref.generate(prompts, sp) == tp.generate(prompts, sp)
+
+
+def test_tensor_parallel_paged_serving(tiny_setup):
+    import jax
+    from jax.sharding import Mesh
+
+    model, sw = tiny_setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multi-device backend")
+    mesh = Mesh(np.array(devs[:2]), ("tp",))
+    engine = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                       prefill_buckets=(8,), paged=True, page_size=8,
+                       mesh=mesh)
+    outs = engine.generate([[3, 5, 7], [9, 11, 2]],
+                           SamplingParams(max_new_tokens=4))
+    assert all(len(o) == 4 for o in outs)
