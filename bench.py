@@ -10,6 +10,7 @@ roofline tokens/s = batch * HBM_BW / bytes_read.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,6 +19,9 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# 8 -> W4A8 (per-token int8 acts, MXU int8 dots); 16 -> W4A16 bf16 dots
+ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 
 
 # Llama-3-8B block shapes
@@ -68,7 +72,10 @@ def make_layer_qweights(key):
 def decode_step(layers, x, k_cache, v_cache):
     """One decode token through the 32-layer stack (no embed/head — the
     W4-dominated portion)."""
-    from lightcompress_tpu.ops import qlinear_apply
+    from lightcompress_tpu.ops import qlinear_apply as _qa
+
+    def qlinear_apply(h, qp):
+        return _qa(h, qp, act_bits=ACT_BITS)
 
     B = x.shape[0]
     for li, lw in enumerate(layers):
@@ -137,7 +144,7 @@ def main():
     roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
 
     print(json.dumps({
-        "metric": "w4a16_8b_decode_tokens_per_s",
+        "metric": f"w4a{ACT_BITS}_8b_decode_tokens_per_s",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / roofline_tps, 4),

@@ -209,6 +209,165 @@ def w4a16_matmul_planes(
 
 
 # ---------------------------------------------------------------------------
+# W4A8: int8 activations on the MXU int8 path
+# ---------------------------------------------------------------------------
+#
+# Same data movement as W4A16 (identical packed-weight bytes — the DMA floor
+# is unchanged) but the 8 plane dots run in the MXU's int8 mode, which
+# measured ~229µs vs ~313µs for bf16 dots on the same shapes (see
+# CLAUDE.md kernel-perf notes): the bf16 kernel is compute-bound above the
+# DMA floor, the int8 one sits on it.  Activations are quantized per-token
+# (dynamic, amax/127) outside the kernel; everything inside is integer-exact
+# until the per-group f32 scale multiply.
+
+
+def _w4a8_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
+    """Int8-activation variant of _w4a16_kernel.
+
+    Block shapes per step (grid = (N/N_t, gpp)):
+      x:  (B, 8*group) int8  — per-token-quantized, plane-reordered
+      wp: (1, 1, N_t, group) int32 packed tile
+      s/zs: (1, 1, 8, N_t) f32 (zs pre-multiplied by scales)
+      o:  (B, N_t) f32 — still needs the per-token act scale applied outside
+    """
+    gi = pl.program_id(1)
+
+    @pl.when(gi == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    xb = x_ref[:]
+    wpb = wp_ref[0, 0]
+    s_ref = s_ref.at[0, 0]
+    zs_ref = zs_ref.at[0, 0]
+    b, nt = o_ref.shape
+    accs = [jnp.zeros((b, nt), jnp.float32) for _ in range(4)]
+    for j in range(8):
+        cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)  # (N_t, g) in [0,15]
+        xg = xb[:, j * group:(j + 1) * group]  # (B, g) int8
+        partial = jax.lax.dot_general(
+            xg, cg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, N_t) int32 — exact
+        accs[j % 4] = accs[j % 4] + partial.astype(jnp.float32) * s_ref[j, :][None, :]
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, 8, group), axis=2
+    ).astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zs_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o_ref[:] + (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+def quantize_act_per_token(x: Array):
+    """(B, K) float -> ((B, K) int8, (B, 1) f32 scale).  amax/127 dynamic."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "n_tile", "interpret"),
+)
+def w4a8_matmul_planes(
+    xq: Array,
+    x_scale: Array,
+    wp: Array,
+    scales: Array,
+    zeros: Optional[Array],
+    group: int = 128,
+    n_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """y = (x_scale * xq) @ dequant(wp).T, xq int8 already plane-REORDERED?
+
+    No — ``xq`` is in natural K order (B, K) int8; this function reorders it
+    to plane layout (cheap int8 shuffle) and runs the int8 kernel.
+    x_scale: (B, 1) f32.  Returns (B, N) f32.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = xq.shape
+    if wp.ndim == 4:
+        n_blocks, gpp_w, n_tile, gw = wp.shape
+        N = n_blocks * n_tile
+        assert gw == group and gpp_w * group * 8 == K
+        wp_t = wp
+    else:
+        N, KP = wp.shape
+        assert KP * 8 == K
+        assert K % (8 * group) == 0
+        n_tile = min(n_tile, N)
+        assert N % n_tile == 0
+        wp_t = tile_packed(wp, n_tile, group)
+
+    kp = K // 8
+    gpp = kp // group
+    G = K // group
+
+    xr = xq.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
+    s = scales.astype(jnp.float32)
+    if zeros is None:
+        zs = jnp.zeros_like(s)
+    else:
+        zs = zeros.astype(jnp.float32) * s
+    sr = tile_scales(s, n_tile, gpp)
+    zsr = tile_scales(zs, n_tile, gpp)
+
+    kernel = functools.partial(_w4a8_kernel, group=group)
+    grid = (N // n_tile, gpp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 8 * group), lambda i, gi: (0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_tile, group), lambda i, gi: (i, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile), lambda i, gi: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K,
+            transcendentals=0,
+        ),
+    )(xr, wp_t, sr, zsr)
+    return out * x_scale
+
+
+def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
+    """W4A8 apply: dynamic per-token int8 act quant + int8-MXU fused kernel."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, x_scale = quantize_act_per_token(x2)
+    if qp.codes.ndim == 4:
+        n_tile = qp.codes.shape[2]
+    else:
+        N = qp.codes.shape[0]
+        n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
+    y = w4a8_matmul_planes(
+        xq, x_scale, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
+        n_tile=n_tile, interpret=interpret,
+    ).astype(x.dtype)
+    if qp.bias is not None:
+        y = y + qp.bias
+    return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
 # QLinearParams integration
 # ---------------------------------------------------------------------------
 

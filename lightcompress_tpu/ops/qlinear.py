@@ -141,13 +141,26 @@ def qlinear_xla(x: Array, qp: QLinearParams) -> Array:
     return y
 
 
-def qlinear_apply(x: Array, qp: QLinearParams, use_pallas: bool = True) -> Array:
-    """Dispatch: Pallas fused kernel on TPU when shapes allow, XLA otherwise."""
+def qlinear_apply(
+    x: Array, qp: QLinearParams, use_pallas: bool = True, act_bits: int = 16
+) -> Array:
+    """Dispatch: Pallas fused kernel on TPU when shapes allow, XLA otherwise.
+
+    ``act_bits=8`` selects the W4A8 path (per-token dynamic int8 act quant,
+    int8-MXU dots) — numerics change (act quant error), throughput gains
+    ~35% on the compute-bound bf16 kernel (see pallas_matmul).
+    """
     if use_pallas and qp.bits == 4 and not qp.is_float:
         try:
-            from .pallas_matmul import w4a16_matmul_available, w4a16_matmul
+            from .pallas_matmul import (
+                w4a16_matmul,
+                w4a16_matmul_available,
+                w4a8_matmul,
+            )
 
             if w4a16_matmul_available(x, qp):
+                if act_bits == 8:
+                    return w4a8_matmul(x, qp)
                 return w4a16_matmul(x, qp)
         except ImportError:
             pass

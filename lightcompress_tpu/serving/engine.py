@@ -49,12 +49,13 @@ def _block_apply(
 
     Returns (y, k_new, v_new); attention runs over (cache ++ new)."""
     arch = sw.arch
+    ab = getattr(sw, "act_bits", 16)
     S, T, _ = x.shape
     nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     h1 = A.apply_norm(x, entry["ln1"], arch)
-    q = apply_qlinear(entry["attn.q"], h1)
-    k = apply_qlinear(entry["attn.k"], h1)
-    v = apply_qlinear(entry["attn.v"], h1)
+    q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
+    k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
+    v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
     q = q.reshape(S, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
@@ -67,17 +68,17 @@ def _block_apply(
     v_all = jnp.concatenate([v_full, v.astype(v_full.dtype)], axis=2)
     ctx = A.sdpa(q, k_all, v_all, mask, kv_groups=nh // nkv)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(S, T, nh * hd)
-    attn_out = apply_qlinear(entry["attn.o"], ctx)
+    attn_out = apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
     h = x + attn_out
     h2 = A.apply_norm(h, entry["ln2"], arch)
     if arch.family == "llama":
-        g = apply_qlinear(entry["mlp.gate"], h2)
-        u = apply_qlinear(entry["mlp.up"], h2)
+        g = apply_qlinear(entry["mlp.gate"], h2, act_bits=ab)
+        u = apply_qlinear(entry["mlp.up"], h2, act_bits=ab)
         mid = jax.nn.silu(g) * u
-        y = h + apply_qlinear(entry["mlp.down"], mid)
+        y = h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
     else:
-        f1 = apply_qlinear(entry["mlp.fc1"], h2)
-        y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1))
+        f1 = apply_qlinear(entry["mlp.fc1"], h2, act_bits=ab)
+        y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1), act_bits=ab)
     return y, k, v
 
 

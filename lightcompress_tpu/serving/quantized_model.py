@@ -31,6 +31,8 @@ class ServingWeights:
     lm_head: Array
     blocks: List[Dict[str, Any]]  # name -> QLinearParams | {'weight','bias'}
     wbits: int
+    # 16 = W4A16; 8 = W4A8 (per-token dynamic int8 acts on the MXU int8 path)
+    act_bits: int = 16
 
     def tree_blocks(self):
         return self.blocks
@@ -40,6 +42,7 @@ def build_serving_weights(
     model: BaseModel,
     wspec: QuantSpec,
     algo=None,
+    act_bits: int = 16,
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
@@ -81,14 +84,15 @@ def build_serving_weights(
         ).astype(jnp.bfloat16),
         blocks=blocks_out,
         wbits=wspec.bit if isinstance(wspec.bit, int) else 8,
+        act_bits=act_bits,
     )
 
 
-def apply_qlinear(entry: Any, x: Array) -> Array:
+def apply_qlinear(entry: Any, x: Array, act_bits: int = 16) -> Array:
     """Dispatch by stored weight format."""
     if isinstance(entry, QLinearParams):
         if entry.bits == 4:
-            return qlinear_apply(x, entry)
+            return qlinear_apply(x, entry, act_bits=act_bits)
         if entry.bits == 8 and not entry.is_float:
             return int8_matmul_dynamic(
                 x, entry.codes, entry.scales, bias=entry.bias

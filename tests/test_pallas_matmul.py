@@ -89,3 +89,51 @@ def test_qlinear_apply_uses_pallas_path():
     )
     # analytic W4 g128 noise on N(0,1) weights: sigma_q/sigma ~ 0.107
     assert rel < 0.15
+
+
+@pytest.mark.parametrize("B,N,K,g", [(8, 256, 1024, 128), (1, 128, 2048, 256)])
+def test_w4a8_kernel_matches_int_reference(B, N, K, g):
+    """W4A8 is integer-exact inside the kernel: given int8 acts, the output
+    must match the f32 formula y = sx * sum_g s*(xq@c) - sx * s*z*sum(xq)."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        quantize_act_per_token,
+        w4a8_matmul_planes,
+    )
+
+    rng = np.random.RandomState(7)
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    scales = jnp.asarray(rng.rand(N, K // g).astype(np.float32) * 0.1)
+    zeros = jnp.asarray(rng.randint(0, 16, (N, K // g)).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+
+    xq, sx = quantize_act_per_token(x)
+    packed = pack_int4_planes(codes)
+    y = w4a8_matmul_planes(xq, sx, packed, scales, zeros, group=g,
+                           n_tile=128, interpret=True)
+
+    w = (codes.astype(jnp.float32).reshape(N, K // g, g)
+         - zeros[:, :, None]) * scales[:, :, None]
+    ref = (xq.astype(jnp.float32) * sx) @ w.reshape(N, K).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_w4a8_end_to_end_accuracy():
+    """Full W4A8 apply (incl. dynamic act quant) vs float: error stays small."""
+    from lightcompress_tpu.ops import quantize_linear
+    from lightcompress_tpu.ops.pallas_matmul import w4a8_matmul
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(11)
+    w = jnp.asarray(rng.randn(256, 1024).astype(np.float32))
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=128)
+    qp = quantize_linear(w, spec, layout="planes")
+    x = jnp.asarray(rng.randn(4, 1024).astype(np.float32))
+    y = w4a8_matmul(x, qp, interpret=True)
+    y_ref = x @ w.T
+    rel = np.abs(np.asarray(y) - np.asarray(y_ref)).mean() / (
+        np.abs(np.asarray(y_ref)).mean() + 1e-9
+    )
+    # int8 act error is negligible next to W4 weight error (~0.107)
+    assert rel < 0.15
