@@ -349,6 +349,8 @@ def _act(x: Array, name: str) -> Array:
         return jax.nn.gelu(x)
     if name == "quick_gelu":  # CLIP: x * sigmoid(1.702 x)
         return x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu_tanh":  # SigLIP: gelu_pytorch_tanh
+        return jax.nn.gelu(x, approximate=True)
     raise ValueError(name)
 
 

@@ -1042,22 +1042,73 @@ def _load_clip_vision_tower(reader, vcfg: Dict, dtype):
     return Vit(arch, params, patch_size=P)
 
 
-def _load_llava(model_dir: str, cfg: Dict, dtype, tok):
-    from ..registry import MODEL_REGISTRY
-    from .llava import Llava
+def _load_siglip_vision_tower(reader, vcfg: Dict, dtype):
+    """SiglipVisionModel keys -> our Vit: no CLS token, no pre-layernorm,
+    gelu_pytorch_tanh, biased patch embedding.  Used by the LLaVA-OneVision
+    (reference llmc/models/llava_onevision.py) and VILA (vila.py) towers."""
+    from .vit import Vit, make_vit_arch
 
-    reader = _ShardReader(model_dir)
+    arch = make_vit_arch(
+        image_size=vcfg["image_size"], patch_size=vcfg["patch_size"],
+        hidden=vcfg["hidden_size"], inter=vcfg["intermediate_size"],
+        layers=vcfg["num_hidden_layers"],
+        heads=vcfg["num_attention_heads"], num_classes=1, dtype=dtype,
+        cls_token=False, act_fn="gelu_tanh",
+    )
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    e = "vision_model.embeddings."
+    conv = reader.get(e + "patch_embedding.weight")  # (h, C, P, P)
+    P = vcfg["patch_size"]
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "weight": _np_to_jnp(
+                conv.transpose(0, 2, 3, 1).reshape(conv.shape[0], -1), dtype),
+            "bias": g(e + "patch_embedding.bias"),
+        },
+        "pos_embed": g(e + "position_embedding.weight")[None],
+        "norm": {"weight": g("vision_model.post_layernorm.weight"),
+                 "bias": g("vision_model.post_layernorm.bias")},
+        "blocks": [],
+    }
+    for i in range(arch.num_layers):
+        p = f"vision_model.encoder.layers.{i}."
+        bp: Dict[str, Any] = {
+            "ln1": {"weight": g(p + "layer_norm1.weight"),
+                    "bias": g(p + "layer_norm1.bias")},
+            "ln2": {"weight": g(p + "layer_norm2.weight"),
+                    "bias": g(p + "layer_norm2.bias")},
+            "attn": {}, "mlp": {},
+        }
+        for c, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("o", "out_proj")):
+            bp["attn"][c] = {"weight": g(p + f"self_attn.{hf}.weight"),
+                             "bias": g(p + f"self_attn.{hf}.bias")}
+        for c in ("fc1", "fc2"):
+            bp["mlp"][c] = {"weight": g(p + f"mlp.{c}.weight"),
+                            "bias": g(p + f"mlp.{c}.bias")}
+        params["blocks"].append(bp)
+    return Vit(arch, params, patch_size=P)
+
+
+def _vlm_prefix(keys, name: str) -> str:
+    """transformers >=4.52 nests VLM submodels under 'model.'."""
+    return (f"model.{name}." if any(
+        k.startswith(f"model.{name}.") for k in keys) else f"{name}.")
+
+
+def _load_vlm_language(reader, model_dir: str, cfg: Dict, dtype):
+    """Load the language side of a composite VLM checkpoint.
+
+    Handles both flat ('language_model.…') and nested
+    ('model.language_model.…' + top-level 'lm_head.weight') layouts."""
+    from ..registry import MODEL_REGISTRY
+
     keys = list(reader.keys())
-    # transformers >=4.52 nests submodels under "model."
-    lang_p = ("model.language_model." if any(
-        k.startswith("model.language_model.") for k in keys)
-        else "language_model.")
-    vis_p = ("model.vision_tower." if any(
-        k.startswith("model.vision_tower.") for k in keys)
-        else "vision_tower.")
-    proj_p = ("model.multi_modal_projector." if any(
-        k.startswith("model.multi_modal_projector.") for k in keys)
-        else "multi_modal_projector.")
+    lang_p = _vlm_prefix(keys, "language_model")
     tcfg = cfg["text_config"]
     arch = arch_from_hf_config(tcfg, dtype=dtype)
     lr = _PrefixReader(reader, lang_p)
@@ -1084,7 +1135,17 @@ def _load_llava(model_dir: str, cfg: Dict, dtype, tok):
     cls_name = {"llama": "Llama", "mistral": "Mistral",
                 "qwen2": "Qwen2"}.get(tcfg.get("model_type", "llama"),
                                       "Llama")
-    lang = MODEL_REGISTRY[cls_name](arch, lang_params)
+    return MODEL_REGISTRY[cls_name](arch, lang_params)
+
+
+def _load_llava(model_dir: str, cfg: Dict, dtype, tok):
+    from .llava import Llava
+
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "vision_tower")
+    proj_p = _vlm_prefix(keys, "multi_modal_projector")
+    lang = _load_vlm_language(reader, model_dir, cfg, dtype)
     vit = _load_clip_vision_tower(_PrefixReader(reader, vis_p),
                                   cfg["vision_config"], dtype)
 
@@ -1102,11 +1163,85 @@ def _load_llava(model_dir: str, cfg: Dict, dtype, tok):
     return m
 
 
+def _load_llava_onevision(model_dir: str, cfg: Dict, dtype, tok):
+    """HF LlavaOnevisionForConditionalGeneration checkpoint (reference
+    llava_onevision.py): SigLIP tower + linear_1/linear_2 projector +
+    image_newline + Qwen2 LM."""
+    from .vlm import LlavaOnevision
+
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "vision_tower")
+    proj_p = _vlm_prefix(keys, "multi_modal_projector")
+    lang = _load_vlm_language(reader, model_dir, cfg, dtype)
+    vit = _load_siglip_vision_tower(_PrefixReader(reader, vis_p),
+                                    cfg["vision_config"], dtype)
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    projector = {
+        "fc1": {"weight": g(proj_p + "linear_1.weight"),
+                "bias": g(proj_p + "linear_1.bias")},
+        "fc2": {"weight": g(proj_p + "linear_2.weight"),
+                "bias": g(proj_p + "linear_2.bias")},
+    }
+    nl = g("model.image_newline")
+    if nl is None:
+        nl = g("image_newline")
+    m = LlavaOnevision(lang, vit, projector, tokenizer=tok, config=cfg,
+                       image_token_id=cfg.get("image_token_index", 151646),
+                       image_newline=nl)
+    m.vision_feature_layer = cfg.get("vision_feature_layer", -1)
+    return m
+
+
+def _load_video_llava(model_dir: str, cfg: Dict, dtype, tok):
+    """HF VideoLlavaForConditionalGeneration (reference videollava.py):
+    twin CLIP-layout towers (image_tower/video_tower), shared projector."""
+    from .vlm import VideoLlava
+
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    img_p = _vlm_prefix(keys, "image_tower")
+    vid_p = _vlm_prefix(keys, "video_tower")
+    proj_p = _vlm_prefix(keys, "multi_modal_projector")
+    lang = _load_vlm_language(reader, model_dir, cfg, dtype)
+    img_tower = _load_clip_vision_tower(_PrefixReader(reader, img_p),
+                                        cfg["vision_config"], dtype)
+    vid_tower = _load_clip_vision_tower(_PrefixReader(reader, vid_p),
+                                        cfg["vision_config"], dtype)
+
+    def g(k):
+        t = reader.get(proj_p + k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    projector = {
+        "fc1": {"weight": g("linear_1.weight"), "bias": g("linear_1.bias")},
+        "fc2": {"weight": g("linear_2.weight"), "bias": g("linear_2.bias")},
+    }
+    m = VideoLlava(lang, img_tower, projector, video_tower=vid_tower,
+                   tokenizer=tok, config=cfg,
+                   image_token_id=cfg.get("image_token_index", 32000),
+                   video_token_id=cfg.get("video_token_index", 32001))
+    m.vision_feature_layer = cfg.get("vision_feature_layer", -2)
+    return m
+
+
+_VLM_LOADERS = {
+    "llava": "_load_llava",
+    "llava_onevision": "_load_llava_onevision",
+    "video_llava": "_load_video_llava",
+    "qwen2_audio": "_load_qwen2audio",
+}
+
+
 def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
     """Build a registered adapter from an HF model directory."""
     with open(os.path.join(model_dir, "config.json")) as f:
         cfg = json.load(f)
-    if cfg.get("model_type") == "llava":
+    if cfg.get("model_type") in _VLM_LOADERS:
         tok = None
         if with_tokenizer:
             try:
@@ -1115,17 +1250,8 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
                 tok = AutoTokenizer.from_pretrained(model_dir)
             except Exception:
                 tok = None
-        return _load_llava(model_dir, cfg, dtype, tok)
-    if cfg.get("model_type") == "qwen2_audio":
-        tok = None
-        if with_tokenizer:
-            try:
-                from transformers import AutoTokenizer
-
-                tok = AutoTokenizer.from_pretrained(model_dir)
-            except Exception:
-                tok = None
-        return _load_qwen2audio(model_dir, cfg, dtype, tok)
+        loader = globals()[_VLM_LOADERS[cfg["model_type"]]]
+        return loader(model_dir, cfg, dtype, tok)
     arch = arch_from_hf_config(cfg, dtype=dtype)
     params = load_params(model_dir, arch,
                          model_type=cfg.get("model_type", "llama"))

@@ -28,6 +28,9 @@ Array = jax.Array
 
 @MODEL_REGISTRY
 class Llava(BaseModel):
+    # 'default' drops the CLS token; 'full' keeps every patch (SigLIP towers)
+    select_strategy = "default"
+
     def __init__(
         self,
         language: BaseModel,
@@ -54,8 +57,10 @@ class Llava(BaseModel):
         self.feature_hooks: List[Any] = []
         self.lang_token_hooks: Dict[int, Any] = {}
         self.num_frames: int = 1  # video inputs: frames stacked in batch dim
+        n_vis_tokens = vision.arch.max_position_embeddings - (
+            1 if self.select_strategy == "default" else 0)
         self.pruning_config: Dict[str, Any] = {
-            "image_token_length": (vision.arch.max_position_embeddings - 1),
+            "image_token_length": n_vis_tokens,
             "select_layer": vision.arch.num_layers - 1,
             "select_feature": "patch",
             "image_token_index": image_token_id,
@@ -110,21 +115,26 @@ class Llava(BaseModel):
 
         ``vision_feature_layer`` follows llava-hf semantics: -1 = full
         tower, -2 = penultimate hidden state (no final norm)."""
+        # vision_feature_layer indexes HF's hidden_states tuple, which never
+        # includes the post-layernorm: -1 = last block output (no final LN),
+        # -2 = penultimate.
         vfl = getattr(self, "vision_feature_layer", -1)
-        if vfl == -1:
-            feats = self.vision.forward_features(pixels)
-        else:
-            L = len(self.vision.params["blocks"])
-            feats = self.vision.forward_features(
-                pixels, until_layer=L + 1 + vfl, final_norm=False)
-        feats = feats[:, 1:]  # drop cls ('default' select strategy)
-        fc1, fc2 = self.projector["fc1"], self.projector["fc2"]
-        h = A.default_linear("proj.fc1", fc1["weight"], fc1.get("bias"), feats)
-        h = jax.nn.gelu(h)
-        h = A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), h)
+        L = len(self.vision.params["blocks"])
+        feats = self.vision.forward_features(
+            pixels, until_layer=L + 1 + vfl, final_norm=False)
+        if getattr(self, "select_strategy", "default") == "default":
+            feats = feats[:, 1:]  # drop cls
+        h = self.project_features(feats)
         for hook in self.feature_hooks:
             h = hook(self, h)
         return h
+
+    def project_features(self, feats: Array) -> Array:
+        """2-layer GELU projector (llava); subclasses override."""
+        fc1, fc2 = self.projector["fc1"], self.projector["fc2"]
+        h = A.default_linear("proj.fc1", fc1["weight"], fc1.get("bias"), feats)
+        h = jax.nn.gelu(h)
+        return A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), h)
 
     def multimodal_embed(self, input_ids: Array, pixels: Array) -> Array:
         """Splice image tokens at the (single) image-token position.

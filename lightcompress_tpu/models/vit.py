@@ -36,8 +36,9 @@ VIT_SUBSETS = (
 
 
 def make_vit_arch(image_size=224, patch_size=16, hidden=768, inter=3072,
-                  layers=12, heads=12, num_classes=1000, dtype=jnp.float32):
-    n_patches = (image_size // patch_size) ** 2
+                  layers=12, heads=12, num_classes=1000, dtype=jnp.float32,
+                  cls_token=True, act_fn="gelu"):
+    n_patches = (image_size // patch_size) ** 2 + (1 if cls_token else 0)
     return A.ArchSpec(
         family="opt",  # block structure: LayerNorm + GELU + biases
         vocab_size=num_classes,
@@ -47,15 +48,15 @@ def make_vit_arch(image_size=224, patch_size=16, hidden=768, inter=3072,
         num_heads=heads,
         num_kv_heads=heads,
         head_dim=hidden // heads,
-        max_position_embeddings=n_patches + 1,
-        act_fn="gelu",
+        max_position_embeddings=n_patches,
+        act_fn=act_fn,
         do_layer_norm_before=True,
         dtype=dtype,
     )
 
 
 def init_vit_params(key, arch: A.ArchSpec, patch_size: int = 16,
-                    channels: int = 3) -> Dict:
+                    channels: int = 3, cls_token: bool = True) -> Dict:
     ks = jax.random.split(key, arch.num_layers + 5)
     h = arch.hidden_size
     dt = arch.dtype
@@ -67,7 +68,6 @@ def init_vit_params(key, arch: A.ArchSpec, patch_size: int = 16,
                        ).astype(dt),
             "bias": jnp.zeros((h,), dt),
         },
-        "cls_token": (jax.random.normal(ks[1], (1, 1, h)) * 0.02).astype(dt),
         "pos_embed": (jax.random.normal(ks[2], (1, n_pos, h)) * 0.02
                       ).astype(dt),
         "blocks": [
@@ -81,6 +81,9 @@ def init_vit_params(key, arch: A.ArchSpec, patch_size: int = 16,
             "bias": jnp.zeros((arch.vocab_size,), dt),
         },
     }
+    if cls_token:
+        params["cls_token"] = (
+            jax.random.normal(ks[1], (1, 1, h)) * 0.02).astype(dt)
     return params
 
 
@@ -112,8 +115,9 @@ class Vit(BaseModel):
         x = A.default_linear("patch", p["patch_embed"]["weight"],
                              p["patch_embed"].get("bias"), patches)
         B = x.shape[0]
-        cls = jnp.broadcast_to(p["cls_token"], (B, 1, x.shape[-1]))
-        x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+        if "cls_token" in p:  # SigLIP towers have no CLS token
+            cls = jnp.broadcast_to(p["cls_token"], (B, 1, x.shape[-1]))
+            x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
         x = x + p["pos_embed"][:, : x.shape[1]]
         if "pre_ln" in p:  # CLIP vision pre_layrnorm
             x = A.layernorm(x, p["pre_ln"]["weight"], p["pre_ln"].get("bias"),
