@@ -1108,9 +1108,19 @@ def _load_vlm_language(reader, model_dir: str, cfg: Dict, dtype):
     from ..registry import MODEL_REGISTRY
 
     keys = list(reader.keys())
-    lang_p = _vlm_prefix(keys, "language_model")
     tcfg = cfg["text_config"]
     arch = arch_from_hf_config(tcfg, dtype=dtype)
+    if not any(k.startswith(("language_model.", "model.language_model."))
+               for k in keys):
+        # flat layout (qwen2-vl style): LM lives at model.layers.* directly
+        lang_params = load_params(model_dir, arch,
+                                  tcfg.get("model_type", "llama"),
+                                  reader=reader)
+        cls_name = {"llama": "Llama", "mistral": "Mistral",
+                    "qwen2": "Qwen2"}.get(tcfg.get("model_type", "llama"),
+                                          "Llama")
+        return MODEL_REGISTRY[cls_name](arch, lang_params)
+    lang_p = _vlm_prefix(keys, "language_model")
     lr = _PrefixReader(reader, lang_p)
     if lang_p == "model.language_model.":
         # keys inside are "model.language_model.layers..." -> llama map
@@ -1229,11 +1239,114 @@ def _load_video_llava(model_dir: str, cfg: Dict, dtype, tok):
     return m
 
 
+def _load_qwen_vl(model_dir: str, cfg: Dict, dtype, tok):
+    """Qwen2-VL / Qwen2.5-VL checkpoints (reference qwen2vl.py,
+    qwen2_5vl.py): packed-sequence tower (fused qkv split into q/k/v rows —
+    identical numerics, per-row quantization unaffected) + Qwen2 LM with
+    M-RoPE."""
+    from .qwen_vl import Qwen2VL, QwenVLVisionSpec, QwenVLVisionTower
+
+    v25 = cfg.get("model_type") == "qwen2_5_vl"
+    vcfg = cfg["vision_config"]
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "visual")
+
+    if v25:
+        spec = QwenVLVisionSpec(
+            depth=vcfg["depth"], embed_dim=vcfg["hidden_size"],
+            out_hidden=vcfg["out_hidden_size"],
+            num_heads=vcfg["num_heads"],
+            intermediate=vcfg["intermediate_size"],
+            patch_size=vcfg["patch_size"],
+            spatial_merge_size=vcfg.get("spatial_merge_size", 2),
+            temporal_patch_size=vcfg.get("temporal_patch_size", 2),
+            v25=True, window_size=vcfg.get("window_size", 112),
+            fullatt_block_indexes=tuple(
+                vcfg.get("fullatt_block_indexes", ())),
+            dtype=dtype)
+    else:
+        spec = QwenVLVisionSpec(
+            depth=vcfg["depth"], embed_dim=vcfg["embed_dim"],
+            out_hidden=vcfg["hidden_size"], num_heads=vcfg["num_heads"],
+            intermediate=int(vcfg["embed_dim"] * vcfg.get("mlp_ratio", 4)),
+            patch_size=vcfg["patch_size"],
+            spatial_merge_size=vcfg.get("spatial_merge_size", 2),
+            temporal_patch_size=vcfg.get("temporal_patch_size", 2),
+            dtype=dtype)
+
+    vr = _PrefixReader(reader, vis_p)
+
+    def g(k):
+        t = vr.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    def norm_p(prefix):
+        p = {"weight": g(prefix + ".weight")}
+        b = g(prefix + ".bias")
+        if b is not None:
+            p["bias"] = b
+        return p
+
+    def lin_p(prefix):
+        p = {"weight": g(prefix + ".weight")}
+        b = g(prefix + ".bias")
+        if b is not None:
+            p["bias"] = b
+        return p
+
+    conv = vr.get("patch_embed.proj.weight")  # (D, C, tps, P, P)
+    vparams: Dict[str, Any] = {
+        "patch_embed": {"weight": _np_to_jnp(
+            conv.reshape(conv.shape[0], -1), dtype)},
+        "blocks": [],
+        "merger": {"ln_q": norm_p("merger.ln_q"),
+                   "fc1": lin_p("merger.mlp.0"),
+                   "fc2": lin_p("merger.mlp.2")},
+    }
+    D = spec.embed_dim
+    for i in range(spec.depth):
+        p = f"blocks.{i}."
+        qkv_w = vr.get(p + "attn.qkv.weight")
+        qkv_b = vr.get(p + "attn.qkv.bias")
+        attn = {}
+        for j, c in enumerate(("q", "k", "v")):
+            attn[c] = {"weight": _np_to_jnp(qkv_w[j * D:(j + 1) * D], dtype)}
+            if qkv_b is not None:
+                attn[c]["bias"] = _np_to_jnp(qkv_b[j * D:(j + 1) * D], dtype)
+        attn["o"] = lin_p(p + "attn.proj")
+        mlp = ({"gate": lin_p(p + "mlp.gate_proj"),
+                "up": lin_p(p + "mlp.up_proj"),
+                "down": lin_p(p + "mlp.down_proj")} if v25 else
+               {"fc1": lin_p(p + "mlp.fc1"), "fc2": lin_p(p + "mlp.fc2")})
+        vparams["blocks"].append({
+            "ln1": norm_p(p + "norm1"), "ln2": norm_p(p + "norm2"),
+            "attn": attn, "mlp": mlp,
+        })
+    tower = QwenVLVisionTower(spec, vparams)
+
+    tcfg = dict(cfg["text_config"])
+    tcfg["model_type"] = "qwen2"
+    lang_cfg = dict(cfg)
+    lang_cfg["text_config"] = tcfg
+    lang = _load_vlm_language(reader, model_dir, lang_cfg, dtype)
+    mrope = tuple((tcfg.get("rope_scaling") or {}).get(
+        "mrope_section", (16, 24, 24)))
+    return Qwen2VL(
+        lang, tower, tokenizer=tok, config=cfg,
+        image_token_id=cfg.get("image_token_id", 151655),
+        video_token_id=cfg.get("video_token_id", 151656),
+        vision_start_token_id=cfg.get("vision_start_token_id", 151652),
+        mrope_section=mrope)
+
+
 _VLM_LOADERS = {
     "llava": "_load_llava",
     "llava_onevision": "_load_llava_onevision",
     "video_llava": "_load_video_llava",
     "qwen2_audio": "_load_qwen2audio",
+    "qwen2_vl": "_load_qwen_vl",
+    "qwen2_5_vl": "_load_qwen_vl",
 }
 
 
