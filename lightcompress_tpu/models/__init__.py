@@ -37,6 +37,6 @@ from .hf_loader import (  # noqa: F401
 )
 from .vit import Vit  # noqa: F401
 from .llava import Llava  # noqa: F401
-from .vlm import LlavaOnevision, VideoLlava, Vila  # noqa: F401
+from .vlm import InternVL, LlavaOnevision, VideoLlava, Vila  # noqa: F401
 from .qwen_vl import Qwen2VL, QwenVLVisionTower  # noqa: F401
 from .audio import AudioTower, Qwen2Audio  # noqa: F401

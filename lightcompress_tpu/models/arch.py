@@ -351,6 +351,8 @@ def _act(x: Array, name: str) -> Array:
         return x * jax.nn.sigmoid(1.702 * x)
     if name == "gelu_tanh":  # SigLIP: gelu_pytorch_tanh
         return jax.nn.gelu(x, approximate=True)
+    if name == "gelu_exact":  # HF 'gelu' (erf form; InternViT)
+        return jax.nn.gelu(x, approximate=False)
     raise ValueError(name)
 
 
@@ -654,6 +656,9 @@ def block_forward(
     q = linear_fn("attn.q", ap["q"]["weight"], ap["q"].get("bias"), h1)
     k = linear_fn("attn.k", ap["k"]["weight"], ap["k"].get("bias"), h1)
     v = linear_fn("attn.v", ap["v"]["weight"], ap["v"].get("bias"), h1)
+    if "q_norm_full" in ap:  # InternViT: RMSNorm over the full embed dim
+        q = rmsnorm(q, ap["q_norm_full"]["weight"], arch.rms_eps)
+        k = rmsnorm(k, ap["k_norm_full"]["weight"], arch.rms_eps)
     q = q.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, nkv, hd).transpose(0, 2, 1, 3)
@@ -687,6 +692,8 @@ def block_forward(
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * hd)
     feats["attn.o"] = ctx
     attn_out = linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
+    if "ls1" in bp:  # InternViT layer scale (lambda_1)
+        attn_out = attn_out * bp["ls1"]
 
     if arch.sandwich_norms:
         attn_out = apply_norm(attn_out, bp["ln1_post"], arch)
@@ -724,6 +731,8 @@ def block_forward(
         mid = _act(f1, arch.act_fn)
         feats["mlp.fc2"] = mid
         f2 = linear_fn("mlp.fc2", mp["fc2"]["weight"], mp["fc2"].get("bias"), mid)
+        if "ls2" in bp:  # InternViT layer scale (lambda_2)
+            f2 = f2 * bp["ls2"]
         y = h + f2
         if not arch.do_layer_norm_before:
             y = apply_norm(y, bp["ln2"], arch)

@@ -1239,6 +1239,104 @@ def _load_video_llava(model_dir: str, cfg: Dict, dtype, tok):
     return m
 
 
+def _load_internvl_vision_tower(reader, vcfg: Dict, dtype):
+    """HF InternVLVisionModel (InternViT) -> our Vit: CLS + abs positions,
+    layer-scale lambda_1/lambda_2, biasless q/k/v, optional full-dim QK
+    RMSNorm, exact-erf GELU."""
+    from .vit import Vit, make_vit_arch
+
+    img = vcfg["image_size"]
+    img = img[0] if isinstance(img, (list, tuple)) else img
+    P = vcfg["patch_size"]
+    P = P[0] if isinstance(P, (list, tuple)) else P
+    arch = make_vit_arch(
+        image_size=img, patch_size=P, hidden=vcfg["hidden_size"],
+        inter=vcfg["intermediate_size"], layers=vcfg["num_hidden_layers"],
+        heads=vcfg["num_attention_heads"], num_classes=1, dtype=dtype,
+        act_fn="gelu_exact",
+    )
+
+    def g(k):
+        t = reader.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    e = "embeddings."
+    conv = reader.get(e + "patch_embeddings.projection.weight")
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "weight": _np_to_jnp(
+                conv.transpose(0, 2, 3, 1).reshape(conv.shape[0], -1), dtype),
+            "bias": g(e + "patch_embeddings.projection.bias"),
+        },
+        "cls_token": g(e + "cls_token").reshape(1, 1, -1),
+        "pos_embed": g(e + "position_embeddings").reshape(
+            1, -1, vcfg["hidden_size"]),
+        "blocks": [],
+    }
+    fln = g("layernorm.weight")  # absent when use_mean_pooling (Identity)
+    if fln is not None:
+        params["norm"] = {"weight": fln, "bias": g("layernorm.bias")}
+    for i in range(arch.num_layers):
+        p = f"encoder.layer.{i}."
+        bp: Dict[str, Any] = {
+            "ln1": {"weight": g(p + "layernorm_before.weight"),
+                    "bias": g(p + "layernorm_before.bias")},
+            "ln2": {"weight": g(p + "layernorm_after.weight"),
+                    "bias": g(p + "layernorm_after.bias")},
+            "ls1": g(p + "lambda_1"),
+            "ls2": g(p + "lambda_2"),
+            "attn": {}, "mlp": {},
+        }
+        for c, hf in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("o", "projection_layer")):
+            w = {"weight": g(p + f"attention.{hf}.weight")}
+            b = g(p + f"attention.{hf}.bias")
+            if b is not None:
+                w["bias"] = b
+            bp["attn"][c] = w
+        qn = g(p + "attention.q_norm.weight")
+        if qn is not None:
+            bp["attn"]["q_norm_full"] = {"weight": qn}
+            bp["attn"]["k_norm_full"] = {
+                "weight": g(p + "attention.k_norm.weight")}
+        if bp["ls1"] is None:
+            bp.pop("ls1"), bp.pop("ls2")
+        for c in ("fc1", "fc2"):
+            bp["mlp"][c] = {"weight": g(p + f"mlp.{c}.weight"),
+                            "bias": g(p + f"mlp.{c}.bias")}
+        params["blocks"].append(bp)
+    return Vit(arch, params, patch_size=P)
+
+
+def _load_internvl(model_dir: str, cfg: Dict, dtype, tok):
+    """HF InternVLForConditionalGeneration (reference internvl2.py /
+    internvl3_5.py): InternViT + pixel-shuffle projector + Qwen2/Llama LM."""
+    from .vlm import InternVL
+
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "vision_tower")
+    proj_p = _vlm_prefix(keys, "multi_modal_projector")
+    lang = _load_vlm_language(reader, model_dir, cfg, dtype)
+    vit = _load_internvl_vision_tower(_PrefixReader(reader, vis_p),
+                                      cfg["vision_config"], dtype)
+
+    def g(k):
+        t = reader.get(proj_p + k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    projector = {
+        "ln": {"weight": g("layer_norm.weight"), "bias": g("layer_norm.bias")},
+        "fc1": {"weight": g("linear_1.weight"), "bias": g("linear_1.bias")},
+        "fc2": {"weight": g("linear_2.weight"), "bias": g("linear_2.bias")},
+    }
+    m = InternVL(lang, vit, projector, tokenizer=tok, config=cfg,
+                 image_token_id=cfg.get("image_token_id", 151667))
+    m.vision_feature_layer = cfg.get("vision_feature_layer", -1)
+    m.downsample_ratio = cfg.get("downsample_ratio", 0.5)
+    return m
+
+
 def _load_qwen_vl(model_dir: str, cfg: Dict, dtype, tok):
     """Qwen2-VL / Qwen2.5-VL checkpoints (reference qwen2vl.py,
     qwen2_5vl.py): packed-sequence tower (fused qkv split into q/k/v rows —
@@ -1347,6 +1445,7 @@ _VLM_LOADERS = {
     "qwen2_audio": "_load_qwen2audio",
     "qwen2_vl": "_load_qwen_vl",
     "qwen2_5_vl": "_load_qwen_vl",
+    "internvl": "_load_internvl",
 }
 
 

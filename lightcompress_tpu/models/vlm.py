@@ -94,6 +94,38 @@ class Vila(Llava):
 
 
 @MODEL_REGISTRY
+class InternVL(Llava):
+    """InternVL2 / InternVL3.5 (reference internvl2.py, internvl3_5.py; HF
+    InternVLForConditionalGeneration): InternViT tower (layer-scale, optional
+    full-dim QK RMSNorm) + pixel-shuffle 0.5x downsample + LN/MLP projector.
+    """
+
+    downsample_ratio = 0.5
+
+    def pixel_shuffle(self, x: Array) -> Array:
+        """(B, T, C) -> (B, T*ds^2 tokens merged, C/ds^2), HF pixel_shuffle
+        semantics (modeling_internvl.py:688-721)."""
+        B, T, C = x.shape
+        fs = int(round(T ** 0.5))
+        sf = self.downsample_ratio
+        x = x.reshape(B, fs, fs, C)
+        x = x.reshape(B, fs, int(fs * sf), int(C / sf))
+        x = x.transpose(0, 2, 1, 3)
+        x = x.reshape(B, int(fs * sf), int(fs * sf), int(C / sf ** 2))
+        x = x.transpose(0, 2, 1, 3)
+        return x.reshape(B, -1, int(C / sf ** 2))
+
+    def project_features(self, feats: Array) -> Array:
+        x = self.pixel_shuffle(feats)
+        ln = self.projector["ln"]
+        x = A.layernorm(x, ln["weight"], ln.get("bias"), 1e-5)
+        fc1, fc2 = self.projector["fc1"], self.projector["fc2"]
+        x = A.default_linear("proj.fc1", fc1["weight"], fc1.get("bias"), x)
+        x = jax.nn.gelu(x, approximate=False)
+        return A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), x)
+
+
+@MODEL_REGISTRY
 class VideoLlava(Llava):
     """Video-LLaVA (reference videollava.py): separate CLIP image and video
     towers (LanguageBind weights share the CLIP layout) + shared projector.
