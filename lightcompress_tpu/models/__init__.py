@@ -39,4 +39,5 @@ from .vit import Vit  # noqa: F401
 from .llava import Llava  # noqa: F401
 from .vlm import InternVL, LlavaOnevision, VideoLlava, Vila  # noqa: F401
 from .qwen_vl import Qwen2VL, QwenVLVisionTower  # noqa: F401
+from .mllama import Mllama, MllamaVisionModel  # noqa: F401
 from .audio import AudioTower, Qwen2Audio  # noqa: F401

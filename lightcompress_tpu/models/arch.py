@@ -142,6 +142,9 @@ class ArchSpec:
     residual_multiplier: float = 0.0  # minicpm scale_depth/sqrt(L); 0 = off
     embed_multiplier: float = 0.0  # minicpm scale_emb; 0 = off
     logit_divisor: float = 0.0     # minicpm hidden/dim_model_base; 0 = off
+    # llama3 rope scaling (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings); None = off
+    rope_llama3: Optional[Tuple[float, float, float, int]] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -369,6 +372,17 @@ def rope_cos_sin(arch: ArchSpec, positions: Array) -> Tuple[Array, Array]:
     inv_freq = 1.0 / (
         arch.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     )
+    if arch.rope_llama3 is not None:
+        # HF ROPE_INIT_FUNCTIONS['llama3']: scale low-frequency components,
+        # smooth ramp between the low/high wavelength cutoffs
+        factor, lo_f, hi_f, orig_max = arch.rope_llama3
+        wavelen = 2 * jnp.pi / inv_freq
+        lo_wl = orig_max / lo_f
+        hi_wl = orig_max / hi_f
+        smooth = (orig_max / wavelen - lo_f) / (hi_f - lo_f)
+        smoothed = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = jnp.where(wavelen > lo_wl, inv_freq / factor,
+                             jnp.where(wavelen < hi_wl, inv_freq, smoothed))
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., T, d/2)
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

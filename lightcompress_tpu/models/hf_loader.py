@@ -34,6 +34,14 @@ _LLAMA_LIKE = {"llama", "mistral", "qwen2", "qwen3", "smollm", "stablelm",
                "phi3"}
 
 
+def _llama3_rope(cfg: Dict[str, Any]):
+    rs = cfg.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) != "llama3":
+        return None
+    return (rs["factor"], rs["low_freq_factor"], rs["high_freq_factor"],
+            rs["original_max_position_embeddings"])
+
+
 def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
     mt = cfg.get("model_type", "llama")
     if mt in _LLAMA_LIKE:
@@ -58,6 +66,7 @@ def arch_from_hf_config(cfg: Dict[str, Any], dtype=jnp.bfloat16) -> A.ArchSpec:
             act_fn={"silu": "silu", "gelu": "gelu"}.get(
                 cfg.get("hidden_act", "silu"), "silu"
             ),
+            rope_llama3=_llama3_rope(cfg),
             dtype=dtype,
         )
     if mt == "gemma2":
@@ -1438,6 +1447,153 @@ def _load_qwen_vl(model_dir: str, cfg: Dict, dtype, tok):
         mrope_section=mrope)
 
 
+def _load_mllama(model_dir: str, cfg: Dict, dtype, tok):
+    """HF MllamaForConditionalGeneration (reference mllama.py): tiled gated
+    vision tower + Llama LM with tanh-gated cross-attention layers."""
+    from .mllama import Mllama, MllamaVisionModel, MllamaVisionSpec
+
+    vcfg = cfg["vision_config"]
+    tcfg = dict(cfg["text_config"])
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "vision_model")
+    proj_p = _vlm_prefix(keys, "multi_modal_projector")
+    # mllama nests an LM-with-head: language_model.model.* + its lm_head
+    lang_p = next(p for p in ("language_model.model.",
+                              "model.language_model.", "language_model.")
+                  if any(k.startswith(p) for k in keys))
+    head_key = next(k for k in ("language_model.lm_head.weight",
+                                "lm_head.weight") if reader.get(k)
+                    is not None)
+    vr = _PrefixReader(reader, vis_p)
+
+    def gv(k):
+        t = vr.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    spec = MllamaVisionSpec(
+        hidden=vcfg["hidden_size"], intermediate=vcfg["intermediate_size"],
+        num_layers=vcfg["num_hidden_layers"],
+        num_global_layers=vcfg["num_global_layers"],
+        num_heads=vcfg["attention_heads"], patch_size=vcfg["patch_size"],
+        image_size=vcfg["image_size"] if not isinstance(
+            vcfg["image_size"], (list, tuple)) else vcfg["image_size"][0],
+        max_num_tiles=vcfg["max_num_tiles"],
+        intermediate_layers_indices=tuple(
+            vcfg["intermediate_layers_indices"]),
+        dtype=dtype)
+
+    conv = vr.get("patch_embedding.weight")
+    vparams: Dict[str, Any] = {
+        "patch_embed": {"weight": _np_to_jnp(
+            conv.transpose(0, 2, 3, 1).reshape(conv.shape[0], -1), dtype)},
+        "class_embedding": gv("class_embedding"),
+        "pos_embed": {
+            "gate": gv("gated_positional_embedding.gate"),
+            "embedding": gv("gated_positional_embedding.embedding"),
+            "tile_embedding": gv(
+                "gated_positional_embedding.tile_embedding.weight"),
+        },
+        "pre_tile_pos": {
+            "gate": gv("pre_tile_positional_embedding.gate"),
+            "embedding": gv("pre_tile_positional_embedding.embedding.weight"),
+        },
+        "post_tile_pos": {
+            "gate": gv("post_tile_positional_embedding.gate"),
+            "embedding": gv(
+                "post_tile_positional_embedding.embedding.weight"),
+        },
+        "ln_pre": {"weight": gv("layernorm_pre.weight"),
+                   "bias": gv("layernorm_pre.bias")},
+        "ln_post": {"weight": gv("layernorm_post.weight"),
+                    "bias": gv("layernorm_post.bias")},
+        "blocks": [],
+    }
+
+    def vis_block(prefix, gated):
+        bp: Dict[str, Any] = {
+            "ln1": {"weight": gv(prefix + "input_layernorm.weight"),
+                    "bias": gv(prefix + "input_layernorm.bias")},
+            "ln2": {"weight": gv(prefix + "post_attention_layernorm.weight"),
+                    "bias": gv(prefix + "post_attention_layernorm.bias")},
+            "attn": {c: {"weight": gv(prefix + f"self_attn.{h}_proj.weight")}
+                     for c, h in (("q", "q"), ("k", "k"), ("v", "v"),
+                                  ("o", "o"))},
+            "mlp": {c: {"weight": gv(prefix + f"mlp.{c}.weight"),
+                        "bias": gv(prefix + f"mlp.{c}.bias")}
+                    for c in ("fc1", "fc2")},
+        }
+        if gated:
+            bp["gate_attn"] = gv(prefix + "gate_attn")
+            bp["gate_ffn"] = gv(prefix + "gate_ffn")
+        return bp
+
+    for i in range(spec.num_layers):
+        vparams["blocks"].append(vis_block(f"transformer.layers.{i}.", False))
+    for i in range(spec.num_global_layers):
+        vparams["blocks"].append(
+            vis_block(f"global_transformer.layers.{i}.", True))
+    vision = MllamaVisionModel(spec, vparams)
+
+    # language side: mixed self / cross blocks
+    tcfg["model_type"] = "llama"
+    arch = arch_from_hf_config(tcfg, dtype=dtype)
+    lr = _PrefixReader(reader, lang_p)
+
+    def gl(k):
+        t = lr.get(k)
+        if t is None and lang_p == "model.language_model.":
+            t = lr.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    cross_layers = set(tcfg.get("cross_attention_layers", []))
+    blocks = []
+    for i in range(arch.num_layers):
+        p = f"layers.{i}."
+        if i in cross_layers:
+            blocks.append({
+                "ln1": {"weight": gl(p + "input_layernorm.weight")},
+                "ln2": {"weight": gl(
+                    p + "post_attention_layernorm.weight")},
+                "attn": {
+                    "q": {"weight": gl(p + "cross_attn.q_proj.weight")},
+                    "k": {"weight": gl(p + "cross_attn.k_proj.weight")},
+                    "v": {"weight": gl(p + "cross_attn.v_proj.weight")},
+                    "o": {"weight": gl(p + "cross_attn.o_proj.weight")},
+                    "q_norm": {"weight": gl(p + "cross_attn.q_norm.weight")},
+                    "k_norm": {"weight": gl(p + "cross_attn.k_norm.weight")},
+                },
+                "gate_attn": gl(p + "cross_attn_attn_gate"),
+                "gate_mlp": gl(p + "cross_attn_mlp_gate"),
+                "mlp": {c: {"weight": gl(p + f"mlp.{h}_proj.weight")}
+                        for c, h in (("gate", "gate"), ("up", "up"),
+                                     ("down", "down"))},
+            })
+        else:
+            blocks.append({
+                "ln1": {"weight": gl(p + "input_layernorm.weight")},
+                "ln2": {"weight": gl(
+                    p + "post_attention_layernorm.weight")},
+                "attn": {c: {"weight": gl(p + f"self_attn.{c}_proj.weight")}
+                         for c in ("q", "k", "v", "o")},
+                "mlp": {c: {"weight": gl(p + f"mlp.{h}_proj.weight")}
+                        for c, h in (("gate", "gate"), ("up", "up"),
+                                     ("down", "down"))},
+            })
+    head = reader.get(head_key)
+    params = {
+        "embed": {"weight": _np_to_jnp(lr.get("embed_tokens.weight"), dtype)},
+        "norm": {"weight": gl("norm.weight")},
+        "lm_head": {"weight": _np_to_jnp(head, dtype)},
+        "blocks": blocks,
+    }
+    projector = {"weight": _np_to_jnp(reader.get(proj_p + "weight"), dtype),
+                 "bias": _np_to_jnp(reader.get(proj_p + "bias"), dtype)}
+    return Mllama(arch, params, vision, projector, cross_layers,
+                  tokenizer=tok, config=cfg,
+                  image_token_id=cfg.get("image_token_index", 128256))
+
+
 _VLM_LOADERS = {
     "llava": "_load_llava",
     "llava_onevision": "_load_llava_onevision",
@@ -1446,6 +1602,7 @@ _VLM_LOADERS = {
     "qwen2_vl": "_load_qwen_vl",
     "qwen2_5_vl": "_load_qwen_vl",
     "internvl": "_load_internvl",
+    "mllama": "_load_mllama",
 }
 
 
