@@ -22,6 +22,8 @@ import numpy as np
 
 # 8 -> W4A8 (per-token int8 acts, MXU int8 dots); 16 -> W4A16 bf16 dots
 ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
+# 8 -> int8 quantized KV cache (serving default); 16 -> bf16 KV
+KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
 
 
 # Llama-3-8B block shapes
@@ -69,9 +71,11 @@ def make_layer_qweights(key):
     return out
 
 
-def decode_step(layers, x, k_cache, v_cache):
+def decode_step(layers, x, k_cache, v_cache, kv_scales):
     """One decode token through the 32-layer stack (no embed/head — the
-    W4-dominated portion)."""
+    W4-dominated portion).  KV caches are int8 with per-(b, h, t) scales
+    (the serving engine's quantized-KV layout, serving/kv_cache.py) when
+    KV_BITS=8 — KV reads dominate decode traffic at 1024-ctx batch 32."""
     from lightcompress_tpu.ops import qlinear_apply as _qa
 
     def qlinear_apply(h, qp):
@@ -83,14 +87,38 @@ def decode_step(layers, x, k_cache, v_cache):
         q = qlinear_apply(h1, lw["q"]).reshape(B, N_HEADS, 1, HEAD_DIM)
         k = qlinear_apply(h1, lw["k"]).reshape(B, N_KV, 1, HEAD_DIM)
         v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
-        kc = jnp.concatenate([k_cache[li], k], axis=2)
-        vc = jnp.concatenate([v_cache[li], v], axis=2)
-        # grouped GQA attention — never materialize the repeated KV
         G = N_HEADS // N_KV
-        qg = q.reshape(B, N_KV, G, 1, HEAD_DIM)
-        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kc) * (HEAD_DIM**-0.5)
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
+        if KV_BITS == 8:
+            ks, vs = kv_scales[li]  # (B, N_KV, CTX) f32 each
+            # quantize the new token like the serving cache, append int8
+            def q8(t):
+                amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                               keepdims=True)
+                sc = jnp.maximum(amax, 1e-8) / 127.0
+                return (jnp.clip(jnp.round(t / sc), -127, 127)
+                        .astype(jnp.int8), sc[..., 0])
+            k8, ksn = q8(k)
+            v8, vsn = q8(v)
+            kc = jnp.concatenate([k_cache[li], k8], axis=2)
+            vc = jnp.concatenate([v_cache[li], v8], axis=2)
+            ksc = jnp.concatenate([ks, ksn], axis=-1)
+            vsc = jnp.concatenate([vs, vsn], axis=-1)
+            qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+            sc = jnp.einsum("bkgd,bksd->bkgs", qg, kc.astype(jnp.bfloat16))
+            sc = sc * ksc[:, :, None, :] * (HEAD_DIM**-0.5)
+            probs = jax.nn.softmax(sc.astype(jnp.float32), -1)
+            pv = (probs * vsc[:, :, None, :]).astype(jnp.bfloat16)
+            ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vc.astype(jnp.bfloat16))
+            ctx = ctx.reshape(B, -1).astype(x.dtype)
+        else:
+            kc = jnp.concatenate([k_cache[li], k], axis=2)
+            vc = jnp.concatenate([v_cache[li], v], axis=2)
+            # grouped GQA attention — never materialize the repeated KV
+            qg = q.reshape(B, N_KV, G, 1, HEAD_DIM)
+            scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kc) * \
+                (HEAD_DIM**-0.5)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
         x = x + qlinear_apply(ctx, lw["o"])
         h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
         g = qlinear_apply(h2, lw["gate"])
@@ -103,12 +131,18 @@ def main():
     key = jax.random.PRNGKey(0)
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
+    kv_dt = jnp.int8 if KV_BITS == 8 else jnp.bfloat16
     k_cache = [
-        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.bfloat16) for _ in range(LAYERS)
+        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt) for _ in range(LAYERS)
     ]
     v_cache = [
-        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.bfloat16) for _ in range(LAYERS)
+        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt) for _ in range(LAYERS)
     ]
+    kv_scales = [
+        (jnp.full((BATCH, N_KV, CTX), 0.01, jnp.float32),
+         jnp.full((BATCH, N_KV, CTX), 0.01, jnp.float32))
+        for _ in range(LAYERS)
+    ] if KV_BITS == 8 else [None] * LAYERS
 
     # Measurement protocol for the tunneled runtime: iterations chained
     # ON-DEVICE in one fori_loop (each step feeds the next), ended with a
@@ -116,18 +150,18 @@ def main():
     # completion here, and identical replayed executions get dedup-cached.
     n_iters = 20
 
-    def many(layers, x, k_cache, v_cache):
+    def many(layers, x, k_cache, v_cache, kv_scales):
         def body(i, xx):
-            y = decode_step(layers, xx, k_cache, v_cache)
+            y = decode_step(layers, xx, k_cache, v_cache, kv_scales)
             return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
         return jax.lax.fori_loop(0, n_iters, body, x)
 
     step = jax.jit(many)
-    out = step(layers, x, k_cache, v_cache)
+    out = step(layers, x, k_cache, v_cache, kv_scales)
     _ = float(jnp.sum(out))  # compile + drain
     t0 = time.time()
-    out = step(layers, out, k_cache, v_cache)
+    out = step(layers, out, k_cache, v_cache, kv_scales)
     _ = float(jnp.sum(out))  # forces real completion
     dt = (time.time() - t0) / n_iters
     tokens_per_s = BATCH / dt
@@ -140,11 +174,14 @@ def main():
         for lw in layers
         for n in lw
     )
-    kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * HEAD_DIM * 2
+    kv_elem = 1 if KV_BITS == 8 else 2
+    kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (HEAD_DIM * kv_elem
+                                                  + (4 if KV_BITS == 8
+                                                     else 0))
     roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
 
     print(json.dumps({
-        "metric": f"w4a{ACT_BITS}_8b_decode_tokens_per_s",
+        "metric": f"w4a{ACT_BITS}kv{KV_BITS}_8b_decode_tokens_per_s",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / roofline_tps, 4),

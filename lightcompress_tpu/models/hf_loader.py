@@ -1594,6 +1594,102 @@ def _load_mllama(model_dir: str, cfg: Dict, dtype, tok):
                   image_token_id=cfg.get("image_token_index", 128256))
 
 
+def _load_glm4v(model_dir: str, cfg: Dict, dtype, tok):
+    """HF Glm4vForConditionalGeneration (reference glm4v.py): Qwen2.5-style
+    tower + abs pos + conv downsample + gated merger; GLM-4 LM with M-RoPE
+    over the GLM interleaved partial rope."""
+    from .qwen_vl import Glm4vVisionTower, Glm4VL, QwenVLVisionSpec
+
+    vcfg = cfg["vision_config"]
+    reader = _ShardReader(model_dir)
+    keys = list(reader.keys())
+    vis_p = _vlm_prefix(keys, "visual")
+    vr = _PrefixReader(reader, vis_p)
+
+    def g(k):
+        t = vr.get(k)
+        return None if t is None else _np_to_jnp(t, dtype)
+
+    def lin_p(prefix):
+        p = {"weight": g(prefix + ".weight")}
+        b = g(prefix + ".bias")
+        if b is not None:
+            p["bias"] = b
+        return p
+
+    spec = QwenVLVisionSpec(
+        depth=vcfg["depth"], embed_dim=vcfg["hidden_size"],
+        out_hidden=vcfg["out_hidden_size"], num_heads=vcfg["num_heads"],
+        intermediate=vcfg["intermediate_size"],
+        patch_size=vcfg["patch_size"],
+        spatial_merge_size=vcfg.get("spatial_merge_size", 2),
+        temporal_patch_size=vcfg.get("temporal_patch_size", 2),
+        v25=True, fullatt_block_indexes=tuple(range(vcfg["depth"])),
+        dtype=dtype)
+    conv = vr.get("patch_embed.proj.weight")
+    ds_conv = vr.get("downsample.weight")  # (out, D, m, m)
+    vparams: Dict[str, Any] = {
+        "patch_embed": {
+            "weight": _np_to_jnp(conv.reshape(conv.shape[0], -1), dtype),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "post_conv_ln": {"weight": g("post_conv_layernorm.weight")},
+        "post_ln": {"weight": g("post_layernorm.weight")},
+        "pos_embed": g("embeddings.position_embedding.weight"),
+        # conv2d (out, D, m, m) == linear on merge-group (m, m, D) tokens:
+        # token-major layout is (m*m, D) so flatten kernel to (out, m*m*D)
+        # with spatial-major order
+        "downsample": {
+            "weight": _np_to_jnp(
+                ds_conv.transpose(0, 2, 3, 1).reshape(ds_conv.shape[0], -1),
+                dtype),
+            "bias": g("downsample.bias"),
+        },
+        "merger": {
+            "proj": lin_p("merger.proj"),
+            "post_norm": lin_p("merger.post_projection_norm"),
+            "gate": lin_p("merger.gate_proj"),
+            "up": lin_p("merger.up_proj"),
+            "down": lin_p("merger.down_proj"),
+        },
+        "blocks": [],
+    }
+    D = spec.embed_dim
+    for i in range(spec.depth):
+        p = f"blocks.{i}."
+        qkv_w = vr.get(p + "attn.qkv.weight")
+        qkv_b = vr.get(p + "attn.qkv.bias")
+        attn = {}
+        for j, c in enumerate(("q", "k", "v")):
+            attn[c] = {"weight": _np_to_jnp(qkv_w[j * D:(j + 1) * D], dtype)}
+            if qkv_b is not None:
+                attn[c]["bias"] = _np_to_jnp(qkv_b[j * D:(j + 1) * D], dtype)
+        attn["o"] = lin_p(p + "attn.proj")
+        vparams["blocks"].append({
+            "ln1": {"weight": g(p + "norm1.weight")},
+            "ln2": {"weight": g(p + "norm2.weight")},
+            "attn": attn,
+            "mlp": {"gate": lin_p(p + "mlp.gate_proj"),
+                    "up": lin_p(p + "mlp.up_proj"),
+                    "down": lin_p(p + "mlp.down_proj")},
+        })
+    tower = Glm4vVisionTower(spec, vparams)
+
+    tcfg = dict(cfg["text_config"])
+    tcfg["model_type"] = "glm4"
+    lang_cfg = dict(cfg)
+    lang_cfg["text_config"] = tcfg
+    lang = _load_vlm_language(reader, model_dir, lang_cfg, dtype)
+    mrope = tuple((tcfg.get("rope_scaling") or {}).get(
+        "mrope_section", (8, 12, 12)))
+    return Glm4VL(
+        lang, tower, tokenizer=tok, config=cfg,
+        image_token_id=cfg.get("image_token_id", 151343),
+        video_token_id=cfg.get("video_token_id", 151344),
+        vision_start_token_id=cfg.get("image_start_token_id", 151339),
+        mrope_section=mrope)
+
+
 _VLM_LOADERS = {
     "llava": "_load_llava",
     "llava_onevision": "_load_llava_onevision",
@@ -1603,6 +1699,7 @@ _VLM_LOADERS = {
     "qwen2_5_vl": "_load_qwen_vl",
     "internvl": "_load_internvl",
     "mllama": "_load_mllama",
+    "glm4v": "_load_glm4v",
 }
 
 

@@ -540,3 +540,93 @@ def init_qwen_vl_tower(key, spec: QwenVLVisionSpec) -> Dict:
         "merger": {"ln_q": norm(D), "fc1": lin(ks[-2], mdim, mdim),
                    "fc2": lin(ks[-3], spec.out_hidden, mdim)},
     }
+
+
+# ---------------------------------------------------------------------------
+# GLM-4V / GLM-4.1V (reference llmc/models/glm4v.py)
+# ---------------------------------------------------------------------------
+
+@MODEL_REGISTRY
+class Glm4vVisionTower(QwenVLVisionTower):
+    """GLM-4V tower = Qwen2.5-style blocks (RMSNorm, gated SiLU MLP, 2D
+    rope) with NO window attention, plus: post-conv RMSNorm, interpolated
+    absolute position embeddings, post RMSNorm, a 2x2 conv downsample to
+    the LLM width, and a gated-MLP merger (modeling_glm4v.py:678-790)."""
+
+    def _rope_and_masks(self):
+        cos, sin = _vision_rope(self.spec, self._grid)
+        return cos, sin, None, None, None
+
+    def _abs_pos(self) -> Array:
+        """Bicubic-interpolated absolute positions; at the native grid the
+        cubic kernel is exact at sample points, so this reduces to a gather
+        in (h, w) patch order (then merge-group reordered)."""
+        p = self.params
+        pe = p["pos_embed"]  # (n_pos, D)
+        orig = int(round(pe.shape[0] ** 0.5))
+        t, h, w = self._grid
+        pos = _vision_pos_ids(self.spec, self._grid)  # (S, 2) merge order
+        if (h, w) == (orig, orig):
+            idx = pos[:, 0] * orig + pos[:, 1]
+            return pe[jnp.asarray(idx)]
+        # non-native grids: bicubic resize of the 2D table, then gather
+        grid2d = pe.reshape(orig, orig, -1)
+        resized = jax.image.resize(grid2d, (h, w, pe.shape[-1]), "cubic")
+        idx = pos[:, 0] * w + pos[:, 1]
+        return resized.reshape(h * w, -1)[jnp.asarray(idx)]
+
+    def forward_features(self, patches: Array,
+                         linear_fns: Optional[List] = None) -> Array:
+        spec = self.spec
+        p = self.params
+        x = A.default_linear("patch", p["patch_embed"]["weight"],
+                             p["patch_embed"].get("bias"), patches)
+        x = A.rmsnorm(x, p["post_conv_ln"]["weight"], 1e-5)
+        x = x + self._abs_pos().astype(x.dtype)
+        for idx, bp in enumerate(p["blocks"]):
+            if idx in self.token_hooks:
+                x = self.token_hooks[idx](self, idx, x)
+            lf = (linear_fns[idx] if linear_fns is not None
+                  else (self.linear_fns[idx] if self.linear_fns else None))
+            y, _, _ = self.block_forward(idx, x[None], linear_fn=lf,
+                                         block_params=bp)
+            x = y[0]
+        x = A.rmsnorm(x, p["post_ln"]["weight"], 1e-5)
+        # 2x2 conv downsample over each merge group == linear on the
+        # flattened (2, 2, D) neighborhood
+        ds = p["downsample"]
+        x = x.reshape(-1, spec.merge_unit * spec.embed_dim)
+        x = A.default_linear("downsample", ds["weight"], ds.get("bias"), x)
+        # merger: proj -> LayerNorm -> GELU -> gated SiLU MLP
+        mg = p["merger"]
+        x = A.default_linear("merger.proj", mg["proj"]["weight"],
+                             mg["proj"].get("bias"), x)
+        pn = mg["post_norm"]
+        x = jax.nn.gelu(A.layernorm(x, pn["weight"], pn.get("bias"), 1e-5),
+                        approximate=False)
+        g = A.default_linear("merger.gate", mg["gate"]["weight"],
+                             mg["gate"].get("bias"), x)
+        u = A.default_linear("merger.up", mg["up"]["weight"],
+                             mg["up"].get("bias"), x)
+        return A.default_linear("merger.down", mg["down"]["weight"],
+                                mg["down"].get("bias"), jax.nn.silu(g) * u)
+
+
+@MODEL_REGISTRY
+class Glm4VL(Qwen2VL):
+    """GLM-4V composite: Glm4vVisionTower + GLM-4 LM with M-RoPE over the
+    GLM half-dim interleaved rope (apply_multimodal_rotary_pos_emb,
+    modeling_glm4v.py:433-480 — sections split the rotary table, then the
+    GLM convention truncates to d/2 and repeat-interleaves)."""
+
+    def _lm_forward(self, x: Array, pos_ids_3d: Array) -> Array:
+        arch = self.language.arch
+        cos, sin = merge_mrope(arch, pos_ids_3d, self.mrope_section)
+        T = x.shape[1]
+        mask = A.causal_mask(T, T)
+        lfs = self.language.linear_fns
+        for idx, bp in enumerate(self.language.params["blocks"]):
+            lf = lfs[idx] if lfs is not None else None
+            x, _, _ = A.block_forward(arch, bp, x, cos, sin, mask,
+                                      linear_fn=lf or A.default_linear)
+        return A.head_forward(arch, self.language.params, x)

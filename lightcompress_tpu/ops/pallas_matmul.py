@@ -80,51 +80,89 @@ def tile_scales(s: Array, n_tile: int, gpp: int) -> Array:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _w4a16_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
-    """Grid = (N/N_t, gpp): grid dim 1 walks the groups-within-plane; the
-    8 nibble planes are unrolled inside (static shifts).  Every operand
-    arrives via a BlockSpec over PRE-TILED storage, so each grid step's DMA
-    is one fully-contiguous chunk (tile_packed/tile_scales) — strided block
-    reads of the flat layout measured ~4x slower.
+def pick_n_tile(N: int, kp: int, group: int,
+                max_bytes: int = 4 << 20) -> int:
+    """Largest output-channel tile whose full-K packed block fits in
+    ``max_bytes``.  Measured on v5e (tools/dma_experiments*.py): the grid
+    pipeline streams ~640 GB/s with 4MB blocks but only ~180 GB/s with 1MB
+    and ~130 GB/s with the old 128KB per-(tile,group) blocks — per-step DMA
+    size, not layout, is what sets the kernel's bandwidth."""
+    gpp = max(kp // group, 1)
+    for nt in (2048, 1024, 512, 256, 128):
+        if N % nt == 0 and gpp * nt * group * 4 <= max_bytes:
+            return nt
+    return 128
 
-    Block shapes per step:
-      x:  (B, 8*group)     — x pre-reordered so step gi's 8 plane-slices are
-                             contiguous
-      wp: (1, 1, N_t, group) tile of (N/NT, gpp, NT, g)
-      s/zs: (1, 1, 8, N_t) tile of (gpp, N/NT, 8, NT)
-      o:  (B, N_t) f32     — accumulated across grid dim 1
+
+def _w4a16_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
+                        group: int, gpp: int):
+    """Full-K variant: grid = (N/NT,) only; each step DMAs the ENTIRE K
+    extent of one output tile (gpp * NT * group nibbles, multi-MB) and
+    loops the groups-within-plane on-chip.  Block shapes:
+      x:  (B, K) bf16 plane-reordered (whole activation resident in VMEM)
+      wp: (1, gpp, NT, group) int32
+      s/zs: (gpp, 1, 8, NT) f32 (zs pre-multiplied by scales)
+      o:  (B, NT) f32, written once per step
     """
-    gi = pl.program_id(1)
-
-    @pl.when(gi == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
     xb = x_ref[:]
-    wpb = wp_ref[0, 0]
-    s_ref = s_ref.at[0, 0]
-    zs_ref = zs_ref.at[0, 0]
     b, nt = o_ref.shape
-    # 4 independent accumulators break the add dependency chain across the
-    # 8 plane dots; bf16 operands halve MXU latency (f32 accumulate)
-    accs = [jnp.zeros((b, nt), jnp.float32) for _ in range(4)]
-    for j in range(8):
-        cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.bfloat16)  # (N_t, g)
-        xg = xb[:, j * group:(j + 1) * group].astype(jnp.bfloat16)  # (B, g)
-        partial = jax.lax.dot_general(
-            xg, cg,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, N_t)
-        accs[j % 4] = accs[j % 4] + partial * s_ref[j, :][None, :]
-    # zero-point correction in one tiny dot: (B, 8) @ (8, N_t)
-    xsum = jnp.sum(xb.reshape(b, 8, group), axis=2)
+    xsum = jnp.sum(
+        xb.astype(jnp.float32).reshape(b, gpp * 8, group), axis=2)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]  # (NT, group) int32
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.bfloat16)
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            news[j % 4] = news[j % 4] + partial * s_ref[gi, 0, j, :][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt)
     corr = jax.lax.dot_general(
-        xsum, zs_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[:] = o_ref[:] + (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+def _w4a8_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
+                       group: int, gpp: int):
+    """Int8-activation full-K variant (see _w4a16_kernel_fullk); the 8
+    plane dots per group run in MXU int8 mode, integer-exact until the
+    per-group f32 scale multiply."""
+    xb = x_ref[:]
+    b, nt = o_ref.shape
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                s_ref[gi, 0, j, :][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
 
 
 @functools.partial(
@@ -168,9 +206,9 @@ def w4a16_matmul_planes(
     G = K // group
 
     # x reorder: k = j*kp + gi*group + t  ->  (gi, j, t) contiguous
-    xf = x.astype(jnp.float32)
     xr = (
-        xf.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
+        x.astype(jnp.bfloat16)
+        .reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
     )
     s = scales.astype(jnp.float32)
     if zeros is None:
@@ -180,28 +218,28 @@ def w4a16_matmul_planes(
     sr = tile_scales(s, n_tile, gpp)
     zsr = tile_scales(zs, n_tile, gpp)
 
-    kernel = functools.partial(_w4a16_kernel, group=group)
-    grid = (N // n_tile, gpp)
+    kernel = functools.partial(_w4a16_kernel_fullk, group=group, gpp=gpp)
+    grid = (N // n_tile,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 8 * group), lambda i, gi: (0, gi),
+            pl.BlockSpec((B, K), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_tile, group), lambda i, gi: (i, gi, 0, 0),
+            pl.BlockSpec((1, gpp, n_tile, group), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, n_tile), lambda i, gi: (0, i),
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
-            bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 4,
+            bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 2,
             transcendentals=0,
         ),
     )(xr, wp_t, sr, zsr)
@@ -219,47 +257,6 @@ def w4a16_matmul_planes(
 # DMA floor, the int8 one sits on it.  Activations are quantized per-token
 # (dynamic, amax/127) outside the kernel; everything inside is integer-exact
 # until the per-group f32 scale multiply.
-
-
-def _w4a8_kernel(x_ref, wp_ref, s_ref, zs_ref, o_ref, *, group: int):
-    """Int8-activation variant of _w4a16_kernel.
-
-    Block shapes per step (grid = (N/N_t, gpp)):
-      x:  (B, 8*group) int8  — per-token-quantized, plane-reordered
-      wp: (1, 1, N_t, group) int32 packed tile
-      s/zs: (1, 1, 8, N_t) f32 (zs pre-multiplied by scales)
-      o:  (B, N_t) f32 — still needs the per-token act scale applied outside
-    """
-    gi = pl.program_id(1)
-
-    @pl.when(gi == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    xb = x_ref[:]
-    wpb = wp_ref[0, 0]
-    s_ref = s_ref.at[0, 0]
-    zs_ref = zs_ref.at[0, 0]
-    b, nt = o_ref.shape
-    accs = [jnp.zeros((b, nt), jnp.float32) for _ in range(4)]
-    for j in range(8):
-        cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)  # (N_t, g) in [0,15]
-        xg = xb[:, j * group:(j + 1) * group]  # (B, g) int8
-        partial = jax.lax.dot_general(
-            xg, cg,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (B, N_t) int32 — exact
-        accs[j % 4] = accs[j % 4] + partial.astype(jnp.float32) * s_ref[j, :][None, :]
-    xsum = jnp.sum(
-        xb.astype(jnp.int32).reshape(b, 8, group), axis=2
-    ).astype(jnp.float32)
-    corr = jax.lax.dot_general(
-        xsum, zs_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[:] = o_ref[:] + (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
 
 
 def quantize_act_per_token(x: Array):
@@ -319,23 +316,23 @@ def w4a8_matmul_planes(
     sr = tile_scales(s, n_tile, gpp)
     zsr = tile_scales(zs, n_tile, gpp)
 
-    kernel = functools.partial(_w4a8_kernel, group=group)
-    grid = (N // n_tile, gpp)
+    kernel = functools.partial(_w4a8_kernel_fullk, group=group, gpp=gpp)
+    grid = (N // n_tile,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, 8 * group), lambda i, gi: (0, gi),
+            pl.BlockSpec((B, K), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_tile, group), lambda i, gi: (i, gi, 0, 0),
+            pl.BlockSpec((1, gpp, n_tile, group), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, n_tile), lambda i, gi: (gi, i, 0, 0),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, n_tile), lambda i, gi: (0, i),
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -357,7 +354,7 @@ def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
         n_tile = qp.codes.shape[2]
     else:
         N = qp.codes.shape[0]
-        n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
+        n_tile = pick_n_tile(N, qp.codes.shape[1], qp.group_size)
     y = w4a8_matmul_planes(
         xq, x_scale, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
         n_tile=n_tile, interpret=interpret,
@@ -392,7 +389,7 @@ def w4a16_matmul(x: Array, qp, interpret: bool = False) -> Array:
         n_tile = qp.codes.shape[2]
     else:
         N = qp.codes.shape[0]
-        n_tile = next((t for t in (512, 256, 128) if N % t == 0), 128)
+        n_tile = pick_n_tile(N, qp.codes.shape[1], qp.group_size)
     y = w4a16_matmul_planes(
         x2, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
         n_tile=n_tile, interpret=interpret,

@@ -51,16 +51,17 @@ def quantize_linear(
                              8, 0, True)
     if spec.bit == 4:
         if layout == "planes":
-            from .pallas_matmul import pack_int4_planes, tile_packed
+            from .pallas_matmul import (pack_int4_planes, pick_n_tile,
+                                        tile_packed)
 
             packed = pack_int4_planes(codes)
             N = packed.shape[0]
-            gs = spec.group_size if spec.granularity == "per_group" else 0
-            if gs and packed.shape[1] % gs == 0:
-                nt = next((t for t in (512, 256, 128) if N % t == 0), None)
-                if nt:
-                    # contiguous-tile serving layout for the Pallas kernel
-                    packed = tile_packed(packed, nt, gs)
+            gs = spec.granularity == "per_group" and spec.group_size or 0
+            if gs and packed.shape[1] % gs == 0 and N % 128 == 0:
+                # contiguous full-K tile serving layout (multi-MB DMA
+                # blocks; see pallas_matmul.pick_n_tile)
+                packed = tile_packed(packed, pick_n_tile(N, packed.shape[1],
+                                                         gs), gs)
         else:
             from ..export import pack_int4
 
