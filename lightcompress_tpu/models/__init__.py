@@ -37,7 +37,8 @@ from .hf_loader import (  # noqa: F401
 )
 from .vit import Vit  # noqa: F401
 from .llava import Llava  # noqa: F401
-from .vlm import InternVL, LlavaOnevision, VideoLlava, Vila  # noqa: F401
+from .vlm import (InternOmni, InternVL, LlavaOnevision,  # noqa: F401
+                  MiniCPMV, VideoLlava, Vila)
 from .qwen_vl import (Glm4VL, Glm4vVisionTower, Qwen2VL,  # noqa: F401
                       QwenVLVisionTower)
 from .mllama import Mllama, MllamaVisionModel  # noqa: F401

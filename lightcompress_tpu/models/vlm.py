@@ -215,3 +215,151 @@ def make_tiny_vila(seed: int = 0, vocab: int = 256, hidden: int = 64,
                 "bias": jnp.zeros((hidden,), dtype)},
     }
     return Vila(lang, vit, projector, image_token_id=vocab - 1)
+
+
+def sincos_2d_pos_embed(dim: int, h: int, w: int) -> Array:
+    """Standard 2D sin-cos position embedding (MiniCPM-V resampler)."""
+    assert dim % 4 == 0
+    d4 = dim // 4
+    omega = 1.0 / (10000.0 ** (jnp.arange(d4, dtype=jnp.float32) / d4))
+    gh = jnp.arange(h, dtype=jnp.float32)[:, None] * omega[None]
+    gw = jnp.arange(w, dtype=jnp.float32)[:, None] * omega[None]
+    eh = jnp.concatenate([jnp.sin(gh), jnp.cos(gh)], -1)  # (h, d/2)
+    ew = jnp.concatenate([jnp.sin(gw), jnp.cos(gw)], -1)  # (w, d/2)
+    out = jnp.concatenate([
+        jnp.broadcast_to(eh[:, None], (h, w, dim // 2)),
+        jnp.broadcast_to(ew[None, :], (h, w, dim // 2)),
+    ], -1)
+    return out.reshape(h * w, dim)
+
+
+@MODEL_REGISTRY
+class MiniCPMV(Llava):
+    """MiniCPM-V (reference minicpmv.py): SigLIP tower (`vpm`) + perceiver
+    resampler (learned queries cross-attending to vision features with 2D
+    sin-cos positions) + MiniCPM LM (`llm`).
+
+    projector params: query (Q, H), kv_proj, attn {q,k,v,o} (the split
+    nn.MultiheadAttention in_proj), ln_q/ln_kv/ln_post, proj (H, H).
+    """
+
+    select_strategy = "full"
+
+    def __init__(self, *a, num_resampler_heads: int = 8, **k):
+        super().__init__(*a, **k)
+        self.num_resampler_heads = num_resampler_heads
+
+    def project_features(self, feats: Array) -> Array:
+        p = self.projector
+        B, T, _ = feats.shape
+        H = p["query"].shape[-1]
+        nh = self.num_resampler_heads
+        hd = H // nh
+        side = int(round(T ** 0.5))
+        kv = A.default_linear("resampler.kv", p["kv_proj"]["weight"],
+                              p["kv_proj"].get("bias"), feats)
+        kv = A.layernorm(kv, p["ln_kv"]["weight"], p["ln_kv"].get("bias"),
+                         1e-5)
+        q = A.layernorm(p["query"], p["ln_q"]["weight"],
+                        p["ln_q"].get("bias"), 1e-5)  # (Q, H)
+        pos = sincos_2d_pos_embed(H, side, side).astype(kv.dtype)
+        k_in = kv + pos[None]
+        ap = p["attn"]
+        qq = A.default_linear("resampler.q", ap["q"]["weight"],
+                              ap["q"].get("bias"), q)  # (Q, H)
+        kk = A.default_linear("resampler.k", ap["k"]["weight"],
+                              ap["k"].get("bias"), k_in)
+        vv = A.default_linear("resampler.v", ap["v"]["weight"],
+                              ap["v"].get("bias"), kv)
+        Q = qq.shape[0]
+        qh = qq.reshape(Q, nh, hd).transpose(1, 0, 2)
+        kh = kk.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        vh = vv.reshape(B, T, nh, hd).transpose(0, 2, 1, 3)
+        sc = jnp.einsum("hqd,bhtd->bhqt", qh, kh) / (hd ** 0.5)
+        pr = jax.nn.softmax(sc, axis=-1)
+        ctx = jnp.einsum("bhqt,bhtd->bhqd", pr, vh)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Q, H)
+        out = A.default_linear("resampler.o", ap["o"]["weight"],
+                               ap["o"].get("bias"), ctx)
+        out = A.layernorm(out, p["ln_post"]["weight"],
+                          p["ln_post"].get("bias"), 1e-5)
+        return out @ p["proj"]
+
+
+@MODEL_REGISTRY
+class InternOmni(InternVL):
+    """InternOmni (reference internomni.py): InternVL plus a Whisper-style
+    audio tower with an LN+MLP audio projector (mlp2); audio embeddings are
+    spliced at ``audio_token_id`` like image tokens."""
+
+    def __init__(self, language, vision, projector, audio=None,
+                 audio_projector=None, tokenizer=None, config=None,
+                 image_token_id: int = 151667,
+                 audio_token_id: int = 151668):
+        super().__init__(language, vision, projector, tokenizer, config,
+                         image_token_id)
+        self.audio = audio
+        self.audio_projector = audio_projector or {}
+        self.audio_token_id = audio_token_id
+
+    def set_modality(self, modality: str):
+        assert modality in ("language", "vision", "audio")
+        self.modality = modality
+
+    @property
+    def active(self):
+        if self.modality == "audio":
+            return self.audio
+        return self.vision if self.modality == "vision" else self.language
+
+    def encode_audio(self, mel: Array) -> Array:
+        feats = self.audio.forward_features(mel)  # (B, T_a, D_a)
+        ap = self.audio_projector
+        x = A.layernorm(feats, ap["ln"]["weight"], ap["ln"].get("bias"),
+                        1e-5)
+        x = A.default_linear("audio.fc1", ap["fc1"]["weight"],
+                             ap["fc1"].get("bias"), x)
+        x = jax.nn.gelu(x, approximate=False)
+        return A.default_linear("audio.fc2", ap["fc2"]["weight"],
+                                ap["fc2"].get("bias"), x)
+
+    def forward_audio_visual(self, input_ids: Array, pixels: Array,
+                             mel: Array) -> Array:
+        """Image tokens expand at the image-token slot (``_splice``); the
+        single audio-token slot is overwritten with the mean-pooled audio
+        embedding (static shapes; the reference expands per audio_token_num
+        which is dynamic)."""
+        img = self.encode_images(pixels)
+        aud = self.encode_audio(mel)
+        x = self._splice(jnp.asarray(input_ids), img)
+        return self._lm_apply(x, aud, input_ids)
+
+    def _lm_apply(self, x: Array, aud: Array, input_ids) -> Array:
+        # position of the audio token in the POST-image-splice sequence
+        ids = jnp.asarray(input_ids)
+        Tv = x.shape[1] - ids.shape[1] + 1
+        img_pos = jnp.argmax((ids == self.image_token_id).astype(jnp.int32),
+                             axis=1)
+        aud_pos = jnp.argmax((ids == self.audio_token_id).astype(jnp.int32),
+                             axis=1)
+        aud_pos = jnp.where(aud_pos > img_pos, aud_pos + Tv - 1, aud_pos)
+        # overwrite the single audio-token slot with mean-pooled audio
+        # embedding window (static shapes: pooled to 1 token)
+        pooled = jnp.mean(aud, axis=1, keepdims=True)  # (B, 1, H)
+        bi = jnp.arange(x.shape[0])
+        x = x.at[bi, aud_pos].set(pooled[:, 0])
+        arch = self.language.arch
+        T = x.shape[1]
+        cos, sin = self.language.rope_tables(T)
+        mask = A.causal_mask(T, T)
+        lfs = self.language.linear_fns
+        for idx, bp in enumerate(self.language.params["blocks"]):
+            lf = lfs[idx] if lfs is not None else None
+            x, _, _ = A.block_forward(arch, bp, x, cos, sin, mask,
+                                      linear_fn=lf or A.default_linear)
+        return A.head_forward(arch, self.language.params, x)
+
+    def collect_first_block_input(self, calib_batches):
+        if self.modality == "audio":
+            return self.audio.collect_first_block_input(calib_batches)
+        return super().collect_first_block_input(calib_batches)
