@@ -26,6 +26,7 @@ Array = jax.Array
 NEG = float(jnp.finfo(jnp.float32).min)
 
 
+@KV_REGISTRY.register("SinkKV")
 @KV_REGISTRY.register("Sink")
 class SinkKVCache:
     """StreamingLLM-style sink + sliding window."""

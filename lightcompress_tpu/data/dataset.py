@@ -162,6 +162,17 @@ def ultrachat_general(calib_dataset, tokenizer, n_samples, seq_len):
 
 
 @PREPROC_REGISTRY
+def img_general(calib_dataset, tokenizer, batch_process, n_samples):
+    """Multimodal calibration: shuffle raw images, cap at n_samples, hand to
+    the model adapter's batch_process (specified_preproc.py:105-111)."""
+    calib_dataset = list(calib_dataset)
+    random.shuffle(calib_dataset)
+    if len(calib_dataset) > n_samples:
+        calib_dataset = calib_dataset[:n_samples]
+    return batch_process(calib_dataset)
+
+
+@PREPROC_REGISTRY
 def synthetic_random(calib_dataset, tokenizer, n_samples, seq_len):
     """Deterministic random ids for zero-egress CI/bench."""
     vocab = calib_dataset.get("vocab_size", 256)

@@ -43,3 +43,4 @@ from .qwen_vl import (Glm4VL, Glm4vVisionTower, Qwen2VL,  # noqa: F401
                       QwenVLVisionTower)
 from .mllama import Mllama, MllamaVisionModel  # noqa: F401
 from .audio import AudioTower, Qwen2Audio  # noqa: F401
+from .dit import WanI2V, WanT2V, load_wan_transformer  # noqa: F401

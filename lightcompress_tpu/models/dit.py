@@ -119,6 +119,7 @@ def dit_block_forward(
     t_emb: Array,  # (B, 6, H) adaLN modulation input
     ctx: Array,  # (B, T_text, cross_dim)
     linear_fn: A.LinearFn = A.default_linear,
+    ctx_img: Optional[Array] = None,  # (B, T_img, cross_dim) I2V branch
 ) -> Tuple[Array, Dict[str, Array]]:
     """One Wan-style DiT block; returns (y, feats)."""
     feats: Dict[str, Array] = {}
@@ -140,6 +141,9 @@ def dit_block_forward(
     feats["attn2.q"] = h2
     a2 = _mha(bp["attn2"], h2, ctx, arch.num_heads, linear_fn, "attn2",
               "norm_q" in bp["attn2"])  # Wan cross-attn has rms qk-norm
+    if ctx_img is not None and "add_k_proj" in bp["attn2"]:
+        a2 = a2 + _mha_img(bp["attn2"], h2, ctx_img, arch.num_heads,
+                           linear_fn)
     x = x + a2
 
     h3 = _ln_noaffine(x) * (1 + scale2) + shift2
@@ -221,6 +225,68 @@ class WanT2V(BaseModel):
         return x
 
 
+@MODEL_REGISTRY
+class WanI2V(WanT2V):
+    """Wan image-to-video adapter (reference llmc/models/wan_i2v.py).
+
+    Differs from T2V only in cross-attention: conditioning carries an
+    image-embedding prefix attended through dedicated ``add_k_proj`` /
+    ``add_v_proj`` heads whose output is summed with the text-attention
+    output (diffusers WanAttnProcessor I2V branch).  Calibration extras
+    gain a ``ctx_img`` entry; the blockwise engine threads it untouched.
+    """
+
+    def collect_first_block_input(self, calib_batches):
+        out = []
+        for b in calib_batches:
+            extra = {"t_emb": jnp.asarray(b["t_emb"]),
+                     "ctx": jnp.asarray(b["ctx"])}
+            if "ctx_img" in b:
+                extra["ctx_img"] = jnp.asarray(b["ctx_img"])
+            out.append((jnp.asarray(b["latents"]), extra))
+        return out
+
+    def block_forward(self, block_idx, x, linear_fn=None, kv_hook=None,
+                      block_params=None, extra=None):
+        bp = block_params if block_params is not None else \
+            self.blocks[block_idx]
+        assert extra is not None, "DiT blocks need (t_emb, ctx) extras"
+        y, feats = dit_block_forward(
+            self.arch, bp, x, extra["t_emb"], extra["ctx"],
+            linear_fn=linear_fn or A.default_linear,
+            ctx_img=extra.get("ctx_img"),
+        )
+        return y, feats, None
+
+
+def _mha_img(ap: Dict, xq: Array, ctx_img: Array, heads: int,
+             linear_fn: A.LinearFn) -> Array:
+    """I2V image-branch attention: q from to_q, k/v from add_{k,v}_proj.
+    diffusers sums image- and text-attention outputs *before* to_out; an
+    equivalent fused form projects each through ``o`` but counts the bias
+    only once — so this branch projects with bias=None."""
+    B, Tq, H = xq.shape
+    hd = H // heads
+    q = linear_fn("attn2.q", ap["q"]["weight"], ap["q"].get("bias"), xq)
+    k = ctx_img @ ap["add_k_proj"]["weight"].T
+    if ap["add_k_proj"].get("bias") is not None:
+        k = k + ap["add_k_proj"]["bias"]
+    v = ctx_img @ ap["add_v_proj"]["weight"].T
+    if ap["add_v_proj"].get("bias") is not None:
+        v = v + ap["add_v_proj"]["bias"]
+    if "norm_q" in ap:
+        q = A.rmsnorm(q, ap["norm_q"]["weight"], 1e-6)
+    if "norm_added_k" in ap:
+        k = A.rmsnorm(k, ap["norm_added_k"]["weight"], 1e-6)
+    Tk = ctx_img.shape[1]
+    q = q.reshape(B, Tq, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
+    ctx = A.sdpa(q, k, v, None)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tq, H)
+    return linear_fn("attn2.o", ap["o"]["weight"], None, ctx)
+
+
 # ---------------------------------------------------------------------------
 # diffusers WanTransformer3DModel checkpoint reader (wan_t2v.py:18-165)
 # ---------------------------------------------------------------------------
@@ -278,11 +344,11 @@ def load_wan_transformer(model_dir: str, dtype=jnp.float32) -> "WanT2V":
                 attn1[nrm] = {"weight": w}
         attn2 = {c: lin(p + f"attn2.to_{c}") for c in ("q", "k", "v")}
         attn2["o"] = lin(p + "attn2.to_out.0")
-        for nrm in ("norm_q", "norm_k"):
+        for nrm in ("norm_q", "norm_k", "norm_added_k"):
             w = g(p + f"attn2.{nrm}.weight")
             if w is not None:
                 attn2[nrm] = {"weight": w}
-        # i2v: image branch projections ride along for completeness
+        # i2v: image branch projections (WanI2V cross-attn)
         for extra in ("add_k_proj", "add_v_proj"):
             w = g(p + f"attn2.{extra}.weight")
             if w is not None:
@@ -317,5 +383,7 @@ def load_wan_transformer(model_dir: str, dtype=jnp.float32) -> "WanT2V":
     if sst is not None:
         cond["scale_shift_table"] = sst.reshape(-1, h)
     params["cond"] = cond
-    return WanT2V(arch, params, config=cfg,
-                  cross_dim=cfg.get("text_dim", dim))
+    cls = WanI2V if any("add_k_proj" in b["attn2"] for b in blocks) else \
+        WanT2V
+    return cls(arch, params, config=cfg,
+               cross_dim=cfg.get("text_dim", dim))

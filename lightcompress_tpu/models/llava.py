@@ -26,6 +26,7 @@ from .vit import Vit
 Array = jax.Array
 
 
+@MODEL_REGISTRY.register("LlavaHf")
 @MODEL_REGISTRY
 class Llava(BaseModel):
     # 'default' drops the CLS token; 'full' keeps every patch (SigLIP towers)

@@ -368,6 +368,7 @@ def qwen_vl_rope_index(ids: np.ndarray, grid_thw, merge_size: int,
     return pos
 
 
+@MODEL_REGISTRY.register("Qwen2_5VL")
 @MODEL_REGISTRY
 class Qwen2VL(BaseModel):
     """Composite Qwen2-VL: tower + Qwen2 LM with M-RoPE.  Modality switch
@@ -612,6 +613,7 @@ class Glm4vVisionTower(QwenVLVisionTower):
                                 mg["down"].get("bias"), jax.nn.silu(g) * u)
 
 
+@MODEL_REGISTRY.register("GLM4V")
 @MODEL_REGISTRY
 class Glm4VL(Qwen2VL):
     """GLM-4V composite: Glm4vVisionTower + GLM-4 LM with M-RoPE over the

@@ -23,6 +23,7 @@ from .vit import Vit
 Array = jax.Array
 
 
+@MODEL_REGISTRY.register("Llava_OneVision")
 @MODEL_REGISTRY
 class LlavaOnevision(Llava):
     """SigLIP tower + 2-layer projector + Qwen2 LM with anyres tiling
@@ -93,6 +94,8 @@ class Vila(Llava):
         return A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), x)
 
 
+@MODEL_REGISTRY.register("InternVL2")
+@MODEL_REGISTRY.register("InternVL3_5")
 @MODEL_REGISTRY
 class InternVL(Llava):
     """InternVL2 / InternVL3.5 (reference internvl2.py, internvl3_5.py; HF
@@ -125,6 +128,7 @@ class InternVL(Llava):
         return A.default_linear("proj.fc2", fc2["weight"], fc2.get("bias"), x)
 
 
+@MODEL_REGISTRY.register("VideoLLaVA")
 @MODEL_REGISTRY
 class VideoLlava(Llava):
     """Video-LLaVA (reference videollava.py): separate CLIP image and video
