@@ -77,13 +77,19 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
             else:
                 out[name] = jax.device_put(v, rep)
         blocks.append(out)
+    # vocab-parallel lm_head: the (vocab, hidden) matmul output is sharded
+    # over tp; GSPMD all-gathers the (T, vocab) logits for the sampler —
+    # tiny at decode (T=1) vs replicating a 128k-row head per chip.
+    vocab_ok = sw.lm_head.ndim == 2 and \
+        sw.lm_head.shape[0] % mesh.shape["tp"] == 0
+    head_spec = NamedSharding(mesh, P("tp", None)) if vocab_ok else rep
     return ServingWeights(
         arch=sw.arch,
         embed=jax.device_put(sw.embed, rep),
         embed_pos=jax.device_put(sw.embed_pos, rep)
         if sw.embed_pos is not None else None,
         norm=jax.device_put(sw.norm, rep),
-        lm_head=jax.device_put(sw.lm_head, rep),
+        lm_head=jax.device_put(sw.lm_head, head_spec),
         blocks=blocks,
         wbits=sw.wbits,
     )

@@ -231,3 +231,43 @@ def test_tensor_parallel_paged_serving(tiny_setup):
     outs = engine.generate([[3, 5, 7], [9, 11, 2]],
                            SamplingParams(max_new_tokens=4))
     assert all(len(o) == 4 for o in outs)
+
+
+def test_replicated_engine_dp_tp(tiny_setup):
+    """(dp, tp) multi-host layout: dp engine replicas over tp submeshes
+    produce the same greedy tokens as one unsharded engine."""
+    import jax
+    from lightcompress_tpu.parallel.mesh import make_mesh
+    from lightcompress_tpu.serving import ReplicatedEngine
+
+    model, sw = tiny_setup
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(4, dp=2, tp=2)
+    rng = np.random.RandomState(7)
+    prompts = [list(rng.randint(1, 128, size=rng.randint(3, 10)))
+               for _ in range(5)]
+    sp = SamplingParams(max_new_tokens=5)
+    ref = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                    prefill_buckets=(8, 16))
+    rep = ReplicatedEngine(sw, mesh, max_slots=2, max_len=32, kv_bits=8,
+                           prefill_buckets=(8, 16))
+    assert rep.n_replicas == 2
+    assert ref.generate(prompts, sp) == rep.generate(prompts, sp)
+
+
+def test_vocab_parallel_lm_head(tiny_setup):
+    """lm_head is sharded over tp (vocab-parallel) and logits still match."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, sw = tiny_setup
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs multi-device backend")
+    mesh = Mesh(np.array(devs[:2]), ("tp",))
+    from lightcompress_tpu.serving.sharding import shard_serving_weights
+
+    shd = shard_serving_weights(sw, mesh)
+    spec = shd.lm_head.sharding.spec
+    assert spec and spec[0] == "tp", f"lm_head spec: {spec}"
