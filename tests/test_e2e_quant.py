@@ -217,3 +217,83 @@ def test_export_real_quant(tmp_path):
     packed = pack_int4(codes)
     assert packed.shape == (8, 4)
     np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(codes))
+
+
+def test_export_autoawq_gemm_pack(tmp_path):
+    """AWQ GEMM interleaved pack roundtrips and matches reference layout
+    (module_utils.py:1097-1158: (ic, oc/8) int32, order [0,2,4,6,1,3,5,7])."""
+    from lightcompress_tpu.export import awq_gemm_pack, export_real_quant
+
+    model = make_tiny_adapter(seed=12)
+    algo = _run(model, W4G16)
+    out = str(tmp_path / "awq_export")
+    export_real_quant(algo, out, fmt="autoawq")
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    t = load_file(os.path.join(out, "quant_model.safetensors"))
+    assert "blocks.0.attn.q.qweight" in t
+    assert "blocks.0.attn.q.qzeros" in t
+    qw = t["blocks.0.attn.q.qweight"]
+    sc = t["blocks.0.attn.q.scales"]
+    w = model.params["blocks"][0]["attn"]["q"]["weight"]
+    oc, ic = w.shape
+    assert qw.shape == (ic, oc // 8) and qw.dtype == np.int32
+    assert sc.shape[1] == oc and sc.dtype == np.float16
+    with open(os.path.join(out, "quantization_config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["quant_method"] == "awq" and cfg["version"] == "gemm"
+    assert cfg["zero_point"] is True and cfg["group_size"] == 16
+
+    # roundtrip: unpack with the interleave order and compare to raw codes
+    from lightcompress_tpu.quant import real_quant_weight
+
+    st = algo.layer_state[0].get("attn.q", {})
+    codes, scales, zeros = real_quant_weight(
+        jnp.asarray(w, jnp.float32), algo.wspec, qp=st.get("qparams"))
+    qw2, _, qz2 = awq_gemm_pack(codes, scales, zeros, 4)
+    order = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    shifts = np.arange(8) * 4
+    un = ((np.asarray(qw2)[:, :, None] >> shifts) & 0xF)  # (ic, oc/8, 8)
+    inv = np.argsort(order)
+    un = un[:, :, inv].reshape(ic, oc).T
+    np.testing.assert_array_equal(un, np.asarray(codes))
+
+
+def test_export_compressed_tensors_config(tmp_path):
+    from lightcompress_tpu.export import export_real_quant
+
+    model = make_tiny_adapter(seed=12)
+    algo = _run(model, W4G16)
+    out = str(tmp_path / "vllm_export")
+    export_real_quant(algo, out, fmt="vllm")
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    t = load_file(os.path.join(out, "quant_model.safetensors"))
+    assert "blocks.0.attn.q.weight_packed" in t
+    assert "blocks.0.attn.q.weight_scale" in t
+    with open(os.path.join(out, "quantization_config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["quant_method"] == "compressed-tensors"
+    assert cfg["format"] == "pack-quantized"
+    g0 = cfg["config_groups"]["group_0"]
+    assert g0["weights"]["num_bits"] == 4
+    assert g0["weights"]["strategy"] == "group"
+    assert g0["weights"]["group_size"] == 16
+
+
+def test_trtllm_cvt_records_command(tmp_path):
+    from lightcompress_tpu.export import cvt_trtllm_engine
+
+    qdir = str(tmp_path / "q")
+    edir = str(tmp_path / "engine")
+    import os
+
+    os.makedirs(qdir, exist_ok=True)
+    cvt_trtllm_engine(qdir, edir)
+    assert os.path.exists(os.path.join(edir, "build_cmd.txt"))
