@@ -51,13 +51,17 @@ class BlockwiseOpt:
     # ------------------------------------------------------------------
     def run_block_loop(self):
         from ..models.streaming import StreamingBlockContext
+        from ..utils.profiling import timer
 
-        for idx in range(self.model.num_blocks):
-            self.block_idx = idx
-            # host-offloaded models stream one block into HBM at a time
-            # (bbq.py:397,418 block cuda<->cpu analogue)
-            with StreamingBlockContext(self.model, idx):
-                self.block_opt(idx)
+        method = self.compress_config.get("method", type(self).__name__)
+        with timer.phase(f"block_loop/{method}"):
+            for idx in range(self.model.num_blocks):
+                self.block_idx = idx
+                # host-offloaded models stream one block into HBM at a time
+                # (bbq.py:397,418 block cuda<->cpu analogue)
+                with timer.phase("block"), StreamingBlockContext(self.model,
+                                                                 idx):
+                    self.block_opt(idx)
         self.save_artifacts()
 
     def save_artifacts(self):

@@ -65,33 +65,41 @@ def build_eval(model, config) -> Optional[Dict]:
 
 def run_pipeline(config: DotDict) -> Dict[str, float]:
     """Run the full quantize->eval->save pipeline; returns eval results."""
+    from .utils.profiling import device_trace, timer
+
     t0 = time.time()
     results: Dict[str, float] = {}
 
-    model = load_model(
-        config.model.path,
-        dtype=jnp.bfloat16 if config.model.get("torch_dtype") == "bfloat16"
-        else jnp.float32,
-    )
+    with timer.phase("load_model"):
+        model = load_model(
+            config.model.path,
+            dtype=jnp.bfloat16
+            if config.model.get("torch_dtype") == "bfloat16"
+            else jnp.float32,
+        )
     evals = build_eval(model, config)
 
     if evals and "pretrain" in evals["positions"]:
-        results["ppl_pretrain"] = evals["ppl"].eval(model)
+        with timer.phase("eval/pretrain"):
+            results["ppl_pretrain"] = evals["ppl"].eval(model)
         log.info("EVAL: ppl (pretrain) = %.4f", results["ppl_pretrain"])
 
     blockwise_opt = None
+    trace_dir = config.get("base", {}).get("trace_dir")
     for modality in get_modalities(config):
         ccfg = get_compress_config(config, modality)
         if not ccfg or "method" not in ccfg:
             continue
-        calib_batches, padding_masks = _build_calib(model, config)
-        first_inputs = model.collect_first_block_input(
-            [jnp.asarray(b) for b in calib_batches]
-        )
+        with timer.phase("calib_data"):
+            calib_batches, padding_masks = _build_calib(model, config)
+            first_inputs = model.collect_first_block_input(
+                [jnp.asarray(b) for b in calib_batches]
+            )
         blockwise_opt = ALGO_REGISTRY[ccfg.method](
             model, ccfg, first_inputs, padding_masks, config
         )
-        blockwise_opt.run_block_loop()
+        with device_trace(trace_dir):
+            blockwise_opt.run_block_loop()
 
     if blockwise_opt is None:
         return results
@@ -144,6 +152,10 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
 
     run_opencompass(blockwise_opt, config)
 
+    profile_out = config.get("base", {}).get("profile_out")
+    if profile_out:
+        timer.dump(profile_out)
+    timer.log_report()
     log.info("pipeline done in %.1fs", time.time() - t0)
     return results
 
