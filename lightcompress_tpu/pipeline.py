@@ -21,46 +21,107 @@ from . import compression  # noqa: F401  (registers algorithms)
 log = logging.getLogger("lightcompress_tpu")
 
 
-def build_eval(model, config) -> Optional[Dict]:
-    ec = config.get("eval", None)
-    if not ec or not ec.get("eval_pos"):
-        return None
-    name = ec.get("name", "wikitext2")
+def _load_testenc(model, ec, name):
     seq_len = ec.get("seq_len", 2048)
-    bs = ec.get("bs", 1)
     if name == "synthetic":
         vocab = model.arch.vocab_size
         rng = np.random.RandomState(ec.get("seed", 0))
         n_tok = ec.get("n_tokens", seq_len * 8)
-        testenc = rng.randint(0, vocab, size=(1, n_tok)).astype(np.int32)
-    else:
-        from datasets import load_from_disk
+        return rng.randint(0, vocab, size=(1, n_tok)).astype(np.int32)
+    from datasets import load_from_disk
 
-        raw = load_from_disk(ec["path"])
-        testenc = tokenize_eval(model.tokenizer, make_eval_text(raw, name))
-    if ec.get("type") == "decode_ppl":
-        from .eval import DecodePerplexityEval
+    path = ec["path"]
+    raw = load_from_disk(path)
+    return tokenize_eval(model.tokenizer, make_eval_text(raw, name))
 
-        return {
-            "ppl": DecodePerplexityEval(
-                testenc[:, : ec.get("num_eval_tokens", 256) + 1],
-                num_eval_tokens=ec.get("num_eval_tokens", 256),
-            ),
-            "token_consist": None,
-            "positions": list(ec.get("eval_pos", [])),
-        }
-    return {
-        "ppl": PerplexityEval(
+
+def _build_one_eval(model, ec, name):
+    """One (eval object, tag) for an eval sub-config (eval/utils.py:12-75)."""
+    etype = ec.get("type", "ppl")
+    seq_len = ec.get("seq_len", 2048)
+    bs = ec.get("bs", 1)
+    if etype == "decode_ppl":
+        testenc = _load_testenc(model, ec, name)
+        n = ec.get("num_eval_tokens", 256)
+        return DecodePerplexityEvalWrap(testenc[:, : n + 1], n), etype
+    if etype in ("ppl", "token_acc"):
+        testenc = _load_testenc(model, ec, name)
+        if etype == "token_acc":
+            return TokenConsistencyEval(testenc, seq_len=seq_len, bs=bs), etype
+        return PerplexityEval(
             testenc, seq_len=seq_len, bs=bs,
             inference_per_block=ec.get("inference_per_block", False),
-        ),
-        "token_consist": (
-            TokenConsistencyEval(testenc, seq_len=seq_len, bs=bs)
-            if ec.get("eval_token_consist", False)
-            else None
-        ),
-        "positions": list(ec.get("eval_pos", [])),
-    }
+        ), etype
+    if etype == "generate_only":
+        from .eval import CustomGenerate
+
+        gen = CustomGenerate(model, max_new_tokens=ec.get("max_new_tokens",
+                                                          32))
+        prompts = list(ec.get("prompts", ["Hello"]))
+
+        class _GenEval:
+            def eval(self, model):
+                return gen.generate(prompts)
+
+        return _GenEval(), etype
+    raise ValueError(f"Unsupported eval type: {etype} (eval/utils.py:72)")
+
+
+def DecodePerplexityEvalWrap(testenc, n):
+    from .eval import DecodePerplexityEval
+
+    return DecodePerplexityEval(testenc, num_eval_tokens=n)
+
+
+def build_eval(model, config) -> Optional[Dict]:
+    """reference get_eval_list semantics (eval/utils.py:12-75): config.eval
+    may be a single dict or a list; each entry's ``name`` may be one dataset
+    or a list (multi-dataset eval reads {path}/{name})."""
+    ec_all = config.get("eval", None)
+    if not ec_all:
+        return None
+    ec_list = ec_all if isinstance(ec_all, list) else [ec_all]
+    evals = []  # (eval_obj, etype, name, positions)
+    token_consist = None
+    positions: set = set()
+    for ec in ec_list:
+        if not ec.get("eval_pos"):
+            continue
+        pos = list(ec.get("eval_pos", []))
+        positions.update(pos)
+        names = ec.get("name", "wikitext2")
+        names = [names] if isinstance(names, str) else list(names)
+        for name in names:
+            sub = DotDict(dict(ec))
+            sub["name"] = name
+            if len(names) > 1:
+                sub["path"] = os.path.join(ec["path"], name)
+            obj, etype = _build_one_eval(model, sub, name)
+            evals.append((obj, etype, name, pos))
+            if etype == "ppl" and ec.get("eval_token_consist", False) \
+                    and token_consist is None:
+                testenc = _load_testenc(model, sub, name)
+                token_consist = TokenConsistencyEval(
+                    testenc, seq_len=ec.get("seq_len", 2048),
+                    bs=ec.get("bs", 1))
+    if not evals:
+        return None
+    return {"list": evals, "token_consist": token_consist,
+            "positions": sorted(positions)}
+
+
+def _run_evals(evals, model, pos: str, results: Dict[str, float]):
+    multi = len(evals["list"]) > 1
+    for obj, etype, name, poss in evals["list"]:
+        if pos not in poss or etype == "token_acc":
+            continue  # token_acc needs the origin model (fake_quant section)
+        res = obj.eval(model)
+        key = (f"{etype}_{name}_{pos}" if multi
+               else ("token_consistency_" + pos if etype == "token_acc"
+                     else f"{etype}_{pos}"))
+        if isinstance(res, (int, float)):
+            results[key] = float(res)
+        log.info("EVAL: %s on %s (%s) is %s", etype, name, pos, res)
 
 
 def run_pipeline(config: DotDict) -> Dict[str, float]:
@@ -81,8 +142,7 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
 
     if evals and "pretrain" in evals["positions"]:
         with timer.phase("eval/pretrain"):
-            results["ppl_pretrain"] = evals["ppl"].eval(model)
-        log.info("EVAL: ppl (pretrain) = %.4f", results["ppl_pretrain"])
+            _run_evals(evals, model, "pretrain", results)
 
     blockwise_opt = None
     trace_dir = config.get("base", {}).get("trace_dir")
@@ -106,8 +166,8 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
 
     if evals and "transformed" in evals["positions"]:
         blockwise_opt.deploy("transformed")
-        results["ppl_transformed"] = evals["ppl"].eval(model)
-        log.info("EVAL: ppl (transformed) = %.4f", results["ppl_transformed"])
+        with timer.phase("eval/transformed"):
+            _run_evals(evals, model, "transformed", results)
 
     save_cfg = config.get("save", {})
     if save_cfg.get("save_trans", False):
@@ -119,9 +179,14 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
     for pos in ("fake_quant", "fake_quant_wo_kv"):
         if evals and pos in evals["positions"]:
             blockwise_opt.deploy(pos)
-            results[f"ppl_{pos}"] = evals["ppl"].eval(model)
-            log.info("EVAL: ppl (%s) = %.4f", pos, results[f"ppl_{pos}"])
+            with timer.phase(f"eval/{pos}"):
+                _run_evals(evals, model, pos, results)
+            tc_evals = [e for e in evals["list"] if e[1] == "token_acc"
+                        and pos in e[3]]
             if evals["token_consist"] is not None:
+                tc_evals.insert(0, (evals["token_consist"], "token_acc",
+                                    "", [pos]))
+            if tc_evals:
                 origin = load_model(
                     config.model.path,
                     dtype=jnp.bfloat16
@@ -129,12 +194,12 @@ def run_pipeline(config: DotDict) -> Dict[str, float]:
                     else jnp.float32,
                     with_tokenizer=False,
                 )
-                results["token_consistency"] = evals["token_consist"].eval(
-                    model, origin
-                )
-                log.info(
-                    "EVAL: token consistency = %.4f", results["token_consistency"]
-                )
+                for obj, _, name, _ in tc_evals:
+                    key = ("token_consistency" if not name
+                           else f"token_acc_{name}_{pos}")
+                    results[key] = obj.eval(model, origin)
+                    log.info("EVAL: token consistency%s = %.4f",
+                             f" ({name})" if name else "", results[key])
             blockwise_opt.restore_float()
 
     if save_cfg.get("save_fake", False):

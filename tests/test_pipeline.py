@@ -67,3 +67,25 @@ def test_pipeline_rtn_with_exports(tiny_model_dir, tmp_path):
     assert os.path.exists(
         tmp_path / "out" / "native_quant_model" / "quantization_config.json"
     )
+
+
+def test_eval_list_multi(tiny_model_dir, tmp_path):
+    """config.eval as a LIST with multiple types/datasets
+    (reference get_eval_list, eval/utils.py:12-75)."""
+    from lightcompress_tpu.config import load_config
+    from lightcompress_tpu.pipeline import run_pipeline
+
+    cfg = load_config("configs/ci/awq_w4a16_tiny_synthetic.yml")
+    cfg.model.path = tiny_model_dir
+    cfg.save.save_path = str(tmp_path / "save")
+    cfg["eval"] = [
+        {"type": "ppl", "name": "synthetic", "seq_len": 16, "bs": 1,
+         "n_tokens": 128, "eval_pos": ["pretrain", "fake_quant"]},
+        {"type": "decode_ppl", "name": "synthetic", "seq_len": 16,
+         "num_eval_tokens": 8, "eval_pos": ["fake_quant"]},
+    ]
+    res = run_pipeline(cfg)
+    assert "ppl_synthetic_pretrain" in res
+    assert "ppl_synthetic_fake_quant" in res
+    assert "decode_ppl_synthetic_fake_quant" in res
+    assert all(np.isfinite(v) for v in res.values())
