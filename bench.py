@@ -24,6 +24,8 @@ import numpy as np
 ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 # 8 -> int8 quantized KV cache (serving default); 16 -> bf16 KV
 KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
+# xla -> einsum attention; pallas -> ops.pallas_attention decode kernel
+ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
 
 
 # Llama-3-8B block shapes
@@ -104,12 +106,22 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             ksc = jnp.concatenate([ks, ksn], axis=-1)
             vsc = jnp.concatenate([vs, vsn], axis=-1)
             qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
-            sc = jnp.einsum("bkgd,bksd->bkgs", qg, kc.astype(jnp.bfloat16))
-            sc = sc * ksc[:, :, None, :] * (HEAD_DIM**-0.5)
-            probs = jax.nn.softmax(sc.astype(jnp.float32), -1)
-            pv = (probs * vsc[:, :, None, :]).astype(jnp.bfloat16)
-            ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vc.astype(jnp.bfloat16))
-            ctx = ctx.reshape(B, -1).astype(x.dtype)
+            if ATTN_IMPL == "pallas":
+                from lightcompress_tpu.ops.pallas_attention import (
+                    decode_attention_kv8,
+                )
+
+                ctx = decode_attention_kv8(qg, kc, ksc, vc, vsc)
+                ctx = ctx.reshape(B, -1).astype(x.dtype)
+            else:
+                sc = jnp.einsum("bkgd,bksd->bkgs", qg,
+                                kc.astype(jnp.bfloat16))
+                sc = sc * ksc[:, :, None, :] * (HEAD_DIM**-0.5)
+                probs = jax.nn.softmax(sc.astype(jnp.float32), -1)
+                pv = (probs * vsc[:, :, None, :]).astype(jnp.bfloat16)
+                ctx = jnp.einsum("bkgs,bksd->bkgd", pv,
+                                 vc.astype(jnp.bfloat16))
+                ctx = ctx.reshape(B, -1).astype(x.dtype)
         else:
             kc = jnp.concatenate([k_cache[li], k], axis=2)
             vc = jnp.concatenate([v_cache[li], v], axis=2)

@@ -33,3 +33,38 @@ class TokenReductionModule:
 
     def register_reduction_modules(self):
         raise NotImplementedError
+
+
+from ...registry import ALGO_REGISTRY
+from ..blockwise import BlockwiseOpt
+
+
+@ALGO_REGISTRY
+class TokenReduction(BlockwiseOpt):
+    """Standalone token-reduction "algorithm" (reference
+    base_blockwise_token_reduction.py:13-31): configs whose only method is
+    token reduction (``method: TokenReduction`` with
+    ``special.method: <name>``) install the reduction hooks at construction
+    and do nothing per block; deploy is a no-op."""
+
+    def __init__(self, model, sparsity_config, input_batches=None,
+                 padding_masks=None, config=None):
+        super().__init__(model, sparsity_config, input_batches or [],
+                         padding_masks, config)
+        special = self.compress_config.get("special", {})
+        TOKEN_REDUCTION_REGISTRY[special["method"]](
+            dict(self.compress_config), model)
+
+    def block_opt(self, block_idx):
+        pass
+
+    def deploy(self, deploy_format: str = "fake_quant"):
+        pass
+
+    def restore_float(self):
+        pass
+
+    def save_model(self, save_dir: str):
+        from ..quantization.base import BaseBlockwiseQuantization
+
+        BaseBlockwiseQuantization.save_model(self, save_dir)

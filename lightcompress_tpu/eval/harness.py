@@ -145,3 +145,96 @@ class CustomGenerate:
         if tok is None:
             return outs
         return [tok.decode(o) for o in outs]
+
+
+class CustomGenerateJustInfer:
+    """Two-turn VQA consistency check (eval_custom_generate_just_infer.py).
+
+    Reads ``samples.json`` from the eval path: a flat list where
+    consecutive pairs share one image and ask the same two questions in
+    both orders (``question`` is a 2-turn list, ``gt`` the 2 expected
+    answers).  Answers each turn with greedy decoding through the VLM's
+    ``forward_multimodal`` (full-forward decode — qualitative eval, not a
+    throughput path), then scores the reference's T1V / T1V_T2V metric:
+    of the pairs whose turn-1 answer is right, how often the *same
+    question asked second* is also right (answer-consistency probability,
+    eval_custom_generate_just_infer.py:34-67).
+    """
+
+    def __init__(self, model, path: str, save_path: Optional[str] = None,
+                 max_new_tokens: int = 16):
+        self.model = model
+        self.path = path
+        self.save_path = save_path
+        self.max_new_tokens = max_new_tokens
+
+    # -- generation --------------------------------------------------------
+    def _answer(self, pixels, question: str) -> str:
+        model, tok = self.model, self.model.tokenizer
+        assert tok is not None, "just_infer needs a tokenizer"
+        ids = tok(question, return_tensors="np").input_ids
+        if not (ids == model.image_token_id).any():
+            ids = np.concatenate(
+                [ids[:, :1],
+                 np.full((1, 1), model.image_token_id, ids.dtype),
+                 ids[:, 1:]], axis=1)
+        ids = jnp.asarray(ids)
+        px = jnp.asarray(pixels)
+        fwd = jax.jit(model.forward_multimodal)
+        out_ids: List[int] = []
+        eos = getattr(tok, "eos_token_id", None)
+        for _ in range(self.max_new_tokens):
+            logits = fwd(ids, px)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            if eos is not None and nxt == eos:
+                break
+            out_ids.append(nxt)
+            ids = jnp.concatenate(
+                [ids, jnp.full((1, 1), nxt, ids.dtype)], axis=1)
+        return tok.decode(out_ids)
+
+    def eval(self, model=None, eval_pos=None) -> str:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "samples.json")) as f:
+            questions_list = json.load(f)
+        answered = []
+        for sample in questions_list:
+            img = sample["image"]
+            pixels = np.load(img) if isinstance(img, str) else np.asarray(img)
+            ans = [self._answer(pixels, q) for q in sample["question"]]
+            answered.append({**sample, "answer": ans})
+        self.eval_answer(answered)
+        if self.save_path:
+            with open(self.save_path, "w") as f:
+                json.dump([{k: v for k, v in s.items()
+                            if not isinstance(v, np.ndarray)}
+                           for s in answered], f, indent=4)
+        return "custom gen done."
+
+    # -- scoring (reference metric, verbatim semantics) ---------------------
+    @staticmethod
+    def eval_answer(data) -> Optional[float]:
+        t1v = t1v_t2v = 0
+
+        def check(gt, answer, turn):
+            return gt[turn].lower() in answer[turn].lower()
+
+        pairs = [(data[i], data[i + 1]) for i in range(0, len(data) - 1, 2)]
+        for p1, p2 in pairs:
+            if check(p1["gt"], p1["answer"], 0):
+                t1v += 1
+                if check(p2["gt"], p2["answer"], 1):
+                    t1v_t2v += 1
+            if check(p2["gt"], p2["answer"], 0):
+                t1v += 1
+                if check(p1["gt"], p1["answer"], 1):
+                    t1v_t2v += 1
+        log.info("CustomGenerateJustInfer T1V: %d, T1V_T2V: %d",
+                 t1v, t1v_t2v)
+        if t1v:
+            log.info("CustomGenerateJustInfer Possibility: %s",
+                     t1v_t2v / t1v)
+            return t1v_t2v / t1v
+        return None

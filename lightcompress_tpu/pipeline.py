@@ -64,6 +64,54 @@ def _build_one_eval(model, ec, name):
                 return gen.generate(prompts)
 
         return _GenEval(), etype
+    if etype == "acc":
+        from .models.vit import AccuracyEval
+
+        data = np.load(ec["path"], allow_pickle=True)
+        batches = list(data["batches"]) if "batches" in data else [
+            (data["pixels"], data["labels"])
+        ]
+        return AccuracyEval(batches), etype
+    if etype == "vqa":
+        from .eval import VQAEval
+
+        return VQAEval(model, tasks=ec.get("tasks", ("mme",)),
+                       batch_size=bs, limit=ec.get("limit")), etype
+    if etype == "code" and name == "human_eval":
+        from .eval import HumanEvalRunner
+        from .eval.code import load_problems
+
+        runner = HumanEvalRunner(
+            model, n_samples=ec.get("n_samples", 1),
+            k=ec.get("k", (1,)),
+            max_new_tokens=ec.get("max_new_tokens", 256),
+            allow_execution=ec.get("allow_execution", False))
+        problems = load_problems(ec["path"])
+
+        class _CodeEval:
+            def eval(self, model):
+                return runner.evaluate(problems)
+
+        return _CodeEval(), etype
+    if etype == "just_infer":
+        from .eval import CustomGenerateJustInfer
+
+        return CustomGenerateJustInfer(
+            model, ec["path"], save_path=ec.get("answer_path"),
+            max_new_tokens=ec.get("max_new_tokens", 16)), etype
+    if etype == "video_gen":
+        from .eval import VideoGenerateEval
+
+        ev = VideoGenerateEval(
+            model, ec["output_video_path"],
+            num_steps=ec.get("num_steps", 20),
+            guidance_scale=ec.get("guidance_scale", 5.0),
+            n_tokens=ec.get("n_tokens", 256))
+        if ec.get("path"):
+            samples = np.load(ec["path"], allow_pickle=True)
+            ev.set_testenc(list(samples["samples"])
+                           if "samples" in samples else [dict(samples)])
+        return ev, etype
     raise ValueError(f"Unsupported eval type: {etype} (eval/utils.py:72)")
 
 
@@ -115,7 +163,8 @@ def _run_evals(evals, model, pos: str, results: Dict[str, float]):
     for obj, etype, name, poss in evals["list"]:
         if pos not in poss or etype == "token_acc":
             continue  # token_acc needs the origin model (fake_quant section)
-        res = obj.eval(model)
+        res = (obj.eval(model, eval_pos=pos)
+               if etype in ("video_gen", "just_infer") else obj.eval(model))
         key = (f"{etype}_{name}_{pos}" if multi
                else ("token_consistency_" + pos if etype == "token_acc"
                      else f"{etype}_{pos}"))

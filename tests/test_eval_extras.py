@@ -1,0 +1,146 @@
+"""New eval types: video_gen sampler, just_infer two-turn VQA consistency,
+vqa stage-latency, and the pipeline dispatch for acc/vqa/code/just_infer/
+video_gen (reference eval/utils.py:49-74)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lightcompress_tpu.eval import (
+    CustomGenerateJustInfer,
+    VideoGenerateEval,
+    flow_match_sigmas,
+)
+from lightcompress_tpu.models.dit import WanT2V
+
+
+def test_flow_match_sigmas():
+    s = flow_match_sigmas(10, shift=5.0)
+    assert s.shape == (11,)
+    assert s[0] == pytest.approx(1.0)
+    assert s[-1] == pytest.approx(0.0)
+    assert np.all(np.diff(s) < 0)
+
+
+def test_video_generate_eval(tmp_path):
+    m = WanT2V.tiny(seed=0)
+    rng = np.random.RandomState(0)
+    samples = [
+        {"ctx": rng.randn(1, 8, 64).astype(np.float32), "n_tokens": 16},
+        {"ctx": rng.randn(1, 8, 64).astype(np.float32),
+         "neg_ctx": rng.randn(1, 8, 64).astype(np.float32), "n_tokens": 16},
+    ]
+    ev = VideoGenerateEval(m, str(tmp_path), testenc=samples, num_steps=3,
+                           n_tokens=16)
+    ev.eval(eval_pos="fake_quant")
+    for i in range(2):
+        lat = np.load(tmp_path / f"fake_quant_output_{i}.npy")
+        assert lat.shape == (1, 16, 128)
+        assert np.all(np.isfinite(lat))
+
+
+def test_just_infer_metric():
+    # two pairs; pair 1 fully consistent, pair 2 turn-1-right/turn-2-wrong
+    data = [
+        {"gt": ["cat", "red"], "answer": ["a cat", "red thing"]},
+        {"gt": ["red", "cat"], "answer": ["red", "the cat"]},
+        {"gt": ["dog", "blue"], "answer": ["a dog", "green"]},
+        {"gt": ["blue", "dog"], "answer": ["blue", "a fish"]},
+    ]
+    acc = CustomGenerateJustInfer.eval_answer(data)
+    # T1V: all 4 turn-1 answers right; T1V_T2V: only pair 1's two cross
+    # checks pass -> 2/4
+    assert acc == pytest.approx(0.5)
+
+
+def test_just_infer_end_to_end(tmp_path):
+    from lightcompress_tpu.models.llava import make_tiny_llava
+
+    m = make_tiny_llava(seed=0)
+
+    class _Tok:
+        eos_token_id = None
+
+        def __call__(self, text, return_tensors="np"):
+            ids = np.array([[min(3 + len(text) % 7, 9), 5, 6]], np.int32)
+
+            class R:
+                input_ids = ids
+
+            return R()
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    m.tokenizer = _Tok()
+    rng = np.random.RandomState(0)
+    px = rng.randn(1, 32, 32, 3).astype(np.float32)
+    np.save(tmp_path / "img0.npy", px)
+    samples = [
+        {"image": str(tmp_path / "img0.npy"), "question": ["q1", "q2"],
+         "gt": ["x", "y"]},
+        {"image": str(tmp_path / "img0.npy"), "question": ["q2", "q1"],
+         "gt": ["y", "x"]},
+    ]
+    with open(tmp_path / "samples.json", "w") as f:
+        json.dump(samples, f)
+    ev = CustomGenerateJustInfer(
+        m, str(tmp_path), save_path=str(tmp_path / "ans.json"),
+        max_new_tokens=2)
+    res = ev.eval()
+    assert res == "custom gen done."
+    out = json.load(open(tmp_path / "ans.json"))
+    assert len(out) == 2 and len(out[0]["answer"]) == 2
+
+
+def test_pipeline_eval_dispatch(tmp_path):
+    """_build_one_eval must route every reference eval type."""
+    from lightcompress_tpu.config import DotDict
+    from lightcompress_tpu.pipeline import _build_one_eval
+    from lightcompress_tpu.models.dit import WanT2V
+
+    m = WanT2V.tiny(seed=0)
+    rng = np.random.RandomState(0)
+    vg = str(tmp_path / "vids")
+    samples = np.array(
+        [{"ctx": rng.randn(1, 8, 64).astype(np.float32), "n_tokens": 16}],
+        dtype=object)
+    np.savez(tmp_path / "vid_samples.npz", samples=samples)
+    obj, etype = _build_one_eval(
+        m, DotDict({"type": "video_gen", "output_video_path": vg,
+                    "num_steps": 2, "path": str(tmp_path /
+                                                "vid_samples.npz")}),
+        "t2v")
+    assert etype == "video_gen" and len(obj.testenc) == 1
+    obj.eval(eval_pos="pretrain")
+    assert os.path.exists(os.path.join(vg, "pretrain_output_0.npy"))
+
+    # acc dispatch on a tiny ViT
+    from lightcompress_tpu.models.vit import Vit
+
+    vit = Vit.tiny(seed=0) if hasattr(Vit, "tiny") else None
+    if vit is not None:
+        px = rng.randn(4, vit.image_size, vit.image_size, 3).astype("f") \
+            if hasattr(vit, "image_size") else None
+    np.savez(tmp_path / "acc.npz",
+             pixels=rng.randn(2, 32, 32, 3).astype(np.float32),
+             labels=np.array([0, 1]))
+    # just check dispatch path wiring (model may not match data shapes)
+    obj, etype = _build_one_eval(
+        m, DotDict({"type": "acc", "path": str(tmp_path / "acc.npz")}),
+        "imagenet")
+    assert etype == "acc"
+
+    obj, etype = _build_one_eval(
+        m, DotDict({"type": "just_infer", "path": str(tmp_path)}), "custom")
+    assert etype == "just_infer"
+
+    obj, etype = _build_one_eval(
+        m, DotDict({"type": "vqa", "tasks": ["mme"]}), "mme")
+    assert etype == "vqa"
+    with pytest.raises(RuntimeError):
+        obj.eval()  # lmms-eval not installed in sandbox

@@ -163,3 +163,20 @@ def test_video_passthrough_single_frame(vlm):
     ids, px = _sample(vlm)
     logits = vlm.forward_multimodal(ids, px)
     assert logits.shape[1] == 25  # unchanged: 9 + 16
+
+
+def test_standalone_token_reduction_algo(vlm):
+    """method: TokenReduction as an ALGO_REGISTRY entry (reference
+    base_blockwise_token_reduction.py:13-31) — hook install at construction,
+    no-op block loop/deploy."""
+    from lightcompress_tpu.config import DotDict
+    from lightcompress_tpu.registry import ALGO_REGISTRY
+
+    algo = ALGO_REGISTRY["TokenReduction"](
+        vlm, DotDict({"method": "TokenReduction",
+                      "special": {"method": "FasterVLM", "rate": 0.5}}),
+        [], None, DotDict({}))
+    algo.run_block_loop()
+    algo.deploy("fake_quant")
+    feats = vlm.encode_images(_sample(vlm)[1])
+    assert feats.shape == (1, 8, 64)
