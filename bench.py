@@ -26,6 +26,10 @@ ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
 # xla -> einsum attention; pallas -> ops.pallas_attention decode kernel
 ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
+# dus -> preallocated cache + in-place dynamic_update_slice append (the
+# serving engine's layout, serving/kv_cache.py:60-97); concat -> per-step
+# jnp.concatenate (copies the cache every layer)
+KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
 
 
 # Llama-3-8B block shapes
@@ -139,6 +143,58 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
     return x
 
 
+def decode_step_dus(layers, x, k_cache, v_cache, k_scales, v_scales, pos):
+    """Serving-accurate decode step: preallocated int8 KV buffers carried
+    through the loop, one-token dynamic_update_slice append per layer
+    (kv_cache.py append_kv), attention over the buffer with a validity
+    mask.  No cache copies — XLA aliases the while-loop carry in place."""
+    from lightcompress_tpu.ops import qlinear_apply as _qa
+
+    B = x.shape[0]
+    Tbuf = k_cache.shape[3]
+    valid = (jnp.arange(Tbuf) <= pos)[None, None, None, :]  # (1,1,1,Tbuf)
+    G = N_HEADS // N_KV
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    for li, lw in enumerate(layers):
+        h1 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        q = _qa(h1, lw["q"], act_bits=ACT_BITS).reshape(
+            B, N_HEADS, 1, HEAD_DIM)
+        k = _qa(h1, lw["k"], act_bits=ACT_BITS).reshape(B, N_KV, 1, HEAD_DIM)
+        v = _qa(h1, lw["v"], act_bits=ACT_BITS).reshape(B, N_KV, 1, HEAD_DIM)
+
+        def q8(t):
+            amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1, keepdims=True)
+            sc = jnp.maximum(amax, 1e-8) / 127.0
+            return (jnp.clip(jnp.round(t / sc), -127, 127).astype(jnp.int8),
+                    sc[..., 0])
+
+        k8, ksn = q8(k)
+        v8, vsn = q8(v)
+        kc = jax.lax.dynamic_update_slice(k_cache[li], k8, (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(v_cache[li], v8, (0, 0, pos, 0))
+        ksc = jax.lax.dynamic_update_slice(k_scales[li], ksn, (0, 0, pos))
+        vsc = jax.lax.dynamic_update_slice(v_scales[li], vsn, (0, 0, pos))
+        qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+        sc = jnp.einsum("bkgd,bksd->bkgs", qg, kc.astype(jnp.bfloat16))
+        sc = sc * ksc[:, :, None, :] * (HEAD_DIM**-0.5)
+        sc = jnp.where(valid, sc.astype(jnp.float32), -jnp.inf)
+        probs = jax.nn.softmax(sc, -1)
+        pv = (probs * vsc[:, :, None, :]).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vc.astype(jnp.bfloat16))
+        x = x + _qa(ctx.reshape(B, -1).astype(x.dtype), lw["o"],
+                    act_bits=ACT_BITS)
+        h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        g = _qa(h2, lw["gate"], act_bits=ACT_BITS)
+        u = _qa(h2, lw["up"], act_bits=ACT_BITS)
+        x = x + _qa(jax.nn.silu(g) * u, lw["down"], act_bits=ACT_BITS)
+        new_k.append(kc)
+        new_v.append(vc)
+        new_ks.append(ksc)
+        new_vs.append(vsc)
+    return (x, jnp.stack(new_k), jnp.stack(new_v), jnp.stack(new_ks),
+            jnp.stack(new_vs))
+
+
 def main():
     key = jax.random.PRNGKey(0)
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
@@ -162,20 +218,51 @@ def main():
     # completion here, and identical replayed executions get dedup-cached.
     n_iters = 20
 
-    def many(layers, x, k_cache, v_cache, kv_scales):
-        def body(i, xx):
-            y = decode_step(layers, xx, k_cache, v_cache, kv_scales)
-            return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+    if KV_APPEND == "dus":
+        assert KV_BITS == 8, "dus bench variant models the int8 KV engine"
+        Tbuf = CTX + n_iters
+        kb = jnp.zeros((LAYERS, BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+        vb = jnp.zeros((LAYERS, BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+        ksb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.float32)
+        vsb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.float32)
 
-        return jax.lax.fori_loop(0, n_iters, body, x)
+        def many(layers, x, kb, vb, ksb, vsb):
+            def body(i, carry):
+                xx, kc, vc, ks, vs = carry
+                y, kc, vc, ks, vs = decode_step_dus(
+                    layers, xx, kc, vc, ks, vs, CTX + i)
+                y = y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+                return (y, kc, vc, ks, vs)
 
-    step = jax.jit(many)
-    out = step(layers, x, k_cache, v_cache, kv_scales)
-    _ = float(jnp.sum(out))  # compile + drain
-    t0 = time.time()
-    out = step(layers, out, k_cache, v_cache, kv_scales)
-    _ = float(jnp.sum(out))  # forces real completion
-    dt = (time.time() - t0) / n_iters
+            return jax.lax.fori_loop(0, n_iters, body,
+                                     (x, kb, vb, ksb, vsb))[0]
+
+        step = jax.jit(many, donate_argnums=(2, 3, 4, 5))
+        out = step(layers, x, kb, vb, ksb, vsb)
+        _ = float(jnp.sum(out))  # compile + drain
+        kb2 = jnp.zeros_like(kb)
+        vb2 = jnp.zeros_like(vb)
+        ksb2 = jnp.full_like(ksb, 0.01)
+        vsb2 = jnp.full_like(vsb, 0.01)
+        t0 = time.time()
+        out = step(layers, out, kb2, vb2, ksb2, vsb2)
+        _ = float(jnp.sum(out))  # forces real completion
+        dt = (time.time() - t0) / n_iters
+    else:
+        def many(layers, x, k_cache, v_cache, kv_scales):
+            def body(i, xx):
+                y = decode_step(layers, xx, k_cache, v_cache, kv_scales)
+                return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+
+            return jax.lax.fori_loop(0, n_iters, body, x)
+
+        step = jax.jit(many)
+        out = step(layers, x, k_cache, v_cache, kv_scales)
+        _ = float(jnp.sum(out))  # compile + drain
+        t0 = time.time()
+        out = step(layers, out, k_cache, v_cache, kv_scales)
+        _ = float(jnp.sum(out))  # forces real completion
+        dt = (time.time() - t0) / n_iters
     tokens_per_s = BATCH / dt
 
     # roofline: bytes read per decode step

@@ -785,13 +785,55 @@ class _ShardReader:
         f = self._handles[shard]
         try:
             return f.get_tensor(key)
-        except (TypeError, ValueError):
-            # bf16/fp8 not representable in numpy: go through torch
+        except (TypeError, ValueError, AttributeError):
+            # bf16/fp8 not representable in numpy (fp8 raises
+            # AttributeError: no np.float8_e4m3fn): go through torch
             import torch
             from safetensors.torch import load_file
 
             t = load_file(os.path.join(self.dir, shard))[key]
             return t.float().numpy()
+
+
+class _Fp8DequantReader:
+    """FP8 block-quantized checkpoint reader (DeepSeek-V3/R1 format).
+
+    The reference streams such checkpoints into ``LlmcFp8Linear`` modules
+    and round-trips FP8<->bf16 at every algorithm touch point
+    (base_model.py:205-264, quant.py:18-43).  TPU-native choice: dequantize
+    at load — every ``<name>.weight`` with a companion
+    ``<name>.weight_scale_inv`` (per ``weight_block_size`` 2D blocks, HF
+    ``quantization_config``) is expanded to float on read, so the rest of
+    the pipeline sees ordinary weights; re-export to FP8 goes through
+    ``quant.weight_cast_to_fp8``.  Combined with the host-offload streaming
+    loader this is the single-host analogue of the reference's
+    671B-on-80GB trick.
+    """
+
+    def __init__(self, reader, block_size=(128, 128)):
+        self._r = reader
+        self.bs = tuple(block_size)
+
+    @property
+    def weight_map(self):
+        return self._r.weight_map
+
+    def keys(self):
+        return self._r.keys()
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        t = self._r.get(key)
+        if t is None or not key.endswith(".weight"):
+            return t
+        sk = key[: -len(".weight")] + ".weight_scale_inv"
+        if sk not in self._r.weight_map or t.ndim != 2:
+            return t
+        s = self._r.get(sk).astype(np.float32)  # (ceil(oc/b0), ceil(ic/b1))
+        b0, b1 = self.bs
+        oc, ic = t.shape
+        se = np.repeat(np.repeat(s, b0, axis=0)[:oc],
+                       b1, axis=1)[:, :ic]
+        return t.astype(np.float32) * se
 
 
 def _np_to_jnp(a: np.ndarray, dtype) -> jnp.ndarray:
@@ -1719,8 +1761,13 @@ def load_model(model_dir: str, dtype=jnp.bfloat16, with_tokenizer: bool = True):
         loader = globals()[_VLM_LOADERS[cfg["model_type"]]]
         return loader(model_dir, cfg, dtype, tok)
     arch = arch_from_hf_config(cfg, dtype=dtype)
+    reader = _ShardReader(model_dir)
+    qc = cfg.get("quantization_config") or {}
+    if qc.get("quant_method") == "fp8" and qc.get("weight_block_size"):
+        reader = _Fp8DequantReader(reader, qc["weight_block_size"])
     params = load_params(model_dir, arch,
-                         model_type=cfg.get("model_type", "llama"))
+                         model_type=cfg.get("model_type", "llama"),
+                         reader=reader)
     tok = None
     if with_tokenizer:
         try:

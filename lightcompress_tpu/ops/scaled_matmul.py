@@ -84,18 +84,29 @@ def fp8_matmul(
     bias: Optional[Array] = None,
     block_size: int = 0,
 ) -> Array:
-    if block_size:
-        from ..quant import weight_cast_to_bf16
+    from ..utils.capability import tpu_capability
 
-        w = weight_cast_to_bf16(w_fp8, w_scales, block_size)
+    if not block_size and tpu_capability().has_fp8_mxu:
+        # fp8-capable generations (v6e+): native e4m3 dot, per-channel
+        # rescale in the f32 epilogue (no dequantized weight materialized)
+        acc = jnp.einsum(
+            "...i,oi->...o", x.astype(w_fp8.dtype), w_fp8,
+            preferred_element_type=jnp.float32,
+        )
+        y = acc * w_scales.reshape(-1).astype(jnp.float32)
     else:
-        w = (
-            w_fp8.astype(jnp.float32) * w_scales.reshape(-1, 1)
-        ).astype(jnp.bfloat16)
-    y = jnp.einsum(
-        "...i,oi->...o", x.astype(jnp.bfloat16), w,
-        preferred_element_type=jnp.float32,
-    )
+        if block_size:
+            from ..quant import weight_cast_to_bf16
+
+            w = weight_cast_to_bf16(w_fp8, w_scales, block_size)
+        else:
+            w = (
+                w_fp8.astype(jnp.float32) * w_scales.reshape(-1, 1)
+            ).astype(jnp.bfloat16)
+        y = jnp.einsum(
+            "...i,oi->...o", x.astype(jnp.bfloat16), w,
+            preferred_element_type=jnp.float32,
+        )
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)

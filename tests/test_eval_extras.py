@@ -144,3 +144,35 @@ def test_pipeline_eval_dispatch(tmp_path):
     assert etype == "vqa"
     with pytest.raises(RuntimeError):
         obj.eval()  # lmms-eval not installed in sandbox
+
+
+def test_tpu_capability_dispatch():
+    """is_fp8_supported_gpu() analogue (reference quantization/utils.py:8-15)
+    — CPU backend reports conservative caps; table covers v4..v7."""
+    from lightcompress_tpu.utils.capability import (
+        TpuCapability,
+        is_fp8_supported_tpu,
+        tpu_capability,
+    )
+
+    cap = tpu_capability()
+    assert isinstance(cap, TpuCapability)
+    assert cap.generation in ("v4", "v5e", "v5p", "v6e", "v7", "cpu")
+    assert isinstance(is_fp8_supported_tpu(), bool)
+    # fp8_matmul must work under either dispatch branch
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightcompress_tpu.ops.scaled_matmul import fp8_matmul
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(16, 8).astype(np.float32) * 0.1
+    import torch
+
+    w8 = torch.tensor(w).to(torch.float8_e4m3fn).float().numpy()
+    x = jnp.asarray(rng.randn(2, 8).astype(np.float32))
+    y = fp8_matmul(x, jnp.asarray(w8).astype(jnp.float8_e4m3fn),
+                   jnp.ones((16,), jnp.float32))
+    ref = np.asarray(x) @ w8.T
+    np.testing.assert_allclose(np.asarray(y), ref, atol=0.15, rtol=0.1)
