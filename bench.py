@@ -117,6 +117,13 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
 
                 ctx = decode_attention_kv8(qg, kc, ksc, vc, vsc)
                 ctx = ctx.reshape(B, -1).astype(x.dtype)
+            elif ATTN_IMPL == "i8full":
+                from lightcompress_tpu.ops.scaled_matmul import (
+                    int8_decode_attention,
+                )
+
+                ctx = int8_decode_attention(qg, kc, ksc, vc, vsc)
+                ctx = ctx.reshape(B, -1).astype(x.dtype)
             else:
                 sc = jnp.einsum("bkgd,bksd->bkgs", qg,
                                 kc.astype(jnp.bfloat16))

@@ -110,3 +110,43 @@ def fp8_matmul(
     if bias is not None:
         y = y + bias
     return y.astype(x.dtype)
+
+
+def int8_decode_attention(
+    q: Array,       # (B, K, G, D) bf16/f32 — grouped GQA query, 1 token
+    k8: Array,      # (B, K, S, D) int8 quantized K cache
+    k_scales: Array,  # (B, K, S) f32 per-position K scales
+    v8: Array,      # (B, K, S, D) int8 quantized V cache
+    v_scales: Array,  # (B, K, S) f32 per-position V scales
+) -> Array:
+    """Fully-int8 decode attention: both the QK^T and PV dots run on the
+    int8 MXU (vLLM cutlass W8A8 analogue applied to attention; measured 8%
+    faster than astype-into-bf16-dot at Llama-8B decode shapes,
+    tools/attn_kv8_experiments.py: 183 vs 199 us/layer).
+
+    Exactness: q is per-(b,k,g) symmetric-int8 quantized (one more quant
+    step than the bf16-dot path); probs are scaled by the per-position V
+    scales BEFORE their own per-(b,k,g) int8 quantization, so the PV dot
+    needs only a scalar rescale.  Returns (B, K, G, D) f32.
+    """
+    D = q.shape[-1]
+    qf = q.astype(jnp.float32)
+    q_amax = jnp.max(jnp.abs(qf), -1, keepdims=True)
+    qs = jnp.maximum(q_amax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    scores = jax.lax.dot_general(
+        q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, K, G, S)
+    scores = scores.astype(jnp.float32) * qs * \
+        k_scales[:, :, None, :] * (D ** -0.5)
+    probs = jax.nn.softmax(scores, -1)
+    pv = probs * v_scales[:, :, None, :]
+    p_amax = jnp.max(pv, -1, keepdims=True)
+    ps = jnp.maximum(p_amax, 1e-8) / 127.0
+    p8 = jnp.clip(jnp.round(pv / ps), 0, 127).astype(jnp.int8)
+    ctx = jax.lax.dot_general(
+        p8, v8, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.int32,
+    )  # (B, K, G, D)
+    return ctx.astype(jnp.float32) * ps

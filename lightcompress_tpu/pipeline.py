@@ -281,6 +281,28 @@ def _build_calib(model, config):
     return ds.get_calib_dataset(shard=(dist.rank(), dist.world_size()))
 
 
+def _mkdirs(path: str):
+    """Refuse to overwrite an existing save dir (reference
+    utils/utils.py:55-59 — the only run-collision guard)."""
+    if os.path.exists(path):
+        raise FileExistsError(
+            f"{path} existed before. Please delete it or pick another "
+            f"save_path (utils.py:55-59 semantics)")
+    os.makedirs(path)
+
+
+def _log_versions():
+    """Package-version dump at startup (reference utils/utils.py:71-77)."""
+    import importlib.metadata as md
+
+    for pkg in ("jax", "jaxlib", "transformers", "safetensors", "numpy",
+                "datasets"):
+        try:
+            log.info("%s version: %s", pkg, md.version(pkg))
+        except md.PackageNotFoundError:
+            pass
+
+
 def main():
     import argparse
 
@@ -290,11 +312,20 @@ def main():
     p.add_argument("--task_id", default="0")
     args = p.parse_args()
     cfg = load_config(args.config)
-    seed = cfg.get("base", {}).get("seed", 42)
+    # per-rank seed offset (reference __main__.py:207: seed_all(seed+RANK))
+    from .parallel import dist
+
+    seed = cfg.get("base", {}).get("seed", 42) + dist.rank()
     np.random.seed(seed)
     import random
 
     random.seed(seed)
+    _log_versions()
+    save_cfg = cfg.get("save", {})
+    if save_cfg and any(str(k).startswith("save_") and v
+                        for k, v in save_cfg.items()) \
+            and save_cfg.get("save_path"):
+        _mkdirs(save_cfg["save_path"])
     results = run_pipeline(cfg)
     for k, v in results.items():
         print(f"RESULT {k} = {v}")

@@ -176,3 +176,37 @@ def test_tpu_capability_dispatch():
                    jnp.ones((16,), jnp.float32))
     ref = np.asarray(x) @ w8.T
     np.testing.assert_allclose(np.asarray(y), ref, atol=0.15, rtol=0.1)
+
+
+def test_int8_decode_attention_numerics():
+    """Fully-int8 decode attention matches float attention within int8
+    quantization error."""
+    import jax.numpy as jnp
+
+    from lightcompress_tpu.ops.scaled_matmul import int8_decode_attention
+
+    rng = np.random.RandomState(0)
+    B, K, G, S, D = 2, 2, 4, 32, 16
+    q = rng.randn(B, K, G, D).astype(np.float32)
+    k = rng.randn(B, K, S, D).astype(np.float32)
+    v = rng.randn(B, K, S, D).astype(np.float32)
+
+    def q8(t):
+        amax = np.abs(t).max(-1, keepdims=True)
+        sc = np.maximum(amax, 1e-8) / 127.0
+        return np.clip(np.round(t / sc), -127, 127).astype(np.int8), \
+            sc[..., 0]
+
+    k8, ks = q8(k)
+    v8, vs = q8(v)
+    out = np.asarray(int8_decode_attention(
+        jnp.asarray(q), jnp.asarray(k8), jnp.asarray(ks),
+        jnp.asarray(v8), jnp.asarray(vs)))
+    # float reference on the DEQUANTIZED kv (isolates q/prob quant error)
+    kd = k8.astype(np.float32) * ks[..., None]
+    vd = v8.astype(np.float32) * vs[..., None]
+    sc = np.einsum("bkgd,bksd->bkgs", q, kd) * (D ** -0.5)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bkgs,bksd->bkgd", p, vd)
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
