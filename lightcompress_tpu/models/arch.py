@@ -476,9 +476,14 @@ def sdpa(
     two matmuls and the softmax (the LlmcMatmul/LlmcSoftmax analogue,
     attn_utils.py:7-60)."""
     scale = query_scale if query_scale else q.shape[-1] ** -0.5
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # dots run in the input dtype (bf16 stays bf16 on the MXU — upcasting
+    # K/V to f32 would double decode KV-cache read traffic, measured
+    # dominant at serving shapes); accumulation is always f32 and the
+    # softmax runs in f32 below.
+    if q.dtype == jnp.float32:
+        qf, kf, vf = q, k.astype(jnp.float32), v.astype(jnp.float32)
+    else:
+        qf, kf, vf = q, k.astype(q.dtype), v.astype(q.dtype)
     if matmul_hook is not None:
         qf, kf = matmul_hook("qk", qf, kf)
     if kv_groups > 1:
@@ -488,10 +493,12 @@ def sdpa(
         B, H, Tq, D = qf.shape
         nkv = H // kv_groups
         qg = qf.reshape(B, nkv, kv_groups, Tq, D)
-        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kf) * scale
+        scores = jnp.einsum("bkgqd,bksd->bkgqs", qg, kf,
+                            preferred_element_type=jnp.float32) * scale
         scores = scores.reshape(B, H, Tq, -1)
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
+                            preferred_element_type=jnp.float32) * scale
     if softcap:
         scores = softcap * jnp.tanh(scores / softcap)
     if mask is not None:
@@ -501,12 +508,15 @@ def sdpa(
         probs = softmax_hook(probs)
     if matmul_hook is not None:
         probs, vf = matmul_hook("pv", probs, vf)
+    probs = probs.astype(vf.dtype)
     if kv_groups > 1:
         pg = probs.reshape(B, nkv, kv_groups, Tq, -1)
-        out = jnp.einsum("bkgqs,bksd->bkgqd", pg, vf)
+        out = jnp.einsum("bkgqs,bksd->bkgqd", pg, vf,
+                         preferred_element_type=jnp.float32)
         out = out.reshape(B, H, Tq, D)
     else:
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf,
+                         preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 

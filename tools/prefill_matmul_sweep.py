@@ -1,0 +1,60 @@
+"""W4 matmul at prefill M (tokens) sizes: Pallas fused kernel vs XLA
+dequant+dense. Decides the M-threshold for qlinear_apply dispatch."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_layer_qweights
+from lightcompress_tpu.ops.pallas_matmul import w4a16_matmul, w4a8_matmul
+from lightcompress_tpu.ops.qlinear import qlinear_xla
+
+ITERS = 50
+
+
+def timeit(f, x, qp):
+    @jax.jit
+    def run(x0):
+        def body(i, xx):
+            y = f(xx, qp)
+            y = y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+            return y[:, :x0.shape[1]].astype(x0.dtype)
+        return jax.lax.fori_loop(0, ITERS, body, x0)
+
+    float(jnp.sum(run(x)))
+    t0 = time.perf_counter()
+    float(jnp.sum(run(x)))
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    lw = make_layer_qweights(key)
+    qp = lw["q"]  # (4096, 4096) W4 g128 planes
+    ms = [int(m) for m in os.environ.get("MS", "32,256,1024,4096").split(",")]
+    variants = os.environ.get("VARIANTS", "pallas16,pallas8,xla").split(",")
+    for m in ms:
+        x = jax.random.normal(key, (m, 4096), jnp.bfloat16)
+        for name in variants:
+            f = {"pallas16": w4a16_matmul, "pallas8": w4a8_matmul,
+                 "xla": qlinear_xla}[name]
+            try:
+                dt = timeit(f, x, qp)
+                flops = 2 * m * 4096 * 4096
+                print(json.dumps({"M": m, "impl": name,
+                                  "us": round(dt * 1e6, 1),
+                                  "tflops": round(flops / dt / 1e12, 2)}),
+                      flush=True)
+            except Exception as e:
+                print(json.dumps({"M": m, "impl": name,
+                                  "error": str(e)[:100]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
