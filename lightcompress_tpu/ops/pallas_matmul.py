@@ -373,7 +373,17 @@ def w4a16_matmul_available(x: Array, qp) -> bool:
         return False
     if getattr(qp, "layout", "rows") != "planes":
         return False
-    *_, K = x.shape
+    *lead, K = x.shape
+    # Decode-regime kernel: the whole M slab sits in VMEM. Measured on
+    # v5e (tools/prefill_matmul_sweep.py): wins up to M=256 (659 vs 863
+    # us at 4096x4096 g128), fails to compile at M=1024; XLA's
+    # dequant+dense matmul is compute-efficient there (39 TFLOP/s) —
+    # prefill goes XLA, decode goes Pallas.
+    m = 1
+    for d in lead:
+        m *= d
+    if m > 256:
+        return False
     if K % (8 * qp.group_size) != 0:
         return False
     N = (qp.codes.shape[0] * qp.codes.shape[2] if qp.codes.ndim == 4

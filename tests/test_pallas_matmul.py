@@ -137,3 +137,22 @@ def test_w4a8_end_to_end_accuracy():
     )
     # int8 act error is negligible next to W4 weight error (~0.107)
     assert rel < 0.15
+
+
+def test_m_threshold_dispatch():
+    """Prefill-regime inputs (M > 256) must fall back to the XLA
+    dequant+dense path — the decode kernel holds the whole M slab in VMEM
+    and fails to compile at M=1024 (tools/prefill_matmul_sweep.py)."""
+    from lightcompress_tpu.ops import quantize_linear
+    from lightcompress_tpu.ops.pallas_matmul import w4a16_matmul_available
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 1024).astype(np.float32))
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=128)
+    qp = quantize_linear(w, spec, layout="planes")
+    assert w4a16_matmul_available(jnp.zeros((256, 1024)), qp)
+    assert not w4a16_matmul_available(jnp.zeros((257, 1024)), qp)
+    assert not w4a16_matmul_available(jnp.zeros((4, 512, 1024)), qp)
+    assert w4a16_matmul_available(jnp.zeros((2, 128, 1024)), qp)

@@ -89,3 +89,42 @@ def test_eval_list_multi(tiny_model_dir, tmp_path):
     assert "ppl_synthetic_fake_quant" in res
     assert "decode_ppl_synthetic_fake_quant" in res
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_pipeline_gptq_ci_config(tiny_model_dir, tmp_path):
+    """The reference's second CI gate (ci_check/gptq_w_only.yml): GPTQ W4
+    actorder+true_sequential+quant_out through the full pipeline."""
+    import shutil
+
+    from lightcompress_tpu.config import load_config
+    from lightcompress_tpu.pipeline import run_pipeline
+
+    text = open("configs/ci/gptq_w_only_tiny_synthetic.yml").read()
+    text = text.replace("__TINY_MODEL_DIR__", tiny_model_dir)
+    cfgp = tmp_path / "gptq.yml"
+    cfgp.write_text(text)
+    cfg = load_config(str(cfgp))
+    cfg.save.save_path = str(tmp_path / "save")
+    results = run_pipeline(cfg)
+    assert "ppl_fake_quant" in results
+    assert results["ppl_fake_quant"] < 5000
+
+
+def test_quant_analysis_cli(tiny_model_dir, tmp_path, monkeypatch):
+    """tools/quant_analysis.py end-to-end (reference tools/quant_analysis.py)."""
+    import json
+    import runpy
+    import sys
+
+    text = open("configs/ci/awq_w4a16_tiny_synthetic.yml").read()
+    text = text.replace("__TINY_MODEL_DIR__", tiny_model_dir)
+    cfgp = tmp_path / "cfg.yml"
+    cfgp.write_text(text)
+    out = tmp_path / "analysis.json"
+    monkeypatch.setattr(sys, "argv",
+                        ["quant_analysis", "--config", str(cfgp),
+                         "--out", str(out)])
+    runpy.run_path("tools/quant_analysis.py", run_name="__main__")
+    rows = json.load(open(out))
+    assert len(rows) == 2  # tiny model: 2 blocks
+    assert all(0.9 < r["fp_quant_cosine"] <= 1.0 for r in rows)
