@@ -324,6 +324,25 @@ def hqq_optimize(t: jax.Array, qp: QParams, spec: QuantSpec) -> QParams:
 # top-level qparam computation (quant.py:690-697,1043-1059)
 # ---------------------------------------------------------------------------
 
+def _ref_manual_float_qdq(t2: jax.Array, spec: QuantSpec, rng) -> jax.Array:
+    """The reference's manual (non-qtorch) float fake quant
+    (get_float_qparams, quant.py:1005-1027 + quant :1061-1076): per-element
+    power-of-two scale from the element's exponent, biased so the row max
+    maps to the top of a generic (2-2^-m)*2^(2^e-1) grid, then plain
+    round()."""
+    import numpy as _np
+
+    mn, mx = rng
+    maxval = jnp.maximum(mx, -mn)
+    e, m = float(spec.e_bits), float(spec.m_bits)
+    bias = (2.0 ** e) - jnp.log2(maxval) + _np.log2(2.0 - 2.0 ** (-m)) - 1.0
+    xc = jnp.clip(t2, -maxval, maxval)
+    log_scales = jnp.clip(
+        jnp.floor(jnp.log2(jnp.abs(xc)) + bias), 1.0, None)
+    scales = 2.0 ** (log_scales - m - bias)
+    return jnp.round(xc / scales) * scales
+
+
 def get_tensor_qparams(t: jax.Array, spec: QuantSpec, args: Optional[dict] = None):
     """Returns (reshaped_tensor, QParams)."""
     t2 = reshape_tensor(t, spec)
@@ -359,8 +378,12 @@ def fake_quant_weight_dynamic(
         return out
     qw = w.T if dim_ic else w
     shape, dtype = qw.shape, qw.dtype
-    t2, qp = get_tensor_qparams(qw, spec, args)
-    q = quant_dequant(t2, qp, spec)
+    if spec.is_float and spec.float_mode == "ref_manual":
+        t2 = reshape_tensor(qw, spec)
+        q = _ref_manual_float_qdq(t2, spec, get_tensor_range(t2, spec, args))
+    else:
+        t2, qp = get_tensor_qparams(qw, spec, args)
+        q = quant_dequant(t2, qp, spec)
     q = restore_tensor(q, shape, spec).astype(dtype)
     return q.T if dim_ic else q
 
@@ -399,8 +422,12 @@ def fake_quant_act_dynamic(
         out = out.at[..., jnp.asarray(fp_indices)].set(x[..., jnp.asarray(fp_indices)])
         return out
     shape, dtype = x.shape, x.dtype
-    t2, qp = get_tensor_qparams(x, spec, args)
-    q = quant_dequant(t2, qp, spec)
+    if spec.is_float and spec.float_mode == "ref_manual":
+        t2 = reshape_tensor(x, spec)
+        q = _ref_manual_float_qdq(t2, spec, get_tensor_range(t2, spec, args))
+    else:
+        t2, qp = get_tensor_qparams(x, spec, args)
+        q = quant_dequant(t2, qp, spec)
     return restore_tensor(q, shape, spec).astype(dtype)
 
 

@@ -52,6 +52,11 @@ class QuantSpec:
     iters: int = 20
     # use straight-through-estimator rounding in grads
     ste: bool = False
+    # float fake-quant flavor: "hw" = RNE onto the true e/m grid scaled so
+    # amax -> format max (the reference's use_qtorch=True / qtorch path);
+    # "ref_manual" = the reference's manual per-element-exponent scheme
+    # (get_float_qparams, quant.py:1005-1027, use_qtorch=False)
+    float_mode: str = "hw"
 
     def __post_init__(self):
         if self.granularity not in GRANULARITIES:
@@ -122,6 +127,9 @@ def spec_from_config(cfg: dict, extra: Optional[dict] = None) -> QuantSpec:
     # (quant.py:640-641) — same math as per_channel here.
     if cfg.get("granularity") == "per_token":
         cfg["granularity"] = "per_channel"
+    # reference flag: use_qtorch False selects the manual float path
+    if "use_qtorch" in cfg and "float_mode" not in cfg:
+        cfg["float_mode"] = "hw" if cfg["use_qtorch"] else "ref_manual"
     known = {f.name for f in dataclasses.fields(QuantSpec)}
     kwargs = {k: v for k, v in cfg.items() if k in known}
     if "int_range" in kwargs and kwargs["int_range"] is not None:
