@@ -26,10 +26,19 @@ ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
 # xla -> einsum attention; pallas -> ops.pallas_attention decode kernel
 ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
-# dus -> preallocated cache + in-place dynamic_update_slice append (the
-# serving engine's layout, serving/kv_cache.py:60-97); concat -> per-step
-# jnp.concatenate (copies the cache every layer)
-KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
+# nocopy -> attention treats the cache as read-only and adds the new
+# token's score/value as a separate term (the real per-step append in a
+# preallocated serving cache writes only the 33KB new token — modeled as
+# free); concat -> per-step jnp.concatenate (COPIES the whole 67MB cache
+# every layer: +4.2GB/step of write+read traffic, measured -30% tokens/s);
+# dus -> preallocated cache carried through the loop with in-place
+# dynamic_update_slice appends (serving/kv_cache.py:60-97 layout; the
+# tunneled runtime defeats XLA's carry aliasing, see REPORT.md)
+KV_APPEND = os.environ.get("BENCH_KV_APPEND", "nocopy")
+# 1 -> fuse q+k+v into one (6144, 4096) kernel call and gate+up into one
+# (28672, 4096) call: 4 Pallas launches per layer instead of 7, and the
+# small 2MB k/v weight reads ride the 4MB-block DMA stream
+FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
 
 # Llama-3-8B block shapes
@@ -51,23 +60,34 @@ def make_layer_qweights(key):
     """Random packed-int4 weights + scales for one block's 7 linears."""
     from lightcompress_tpu.ops import QLinearParams
 
-    shapes = {
-        "q": (N_HEADS * HEAD_DIM, HIDDEN),
-        "k": (N_KV * HEAD_DIM, HIDDEN),
-        "v": (N_KV * HEAD_DIM, HIDDEN),
-        "o": (HIDDEN, N_HEADS * HEAD_DIM),
-        "gate": (INTER, HIDDEN),
-        "up": (INTER, HIDDEN),
-        "down": (HIDDEN, INTER),
-    }
-    from lightcompress_tpu.ops.pallas_matmul import tile_packed
+    if FUSED:
+        shapes = {
+            "qkv": ((N_HEADS + 2 * N_KV) * HEAD_DIM, HIDDEN),
+            "o": (HIDDEN, N_HEADS * HEAD_DIM),
+            "gateup": (2 * INTER, HIDDEN),
+            "down": (HIDDEN, INTER),
+        }
+    else:
+        shapes = {
+            "q": (N_HEADS * HEAD_DIM, HIDDEN),
+            "k": (N_KV * HEAD_DIM, HIDDEN),
+            "v": (N_KV * HEAD_DIM, HIDDEN),
+            "o": (HIDDEN, N_HEADS * HEAD_DIM),
+            "gate": (INTER, HIDDEN),
+            "up": (INTER, HIDDEN),
+            "down": (HIDDEN, INTER),
+        }
+    from lightcompress_tpu.ops.pallas_matmul import pick_n_tile, tile_packed
 
     out = {}
     ks = jax.random.split(key, len(shapes))
     for i, (name, (oc, ic)) in enumerate(shapes.items()):
         codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
                                    dtype=jnp.int32)
-        nt = next(t for t in (512, 256, 128) if oc % t == 0)
+        # library tile picker: largest output tile with a <=4MB full-K DMA
+        # block (tools/dma_experiments: 4MB blocks stream ~640 GB/s vs
+        # ~180 GB/s at 1MB)
+        nt = pick_n_tile(oc, ic // 8, GROUP)
         codes = tile_packed(codes, nt, GROUP)  # contiguous-tile layout
         scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
         zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
@@ -90,9 +110,17 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
     B = x.shape[0]
     for li, lw in enumerate(layers):
         h1 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
-        q = qlinear_apply(h1, lw["q"]).reshape(B, N_HEADS, 1, HEAD_DIM)
-        k = qlinear_apply(h1, lw["k"]).reshape(B, N_KV, 1, HEAD_DIM)
-        v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
+        if FUSED:
+            qkv = qlinear_apply(h1, lw["qkv"])
+            nq = N_HEADS * HEAD_DIM
+            nkv = N_KV * HEAD_DIM
+            q = qkv[:, :nq].reshape(B, N_HEADS, 1, HEAD_DIM)
+            k = qkv[:, nq:nq + nkv].reshape(B, N_KV, 1, HEAD_DIM)
+            v = qkv[:, nq + nkv:].reshape(B, N_KV, 1, HEAD_DIM)
+        else:
+            q = qlinear_apply(h1, lw["q"]).reshape(B, N_HEADS, 1, HEAD_DIM)
+            k = qlinear_apply(h1, lw["k"]).reshape(B, N_KV, 1, HEAD_DIM)
+            v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
         G = N_HEADS // N_KV
         if KV_BITS == 8:
             ks, vs = kv_scales[li]  # (B, N_KV, CTX) f32 each
@@ -105,6 +133,38 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                         .astype(jnp.int8), sc[..., 0])
             k8, ksn = q8(k)
             v8, vsn = q8(v)
+            if KV_APPEND == "nocopy":
+                # cache is read-only; the new token contributes one extra
+                # score column / value row computed from the fresh k8/v8
+                qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+                sc = jnp.einsum("bkgd,bksd->bkgs", qg,
+                                k_cache[li].astype(jnp.bfloat16))
+                sc = sc * ks[:, :, None, :] * (HEAD_DIM**-0.5)
+                sc_new = jnp.einsum(
+                    "bkgd,bksd->bkgs", qg, k8.astype(jnp.bfloat16)
+                ) * ksn[:, :, None, :] * (HEAD_DIM**-0.5)
+                allsc = jnp.concatenate([sc, sc_new], -1)
+                probs = jax.nn.softmax(allsc.astype(jnp.float32), -1)
+                pv = (probs[..., :CTX] * vs[:, :, None, :]).astype(
+                    jnp.bfloat16)
+                ctx = jnp.einsum("bkgs,bksd->bkgd", pv,
+                                 v_cache[li].astype(jnp.bfloat16))
+                pv_new = (probs[..., CTX:] * vsn[:, :, None, :]).astype(
+                    jnp.bfloat16)
+                ctx = ctx + jnp.einsum("bkgs,bksd->bkgd", pv_new,
+                                       v8.astype(jnp.bfloat16))
+                x = x + qlinear_apply(
+                    ctx.reshape(B, -1).astype(x.dtype), lw["o"])
+                h2 = x * jax.lax.rsqrt(
+                    jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+                if FUSED:
+                    gu = qlinear_apply(h2, lw["gateup"])
+                    g_, u = gu[:, :INTER], gu[:, INTER:]
+                else:
+                    g_ = qlinear_apply(h2, lw["gate"])
+                    u = qlinear_apply(h2, lw["up"])
+                x = x + qlinear_apply(jax.nn.silu(g_) * u, lw["down"])
+                continue
             kc = jnp.concatenate([k_cache[li], k8], axis=2)
             vc = jnp.concatenate([v_cache[li], v8], axis=2)
             ksc = jnp.concatenate([ks, ksn], axis=-1)
@@ -144,8 +204,12 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
         x = x + qlinear_apply(ctx, lw["o"])
         h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
-        g = qlinear_apply(h2, lw["gate"])
-        u = qlinear_apply(h2, lw["up"])
+        if FUSED:
+            gu = qlinear_apply(h2, lw["gateup"])
+            g, u = gu[:, :INTER], gu[:, INTER:]
+        else:
+            g = qlinear_apply(h2, lw["gate"])
+            u = qlinear_apply(h2, lw["up"])
         x = x + qlinear_apply(jax.nn.silu(g) * u, lw["down"])
     return x
 

@@ -69,11 +69,14 @@ class AutoClipper:
             if w.ndim == 3:
                 # stacked MoE experts (E, oc, ic): per-expert grid search
                 # (the reference iterates experts sequentially,
-                # deepseekv3.py:128-167).  v2 factors don't have a stacked
-                # consumer yet — clip weights in place (v1 semantics).
+                # deepseekv3.py:128-167).  v1 clips each expert's weights in
+                # place; v2 stacks per-expert sigmoid factors shaped to match
+                # ``reshape_tensor`` on the 3D weight (which flattens leading
+                # dims for per_group, and keeps them for per_channel) so the
+                # quantizer's 'learnable' path consumes them directly.
                 E = w.shape[0]
                 feats = input_feat[name]
-                clipped = []
+                clipped, ups, lows = [], [], []
                 for e in range(E):
                     if feats[0].ndim == 4 and feats[0].shape[0] == E:
                         xs = jnp.concatenate(
@@ -85,6 +88,11 @@ class AutoClipper:
                             axis=0)
                     mx, mn = self.auto_clip_layer(w[e], xs, n_sample_token)
                     mx, mn = all_reduce_mean(mx), all_reduce_mean(mn)
+                    if self.clip_version == "v2":
+                        up, low = self._v2_factors(w[e], mn, mx)
+                        ups.append(up)
+                        lows.append(low)
+                        continue
                     gs = self._group_size(w[e])
                     w4 = w[e].astype(jnp.float32).reshape(
                         w.shape[1], 1, -1, gs)
@@ -92,7 +100,16 @@ class AutoClipper:
                     cw = jnp.clip(w4, lo[:, None], mx[:, None])
                     clipped.append(
                         cw.reshape(w.shape[1:]).astype(w.dtype))
-                node["weight"] = jnp.stack(clipped)
+                if self.clip_version == "v2":
+                    up = jnp.stack(ups)
+                    low = None if lows[0] is None else jnp.stack(lows)
+                    if self.wspec.granularity == "per_group":
+                        # reshape_tensor flattens (E, oc, ic) -> rows
+                        up = up.reshape(-1, 1)
+                        low = None if low is None else low.reshape(-1, 1)
+                    self._store_v2(algo, block_idx, name, up, low)
+                else:
+                    node["weight"] = jnp.stack(clipped)
                 continue
             xs = jnp.concatenate(
                 [x.reshape(-1, x.shape[-1]) for x in input_feat[name]], axis=0
@@ -137,30 +154,38 @@ class AutoClipper:
             clipped = jnp.clip(w4, mn[:, None, :, :], max_val[:, None, :, :])
             node["weight"] = clipped.reshape(w.shape).astype(w.dtype)
         elif self.clip_version == "v2":
-            w2 = reshape_tensor(w.astype(jnp.float32), self.wspec)
-            from ...quant.quantizer import minmax_range
-
-            org_mn, org_mx = minmax_range(w2, self.wspec)
-            shape = org_mx.shape
-            if self.clip_sym:
-                amax = jnp.clip(
-                    jnp.maximum(jnp.abs(org_mx), jnp.abs(org_mn)), 1e-5, None
-                )
-                up = _logit(max_val.reshape(shape) / amax)
-                low = None
-            else:
-                up = _logit(max_val.reshape(shape) / org_mx.reshape(shape))
-                low = _logit(min_val.reshape(shape) / org_mn.reshape(shape))
-            st = algo.state(block_idx, name)
-            st["upbound_factor"] = up
-            st["lowbound_factor"] = low
-            if self.save_clip:
-                self.weight_clips.setdefault(block_idx, {})[
-                    f"{name}.upbound_factor"
-                ] = up
-                self.weight_clips[block_idx][f"{name}.lowbound_factor"] = low
+            up, low = self._v2_factors(w, min_val, max_val)
+            self._store_v2(algo, block_idx, name, up, low)
         else:
             raise ValueError(self.clip_version)
+
+    def _v2_factors(self, w: Array, min_val: Array, max_val: Array):
+        """Sigmoid clip factors for one 2D weight (auto_clip.py v2)."""
+        w2 = reshape_tensor(w.astype(jnp.float32), self.wspec)
+        from ...quant.quantizer import minmax_range
+
+        org_mn, org_mx = minmax_range(w2, self.wspec)
+        shape = org_mx.shape
+        if self.clip_sym:
+            amax = jnp.clip(
+                jnp.maximum(jnp.abs(org_mx), jnp.abs(org_mn)), 1e-5, None
+            )
+            up = _logit(max_val.reshape(shape) / amax)
+            low = None
+        else:
+            up = _logit(max_val.reshape(shape) / org_mx.reshape(shape))
+            low = _logit(min_val.reshape(shape) / org_mn.reshape(shape))
+        return up, low
+
+    def _store_v2(self, algo, block_idx: int, name: str, up, low) -> None:
+        st = algo.state(block_idx, name)
+        st["upbound_factor"] = up
+        st["lowbound_factor"] = low
+        if self.save_clip:
+            self.weight_clips.setdefault(block_idx, {})[
+                f"{name}.upbound_factor"
+            ] = up
+            self.weight_clips[block_idx][f"{name}.lowbound_factor"] = low
 
 
 @partial(

@@ -192,3 +192,36 @@ def test_moe_per_expert_weight_clip():
     enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
     ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
     assert np.isfinite(ppl)
+
+
+def test_moe_per_expert_weight_clip_v2():
+    """clip_version v2 on stacked experts: per-expert sigmoid factors are
+    stacked to match reshape_tensor's flattened 3D view and consumed by the
+    quantizer's learnable path at deploy (weights stay un-mutated)."""
+    m = make_tiny_moe(seed=11)
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 128, (1, 16)), jnp.int32)
+           for _ in range(2)]
+    inputs = m.collect_first_block_input(ids)
+    cfg = DotDict({
+        "method": "Awq",
+        "weight": {"bit": 4, "symmetric": False, "granularity": "per_group",
+                   "group_size": 16},
+        "special": {"trans": True, "trans_version": "v2",
+                    "weight_clip": True, "clip_version": "v2"},
+    })
+    algo = ALGO_REGISTRY["Awq"](m, cfg, inputs, None, DotDict({}))
+    algo.run_block_loop()
+    w = m.blocks[0]["mlp"]["down"]["weight"]
+    st = algo.layer_state[0]["mlp.down"]
+    assert st["upbound_factor"] is not None
+    E, oc, ic = w.shape
+    assert st["upbound_factor"].shape[0] == E * oc * (ic // 16)
+    # the learnable w_qdq must broadcast against the stacked weight
+    wq = algo.w_qdq(w, 0, "mlp.down")
+    assert wq.shape == w.shape
+    assert np.all(np.isfinite(np.asarray(wq, np.float32)))
+    algo.deploy("fake_quant")
+    enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
+    ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
+    assert np.isfinite(ppl)
