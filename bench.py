@@ -26,15 +26,15 @@ ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
 # xla -> einsum attention; pallas -> ops.pallas_attention decode kernel
 ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
-# nocopy -> attention treats the cache as read-only and adds the new
-# token's score/value as a separate term (the real per-step append in a
-# preallocated serving cache writes only the 33KB new token — modeled as
-# free); concat -> per-step jnp.concatenate (COPIES the whole 67MB cache
-# every layer: +4.2GB/step of write+read traffic, measured -30% tokens/s);
-# dus -> preallocated cache carried through the loop with in-place
-# dynamic_update_slice appends (serving/kv_cache.py:60-97 layout; the
-# tunneled runtime defeats XLA's carry aliasing, see REPORT.md)
-KV_APPEND = os.environ.get("BENCH_KV_APPEND", "nocopy")
+# concat -> per-step jnp.concatenate of cache+new (XLA fuses the concat
+# into the attention consumers — no copy materializes; FASTEST measured:
+# 2516 vs nocopy 2159 vs dus 998 tok/s); nocopy -> read-only cache with
+# the new token's score/value as a separate attention term (loses: extra
+# einsums beat XLA's concat fusion); dus -> preallocated cache carried
+# through the loop with in-place dynamic_update_slice appends
+# (serving/kv_cache.py:60-97 layout; the tunneled runtime defeats XLA's
+# carry aliasing, see REPORT.md)
+KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
 # 1 -> fuse q+k+v into one (6144, 4096) kernel call and gate+up into one
 # (28672, 4096) call: 4 Pallas launches per layer instead of 7, and the
 # small 2MB k/v weight reads ride the 4MB-block DMA stream

@@ -38,7 +38,8 @@ Array = jax.Array
 BIG = 100.0  # hardened logit (tesseraq.py:287 uses 100 * sign)
 
 
-@ALGO_REGISTRY
+@ALGO_REGISTRY.register("GPTBRECQ")  # pre-rename alias still used by
+@ALGO_REGISTRY                       # reference configs (tesseraq_w4a16.yml)
 class TesseraQ(BaseBlockwiseQuantization):
     def __init__(self, model, quant_config, input, padding_mask=None,
                  config=None):

@@ -66,7 +66,9 @@ def _check_weight_cfg(w: DotDict) -> None:
         if "block_size" not in w:
             raise ValueError("per_block weight quant requires quant.weight.block_size")
     bit = w.get("bit", 8)
-    if isinstance(bit, int) and not (1 <= bit <= 16):
+    # 48 = INT4-in-INT8 double quantization (Weight48IntegerQuantizer,
+    # quant.py:1232-1369; rtn_w_a_wint4aint8.yml)
+    if isinstance(bit, int) and not (1 <= bit <= 16 or bit == 48):
         raise ValueError(f"unsupported integer bit-width {bit}")
     if isinstance(bit, str) and bit not in (
         "e4m3", "e5m2", "e3m2", "e2m1", "e4m7",

@@ -161,6 +161,8 @@ def ultrachat_general(calib_dataset, tokenizer, n_samples, seq_len):
     return samples
 
 
+@PREPROC_REGISTRY.register("vlm_general")  # name used by the reference's
+# shipped VLM configs (smoothquant_w_a_vlm.yml, gptq_w_only_vlm.yml)
 @PREPROC_REGISTRY
 def img_general(calib_dataset, tokenizer, batch_process, n_samples):
     """Multimodal calibration: shuffle raw images, cap at n_samples, hand to

@@ -23,6 +23,8 @@ from .vit import Vit
 Array = jax.Array
 
 
+@MODEL_REGISTRY.register("Llava OneVision")  # space-form used by the
+# reference's shipped video token-reduction configs (dycoke.yml et al.)
 @MODEL_REGISTRY.register("Llava_OneVision")
 @MODEL_REGISTRY
 class LlavaOnevision(Llava):
