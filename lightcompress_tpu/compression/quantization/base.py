@@ -150,9 +150,18 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             self.ignored_layer_names = [
                 _canon_name(n) for n in ig.get("layer_names", [])
             ]
+            # per-instance full names, e.g. "blocks.3.mlp.down"
+            # (reference key is spelled 'speical_names',
+            # bbq.py:141,911-929; accept the corrected spelling too)
+            self.ignored_special_names = [
+                _canon_name(n)
+                for n in (list(ig.get("speical_names", []))
+                          + list(ig.get("special_names", [])))
+            ]
         else:
             self.ignored_block_ids = []
             self.ignored_layer_names = []
+            self.ignored_special_names = []
 
         arch = self.model.arch
         self.has_gqa = arch.num_kv_heads < arch.num_heads
@@ -171,7 +180,9 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
     def is_ignored(self, block_idx: int, name: str) -> bool:
         if block_idx in self.ignored_block_ids:
             return True
-        return name in self.ignored_layer_names
+        if name in self.ignored_layer_names:
+            return True
+        return f"blocks.{block_idx}.{name}" in self.ignored_special_names
 
     # ------------------------------------------------------------------
     # w_qdq / a_qdq (the FakeQuantLinear callbacks, bbq.py:53-75)
@@ -490,14 +501,22 @@ def _struct_copy(tree):
 
 
 def _canon_name(name: str) -> str:
-    """Map reference/HF layer names to canonical short names."""
+    """Map reference/HF layer names to canonical short names.
+
+    Per-instance names keep their block index: 'model.layers.3.self_attn.
+    q_proj' -> 'blocks.3.attn.q' (the ignored_layers speical_names form,
+    bbq.py:911-929)."""
+    import re
+
     table = {
         "q_proj": "attn.q", "k_proj": "attn.k", "v_proj": "attn.v",
         "o_proj": "attn.o", "out_proj": "attn.o",
         "gate_proj": "mlp.gate", "up_proj": "mlp.up", "down_proj": "mlp.down",
         "fc1": "mlp.fc1", "fc2": "mlp.fc2",
     }
+    m = re.search(r"(?:layers|blocks|h)\.(\d+)\.", name)
+    prefix = f"blocks.{m.group(1)}." if m else ""
     for k, v in table.items():
         if k in name:
-            return v
+            return prefix + v
     return name

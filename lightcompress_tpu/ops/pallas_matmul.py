@@ -180,7 +180,10 @@ def w4a16_matmul_planes(
 ) -> Array:
     """y = x @ dequant(wp).T with plane-packed int4 weights.
 
-    x: (B, K) float; wp: (N, K/8) int32; scales/zeros: (N, K/group).
+    x: (B, K) float; wp: (N, K/8) int32; scales/zeros: (N, K/group), OR
+    pre-tiled 4D (gpp, N/NT, 8, NT) with zeros already premultiplied by
+    scales (the serving layout — skips the per-call tile+premultiply,
+    which otherwise re-materializes ~2x N*G*4 bytes every decode step).
     Returns (B, N) in x.dtype.
     """
     from jax.experimental import pallas as pl
@@ -210,13 +213,17 @@ def w4a16_matmul_planes(
         x.astype(jnp.bfloat16)
         .reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
     )
-    s = scales.astype(jnp.float32)
-    if zeros is None:
-        zs = jnp.zeros_like(s)
+    if scales.ndim == 4:  # pre-tiled, zeros premultiplied
+        sr = scales
+        zsr = (jnp.zeros_like(sr) if zeros is None else zeros)
     else:
-        zs = zeros.astype(jnp.float32) * s
-    sr = tile_scales(s, n_tile, gpp)
-    zsr = tile_scales(zs, n_tile, gpp)
+        s = scales.astype(jnp.float32)
+        if zeros is None:
+            zs = jnp.zeros_like(s)
+        else:
+            zs = zeros.astype(jnp.float32) * s
+        sr = tile_scales(s, n_tile, gpp)
+        zsr = tile_scales(zs, n_tile, gpp)
 
     kernel = functools.partial(_w4a16_kernel_fullk, group=group, gpp=gpp)
     grid = (N // n_tile,)
@@ -308,13 +315,17 @@ def w4a8_matmul_planes(
     G = K // group
 
     xr = xq.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
-    s = scales.astype(jnp.float32)
-    if zeros is None:
-        zs = jnp.zeros_like(s)
+    if scales.ndim == 4:  # pre-tiled (gpp, N/NT, 8, NT), zeros premultiplied
+        sr = scales
+        zsr = (jnp.zeros_like(sr) if zeros is None else zeros)
     else:
-        zs = zeros.astype(jnp.float32) * s
-    sr = tile_scales(s, n_tile, gpp)
-    zsr = tile_scales(zs, n_tile, gpp)
+        s = scales.astype(jnp.float32)
+        if zeros is None:
+            zs = jnp.zeros_like(s)
+        else:
+            zs = zeros.astype(jnp.float32) * s
+        sr = tile_scales(s, n_tile, gpp)
+        zsr = tile_scales(zs, n_tile, gpp)
 
     kernel = functools.partial(_w4a8_kernel_fullk, group=group, gpp=gpp)
     grid = (N // n_tile,)

@@ -50,26 +50,34 @@ def quantize_linear(
         return QLinearParams(codes, scales.astype(jnp.float32), None, bias,
                              8, 0, True)
     if spec.bit == 4:
+        s4 = scales.astype(jnp.float32)
+        z4 = None if zeros is None else zeros.astype(jnp.float32)
         if layout == "planes":
             from .pallas_matmul import (pack_int4_planes, pick_n_tile,
-                                        tile_packed)
+                                        tile_packed, tile_scales)
 
             packed = pack_int4_planes(codes)
             N = packed.shape[0]
             gs = spec.granularity == "per_group" and spec.group_size or 0
             if gs and packed.shape[1] % gs == 0 and N % 128 == 0:
                 # contiguous full-K tile serving layout (multi-MB DMA
-                # blocks; see pallas_matmul.pick_n_tile)
-                packed = tile_packed(packed, pick_n_tile(N, packed.shape[1],
-                                                         gs), gs)
+                # blocks; see pallas_matmul.pick_n_tile); scales pre-tiled
+                # with zeros premultiplied so the kernel skips the per-call
+                # tile+premultiply re-materialization
+                nt = pick_n_tile(N, packed.shape[1], gs)
+                gpp = packed.shape[1] // gs
+                packed = tile_packed(packed, nt, gs)
+                if z4 is not None:
+                    z4 = tile_scales(z4 * s4, nt, gpp)
+                s4 = tile_scales(s4, nt, gpp)
         else:
             from ..export import pack_int4
 
             packed = pack_int4(codes)
         return QLinearParams(
             packed,
-            scales.astype(jnp.float32),
-            None if zeros is None else zeros.astype(jnp.float32),
+            s4,
+            z4,
             bias,
             4,
             spec.group_size if spec.granularity == "per_group" else 0,
@@ -85,6 +93,12 @@ def quantize_linear(
         spec.group_size if spec.granularity == "per_group" else 0,
         False,
     )
+
+
+def _untile_scales(sr: Array) -> Array:
+    """Inverse of pallas_matmul.tile_scales: (gpp, N/NT, 8, NT) -> (N, G)."""
+    gpp, nb, eight, nt = sr.shape
+    return sr.transpose(1, 3, 2, 0).reshape(nb * nt, eight * gpp)
 
 
 def _unpack_int4_u(packed: Array) -> Array:
@@ -121,6 +135,13 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
     oc, ic = u.shape
     g = qp.group_size or ic
     u = u.reshape(oc, ic // g, g)
+    if qp.scales.ndim == 4:
+        # pre-tiled serving layout (gpp, N/NT, 8, NT) with premultiplied
+        # zeros: y = u*s - zs
+        s = _untile_scales(qp.scales).reshape(oc, ic // g, 1)
+        zs = (_untile_scales(qp.zeros).reshape(oc, ic // g, 1)
+              if qp.zeros is not None else 0.0)
+        return (u * s - zs).reshape(oc, ic).astype(dtype)
     z = qp.zeros.reshape(oc, ic // g, 1) if qp.zeros is not None else 0.0
     s = qp.scales.reshape(oc, ic // g, 1)
     return ((u - z) * s).reshape(oc, ic).astype(dtype)

@@ -118,8 +118,14 @@ class LLMEngine:
             ]
         self.key = jax.random.PRNGKey(seed)
         self.reset()
-        self._decode_jit = jax.jit(self._decode_step)
-        self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",))
+        # donate the cache: without donation XLA cannot alias the input
+        # buffers, so every per-layer dynamic_update_slice append forces a
+        # fresh copy of the full (L,S,H,T,D) cache each step; generate()
+        # reassigns self.cache from the output immediately, so the donated
+        # buffer is never reused
+        self._decode_jit = jax.jit(self._decode_step, donate_argnums=(0,))
+        self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",),
+                                    donate_argnums=(0,))
 
     def reset(self):
         a = self.arch

@@ -40,8 +40,13 @@ def _qp_sharding(name: str, qp: QLinearParams, mesh: Mesh):
     if name in _COL_PARALLEL:
         codes = ns(P("tp", None)) if qp.codes.ndim == 2 else \
             ns(P("tp", None, None, None))
-        scale_spec = ns(P("tp")) if qp.scales is not None and \
-            qp.scales.ndim == 1 else ns(P("tp", None))
+        if qp.scales is not None and qp.scales.ndim == 4:
+            # pre-tiled (gpp, N/NT, 8, NT): output channels live on dim 1
+            scale_spec = ns(P(None, "tp", None, None))
+        elif qp.scales is not None and qp.scales.ndim == 1:
+            scale_spec = ns(P("tp"))
+        else:
+            scale_spec = ns(P("tp", None))
         return QLinearParams(
             jax.device_put(qp.codes, codes),
             jax.device_put(qp.scales, scale_spec)

@@ -297,3 +297,22 @@ def test_trtllm_cvt_records_command(tmp_path):
     os.makedirs(qdir, exist_ok=True)
     cvt_trtllm_engine(qdir, edir)
     assert os.path.exists(os.path.join(edir, "build_cmd.txt"))
+
+
+def test_mixed_precision_speical_names():
+    """Per-instance ignored layers via the reference's 'speical_names' key
+    (bbq.py:141,911-929): only the named block's layer stays float."""
+    model = make_tiny_adapter(seed=12)
+    cfg = DotDict({"ignored_layers": {
+        "speical_names": ["model.layers.0.mlp.down_proj"]}})
+    inputs = _calib_batches(model)
+    algo = ALGO_REGISTRY["RTN"](model, W4G16, inputs, None, cfg)
+    algo.run_block_loop()
+    w0 = np.asarray(model.blocks[0]["mlp"]["down"]["weight"]).copy()
+    w1 = np.asarray(model.blocks[1]["mlp"]["down"]["weight"]).copy()
+    algo.deploy("fake_quant")
+    # block 0 down stays float, block 1 down is quantized
+    np.testing.assert_array_equal(
+        w0, np.asarray(model.blocks[0]["mlp"]["down"]["weight"]))
+    assert not np.array_equal(
+        w1, np.asarray(model.blocks[1]["mlp"]["down"]["weight"]))

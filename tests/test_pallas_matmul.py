@@ -156,3 +156,25 @@ def test_m_threshold_dispatch():
     assert not w4a16_matmul_available(jnp.zeros((257, 1024)), qp)
     assert not w4a16_matmul_available(jnp.zeros((4, 512, 1024)), qp)
     assert w4a16_matmul_available(jnp.zeros((2, 128, 1024)), qp)
+
+
+def test_pretiled_scales_layout_roundtrip():
+    """quantize_linear pre-tiles scales (4D, zeros premultiplied) for the
+    serving layout; dequant_weight and both kernels consume it, and the
+    result matches an untiled 'rows'-layout dequant exactly."""
+    from lightcompress_tpu.ops import dequant_weight, quantize_linear
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(256, 1024).astype(np.float32))
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=128)
+    qp_planes = quantize_linear(w, spec, layout="planes")
+    qp_rows = quantize_linear(w, spec, layout="rows")
+    assert qp_planes.scales.ndim == 4  # (gpp, N/NT, 8, NT)
+    assert qp_planes.zeros.ndim == 4
+    np.testing.assert_allclose(
+        np.asarray(dequant_weight(qp_planes), np.float32),
+        np.asarray(dequant_weight(qp_rows), np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
