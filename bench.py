@@ -39,6 +39,10 @@ KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
 # (28672, 4096) call: 4 Pallas launches per layer instead of 7, and the
 # small 2MB k/v weight reads ride the 4MB-block DMA stream
 FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
+# "" -> raw (oc, G) f32 scales (runtime-tiled, hoisted by XLA LICM);
+# "f32"/"bf16" -> pre-tiled serving layout (zeros premultiplied), bf16
+# halves the kernel's scale-stream bytes (scales+zeros = 13% of codes)
+SCALES = os.environ.get("BENCH_SCALES", "")
 
 
 # Llama-3-8B block shapes
@@ -91,6 +95,13 @@ def make_layer_qweights(key):
         codes = tile_packed(codes, nt, GROUP)  # contiguous-tile layout
         scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
         zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+        if SCALES:
+            from lightcompress_tpu.ops.pallas_matmul import tile_scales
+
+            sd = jnp.bfloat16 if SCALES == "bf16" else jnp.float32
+            gpp = ic // 8 // GROUP
+            zeros = tile_scales(zeros * scales, nt, gpp).astype(sd)
+            scales = tile_scales(scales, nt, gpp).astype(sd)
         # plane layout -> Pallas fused dequant-matmul kernel path
         out[name] = QLinearParams(codes, scales, zeros, None, 4, GROUP, False,
                                   "planes")
@@ -339,8 +350,9 @@ def main():
     # roofline: bytes read per decode step
     weight_bytes = sum(
         int(np.prod(lw[n].codes.shape)) * 4
-        + lw[n].scales.size * 4
-        + (lw[n].zeros.size * 4 if lw[n].zeros is not None else 0)
+        + lw[n].scales.size * lw[n].scales.dtype.itemsize
+        + (lw[n].zeros.size * lw[n].zeros.dtype.itemsize
+           if lw[n].zeros is not None else 0)
         for lw in layers
         for n in lw
     )

@@ -69,6 +69,49 @@ def awq_gemm_pack(codes: jax.Array, scales: jax.Array, zeros: jax.Array,
     return qweight, scales_t, qzeros
 
 
+def _emit_linear(tensors, base, codes, scales, zeros, spec,
+                 awq_layout: bool, ct_layout: bool) -> None:
+    """Write one 2D linear's tensors in the backend layout."""
+    if awq_layout and zeros is not None and codes.ndim == 2:
+        qw, sc, qz = awq_gemm_pack(codes, scales, zeros, spec.bit)
+        tensors[base + ".qweight"] = np.asarray(qw)
+        tensors[base + ".scales"] = np.asarray(sc)
+        tensors[base + ".qzeros"] = np.asarray(qz)
+    elif ct_layout and spec.bit == 4 and codes.ndim == 2:
+        tensors[base + ".weight_packed"] = np.asarray(pack_int4(codes))
+        tensors[base + ".weight_scale"] = np.asarray(scales, dtype=np.float32)
+        if zeros is not None:
+            tensors[base + ".weight_zero_point"] = np.asarray(
+                zeros, dtype=np.float32)
+    else:
+        if spec.bit == 4 and not spec.is_float:
+            tensors[base + ".qweight_packed"] = np.asarray(pack_int4(codes))
+        else:
+            tensors[base + ".qweight"] = np.asarray(codes)
+        tensors[base + ".scales"] = np.asarray(scales, dtype=np.float32)
+        if zeros is not None:
+            tensors[base + ".zeros"] = np.asarray(zeros, dtype=np.float32)
+
+
+def _qp_expert_slice(qp, E: int, e: int):
+    """Per-expert view of qparams searched on a stacked (E, oc, ic) weight.
+
+    Grouped-view qparams have leading dim E*rows (reshape_tensor flattens
+    leading dims), so expert e owns the contiguous [e*rows:(e+1)*rows)
+    slice."""
+    if qp is None:
+        return None
+    s = qp.scales
+    if s.ndim == 0 or s.shape[0] % E != 0:
+        return qp  # per_tensor or already per-expert
+    rows = s.shape[0] // E
+    z = qp.zeros
+    return type(qp)(
+        s[e * rows:(e + 1) * rows],
+        z[e * rows:(e + 1) * rows] if getattr(z, "ndim", 0) else z,
+    )
+
+
 def export_real_quant(algo, save_dir: str, fmt: str = "native") -> None:
     """Quantize every block linear with the algorithm's searched qparams and
     write codes+scales(+zeros) as safetensors + a quant-config JSON.
@@ -95,31 +138,25 @@ def export_real_quant(algo, save_dir: str, fmt: str = "native") -> None:
             w = node["weight"].astype(jnp.float32)
             st = algo.layer_state[idx].get(name, {})
             qp = st.get("qparams", None)
+            if w.ndim == 3:
+                # stacked MoE experts: emit per-expert 2D tensors (the
+                # reference's per-expert module names, deepseekv3.py
+                # experts.N.*) so every backend layout applies unchanged
+                E = w.shape[0]
+                for e in range(E):
+                    ce, se, ze = real_quant_weight(
+                        w[e], spec, qp=_qp_expert_slice(qp, E, e))
+                    _emit_linear(
+                        tensors, f"blocks.{idx}.{name}.experts.{e}",
+                        ce, se, ze, spec, awq_layout, ct_layout)
+                if "bias" in node and node["bias"] is not None:
+                    tensors[f"blocks.{idx}.{name}.bias"] = np.asarray(
+                        node["bias"], dtype=np.float32)
+                continue
             codes, scales, zeros = real_quant_weight(w, spec, qp=qp)
             base = f"blocks.{idx}.{name}"
-            if awq_layout and zeros is not None and codes.ndim == 2:
-                qw, sc, qz = awq_gemm_pack(codes, scales, zeros, spec.bit)
-                tensors[base + ".qweight"] = np.asarray(qw)
-                tensors[base + ".scales"] = np.asarray(sc)
-                tensors[base + ".qzeros"] = np.asarray(qz)
-            elif ct_layout and spec.bit == 4 and codes.ndim == 2:
-                tensors[base + ".weight_packed"] = np.asarray(pack_int4(codes))
-                tensors[base + ".weight_scale"] = np.asarray(
-                    scales, dtype=np.float32)
-                if zeros is not None:
-                    tensors[base + ".weight_zero_point"] = np.asarray(
-                        zeros, dtype=np.float32)
-            else:
-                if spec.bit == 4 and not spec.is_float:
-                    tensors[base + ".qweight_packed"] = np.asarray(
-                        pack_int4(codes))
-                else:
-                    tensors[base + ".qweight"] = np.asarray(codes)
-                tensors[base + ".scales"] = np.asarray(scales,
-                                                       dtype=np.float32)
-                if zeros is not None:
-                    tensors[base + ".zeros"] = np.asarray(zeros,
-                                                          dtype=np.float32)
+            _emit_linear(tensors, base, codes, scales, zeros, spec,
+                         awq_layout, ct_layout)
             if "bias" in node and node["bias"] is not None:
                 tensors[base + ".bias"] = np.asarray(node["bias"], dtype=np.float32)
     save_file(tensors, os.path.join(save_dir, "quant_model.safetensors"))

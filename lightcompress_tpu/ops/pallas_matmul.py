@@ -124,7 +124,7 @@ def _w4a16_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
     accs = jax.lax.fori_loop(
         0, gpp, gi_body,
         tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
-    zsb = zs_ref[:, 0].reshape(gpp * 8, nt)
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt).astype(jnp.float32)
     corr = jax.lax.dot_general(
         xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -158,7 +158,7 @@ def _w4a8_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
     accs = jax.lax.fori_loop(
         0, gpp, gi_body,
         tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
-    zsb = zs_ref[:, 0].reshape(gpp * 8, nt)
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt).astype(jnp.float32)
     corr = jax.lax.dot_general(
         xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)

@@ -225,3 +225,41 @@ def test_moe_per_expert_weight_clip_v2():
     enc = rng.randint(0, 128, (1, 64)).astype(np.int32)
     ppl = PerplexityEval(enc, seq_len=16, bs=1).eval(m)
     assert np.isfinite(ppl)
+
+
+def test_moe_export_per_expert(tmp_path):
+    """Stacked (E, oc, ic) expert weights export as per-expert 2D tensors
+    (the reference's experts.N module names) with correctly-shaped scales."""
+    import os
+
+    from safetensors.numpy import load_file
+
+    from lightcompress_tpu.export import export_real_quant, unpack_int4
+
+    m = make_tiny_moe(seed=13)
+    cfg = DotDict({
+        "method": "RTN",
+        "weight": {"bit": 4, "symmetric": False, "granularity": "per_group",
+                   "group_size": 16},
+    })
+    ids = [jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 16)),
+                       jnp.int32)]
+    algo = ALGO_REGISTRY["RTN"](m, cfg, m.collect_first_block_input(ids),
+                                None, DotDict({}))
+    algo.run_block_loop()
+    out = str(tmp_path / "moe_export")
+    export_real_quant(algo, out)
+    t = load_file(os.path.join(out, "quant_model.safetensors"))
+    w = m.blocks[0]["mlp"]["down"]["weight"]
+    E, oc, ic = w.shape
+    for e in range(E):
+        key = f"blocks.0.mlp.down.experts.{e}"
+        assert key + ".qweight_packed" in t
+        assert t[key + ".scales"].shape == (oc, ic // 16)
+        # dequant roundtrip ~= the float expert weight
+        codes = np.asarray(unpack_int4(jnp.asarray(t[key + ".qweight_packed"])))
+        s = t[key + ".scales"][:, :, None]
+        z = t[key + ".zeros"][:, :, None]
+        deq = ((codes.reshape(oc, ic // 16, 16) - z) * s).reshape(oc, ic)
+        ref = np.asarray(w[e], np.float32)
+        assert np.abs(deq - ref).mean() / (np.abs(ref).mean() + 1e-9) < 0.2
