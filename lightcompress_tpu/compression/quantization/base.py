@@ -333,8 +333,24 @@ class BaseBlockwiseQuantization(BlockwiseOpt):
             self.shift_ln_fcs(bp, subset.prev_op, list(subset.layers), shifts)
 
     def _assert_finite(self, bp: Dict, names: List[str]) -> None:
-        # NaN guards (bbq.py:743-747,774-778) — checked lazily on device
-        pass
+        """NaN guards after equivalent transforms (bbq.py:743-747,774-778).
+
+        One fused all-finite reduction per touched tensor; disable with
+        LCTPU_NAN_CHECKS=0 to avoid the calibration-time host syncs."""
+        import os
+
+        if os.environ.get("LCTPU_NAN_CHECKS", "1") == "0":
+            return
+        for n in names:
+            node = resolve(bp, n)
+            for key in ("weight", "bias"):
+                t = node.get(key)
+                if t is None:
+                    continue
+                if not bool(jnp.all(jnp.isfinite(t.astype(jnp.float32)))):
+                    raise FloatingPointError(
+                        f"non-finite values in {n}.{key} after equivalent "
+                        f"transform (reference asserts at bbq.py:743-747)")
 
     def update_input_feat(
         self, feats: Dict[str, List[Array]], subset: Subset, scales: Array,

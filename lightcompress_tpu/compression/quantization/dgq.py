@@ -50,6 +50,7 @@ class DGQ(BaseBlockwiseQuantization):
         self.tp = 1
         self.ignored_block_ids = []
         self.ignored_layer_names = []
+        self.ignored_special_names = []
         self.has_gqa = self.model.arch.num_kv_heads < self.model.arch.num_heads
 
     # ------------------------------------------------------------------

@@ -169,7 +169,8 @@ def test_pretiled_scales_layout_roundtrip():
     w = jnp.asarray(rng.randn(256, 1024).astype(np.float32))
     spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
                      group_size=128)
-    qp_planes = quantize_linear(w, spec, layout="planes")
+    qp_planes = quantize_linear(w, spec, layout="planes",
+                                scale_dtype=jnp.float32)
     qp_rows = quantize_linear(w, spec, layout="rows")
     assert qp_planes.scales.ndim == 4  # (gpp, N/NT, 8, NT)
     assert qp_planes.zeros.ndim == 4
@@ -178,3 +179,9 @@ def test_pretiled_scales_layout_roundtrip():
         np.asarray(dequant_weight(qp_rows), np.float32),
         rtol=1e-5, atol=1e-5,
     )
+    # default bf16 scales: rel error far below the W4 quant noise (0.107)
+    qp_bf16 = quantize_linear(w, spec, layout="planes")
+    assert qp_bf16.scales.dtype == jnp.bfloat16
+    a = np.asarray(dequant_weight(qp_bf16), np.float32)
+    b = np.asarray(dequant_weight(qp_rows), np.float32)
+    assert np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9) < 0.01
