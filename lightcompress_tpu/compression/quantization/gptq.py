@@ -226,6 +226,9 @@ class GPTQ(BaseBlockwiseQuantization):
         self.blocksize = special.get("blocksize", 128)
         self.owq = special.get("owq", False)  # outlier cols kept fp
         self.n_out_ratio = special.get("n_out_ratio", 0.0)
+        # reference OWQ config: absolute outlier counts per linear, indexed
+        # by block-linear position (gptq.py:48,93 n_out_dict)
+        self.n_outs = special.get("n_outs", None)
 
     # ------------------------------------------------------------------
     def compute_hessian(self, x_batches: List[Array], name: str = "") -> Array:
@@ -262,7 +265,12 @@ class GPTQ(BaseBlockwiseQuantization):
             H = self.compute_hessian(input_feat[name], name)
             n_out = 0
             if self.owq:
-                n_out = int(W.shape[1] * self.n_out_ratio)
+                if self.n_outs is not None:
+                    order = self.model.get_block_linear_names(block_idx)
+                    pos = order.index(name) if name in order else 0
+                    n_out = int(self.n_outs[pos % len(self.n_outs)])
+                else:
+                    n_out = int(W.shape[1] * self.n_out_ratio)
                 if gs > 0:
                     n_out = (n_out // gs) * gs  # keep group alignment
             W_new, scales, zeros, perm = gptq_quantize_layer(

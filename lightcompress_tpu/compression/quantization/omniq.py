@@ -46,6 +46,23 @@ class OmniQuant(BaseBlockwiseQuantization):
         self.lwc_lr = sp.get("lwc_lr", 1e-2)
         self.let_lr = sp.get("let_lr", 1e-3)
         self.wd = sp.get("wd", 0.0)
+        # omniq.py:69-74,100-116 knobs
+        self.alpha = sp.get("alpha", 0.5)
+        self.aug_loss = sp.get("aug_loss", False)
+        # deactive_amp selects f32-vs-f16 training in the reference; our
+        # optax training is always f32, so True is the only behavior
+        self.deactive_amp = sp.get("deactive_amp", True)
+        self.use_shift_cfg = sp.get("use_shift", False)
+        self.search_scale_init = sp.get("search_scale_init", False)
+        self.loaded_scales = None
+        if self.search_scale_init and sp.get("scale_path"):
+            import os
+            import pickle
+
+            with open(os.path.join(sp["scale_path"], "scales.pkl"),
+                      "rb") as f:
+                self.loaded_scales = pickle.load(f)
+        self._fp_inputs = None  # FP-chained teacher stream (get_original_out)
         self.ste_wspec = self.wspec.with_(ste=True, calib_algo="learnable")
         self.ste_aspec = (
             self.aspec.with_(ste=True) if self.aspec is not None else None
@@ -71,6 +88,44 @@ class OmniQuant(BaseBlockwiseQuantization):
             if s.prev_type == "norm"
         ]
 
+    def _let_init(self, block_idx, bp, subset: Subset, input_feat):
+        """LET scale init (omniq.py:104-116,424-432): SmoothQuant-style
+        x_max^alpha / w_max^(1-alpha) from calib act stats (or saved
+        scales.pkl when search_scale_init); shift init = channel midpoint
+        (act_max+act_min)/2 when use_shift."""
+        name0 = subset.layers[0]
+        h = resolve(bp, name0)["weight"].shape[-1]
+        scale = None
+        if self.loaded_scales is not None:
+            key = f"block.{block_idx}.{name0}"
+            if key in self.loaded_scales:
+                scale = jnp.asarray(self.loaded_scales[key], jnp.float32)
+        feats = input_feat.get(name0)
+        if scale is None and feats:
+            x = jnp.concatenate(
+                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
+            ).astype(jnp.float32)
+            x_absmax = jnp.clip(jnp.max(jnp.abs(x), axis=0), 1e-5, None)
+            ws = [jnp.abs(resolve(bp, n)["weight"].astype(jnp.float32))
+                  for n in subset.layers]
+            w_absmax = jnp.clip(
+                jnp.max(jnp.concatenate(
+                    [w.reshape(-1, w.shape[-1]) for w in ws], axis=0),
+                    axis=0),
+                1e-5, None)
+            scale = jnp.clip(
+                x_absmax ** self.alpha / w_absmax ** (1.0 - self.alpha),
+                1e-5, 1e4)
+        if scale is None:
+            scale = jnp.ones((h,), jnp.float32)
+        shift = jnp.zeros((h,), jnp.float32)
+        if self.let_shift and feats:
+            x = jnp.concatenate(
+                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
+            ).astype(jnp.float32)
+            shift = (jnp.max(x, axis=0) + jnp.min(x, axis=0)) / 2.0
+        return {"scale": scale, "shift": shift}
+
     # ------------------------------------------------------------------
     def _quant_w(self, w, factors):
         wf = w.astype(jnp.float32)
@@ -92,10 +147,23 @@ class OmniQuant(BaseBlockwiseQuantization):
         arch = model.arch
         names = model.get_block_linear_names(block_idx)
 
+        # FP-chained teacher (get_original_out, omniq.py:145-153): ori_out
+        # chains float outputs from block 0 regardless of how the engine
+        # propagates inputs; aug_loss adds a second teacher computed from
+        # the current (possibly quant-propagated) input stream
+        if self._fp_inputs is None:
+            self._fp_inputs = list(self.input_batches)
         targets = []
-        for x in self.input_batches:
+        for x in self._fp_inputs:
             y, _, _ = model.block_forward(block_idx, x)
             targets.append(y)
+        targets2 = None
+        if self.aug_loss:
+            targets2 = []
+            for x in self.input_batches:
+                y, _, _ = model.block_forward(block_idx, x)
+                targets2.append(y)
+        self._fp_inputs = targets
 
         let_subsets = self._let_subsets(block_idx)
         name_to_let = {}
@@ -107,14 +175,14 @@ class OmniQuant(BaseBlockwiseQuantization):
         if self.lwc:
             trainables["lwc"] = self._lwc_init(bp, names)
         # LET shift folds into the LN bias — only for biased-norm families
-        # (reference shift_ln_fcs requires ln.bias; llama RMSNorm has none)
-        self.let_shift = self.let and arch.family != "llama"
+        # use_shift (omniq.py:100-103): shift requires a biased norm to fold
+        # into (reference raises on no-bias models; llama RMSNorm has none)
+        self.let_shift = (self.let and self.use_shift_cfg
+                          and arch.family != "llama")
         if self.let:
-            h = arch.hidden_size
             trainables["let"] = [
-                {"scale": jnp.ones((h,), jnp.float32),
-                 "shift": jnp.zeros((h,), jnp.float32)}
-                for _ in let_subsets
+                self._let_init(block_idx, bp, s, input_feat)
+                for s in let_subsets
             ]
 
         w_only = self.w_only
@@ -146,12 +214,17 @@ class OmniQuant(BaseBlockwiseQuantization):
             return y
 
         def loss_fn(params, x, target):
-            return mse_loss(quant_forward(params, x), target)
+            y = quant_forward(params, x)
+            if isinstance(target, tuple):  # aug_loss (omniq.py:214-215)
+                return mse_loss(y, target[0]) + mse_loss(y, target[1])
+            return mse_loss(y, target)
 
         lr = self.lwc_lr if self.lwc else self.let_lr
+        train_targets = (list(zip(targets, targets2)) if targets2 is not None
+                         else targets)
         trained, loss = train_block(
-            loss_fn, trainables, self.input_batches, targets, lr, self.epochs,
-            weight_decay=self.wd,
+            loss_fn, trainables, self.input_batches, train_targets, lr,
+            self.epochs, weight_decay=self.wd,
         )
 
         # merge LET into params (omniq apply_scale merge)

@@ -51,6 +51,8 @@ class TesseraQ(BaseBlockwiseQuantization):
         self.epochs_per_round = sp.get("epochs_per_round", 1)
         self.lr = sp.get("lr", 1e-2)
         self.optimize_scale = sp.get("optimize_scale", False)
+        # per-group lr for the output-scale factors (tesseraq.py:239)
+        self.scale_lr = sp.get("scale_lr", None)
         self.scale_path = sp.get("scale_path", None)
         self.sigmoid = RectifiedSigmoid(-0.1, 1.1)
         self.loaded_scales = None
@@ -145,6 +147,8 @@ class TesseraQ(BaseBlockwiseQuantization):
                 trainables, _ = train_block(
                     loss_fn, trainables, self.input_batches, targets,
                     self.lr, self.epochs_per_round,
+                    lr_overrides=({"osf": self.scale_lr}
+                                  if self.scale_lr else None),
                 )
 
         # finalize: binary mask + static qparams for deploy

@@ -8,7 +8,7 @@ gradients flow to the trainables.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,9 +47,24 @@ def train_block(
     epochs: int,
     weight_decay: float = 0.0,
     grad_clip: float = 0.0,
+    lr_overrides: Optional[Dict[str, float]] = None,
 ):
-    """Generic per-block AdamW loop; returns (trained params, final loss)."""
-    tx = optax.adamw(lr, weight_decay=weight_decay)
+    """Generic per-block AdamW loop; returns (trained params, final loss).
+
+    ``lr_overrides`` maps top-level trainable keys to their own learning
+    rate (the reference's per-param-group lr, e.g. tesseraq.py:239
+    scale_lr)."""
+    if lr_overrides:
+        labels = {k: jax.tree.map(lambda _: k, v)
+                  for k, v in trainables.items()}
+        tx = optax.multi_transform(
+            {k: optax.adamw(lr_overrides.get(k, lr),
+                            weight_decay=weight_decay)
+             for k in trainables},
+            labels,
+        )
+    else:
+        tx = optax.adamw(lr, weight_decay=weight_decay)
     if grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     state = tx.init(trainables)

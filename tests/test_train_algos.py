@@ -121,3 +121,25 @@ def test_spqr_outliers():
     assert 0.005 < frac < 0.1
     algo.deploy("fake_quant")
     assert np.isfinite(_ppl(model))
+
+
+def test_omniquant_let_aug_loss_and_alpha_init():
+    """New reference knobs: aug_loss (FP-chained + current-stream teachers,
+    omniq.py:148-153,214-215) and alpha-based LET scale init
+    (omniq.py:104-116).  Must train and keep PPL finite."""
+    model = make_tiny_adapter(seed=31)
+    cfg = DotDict({
+        "method": "OmniQuant", "weight": dict(W3G16),
+        "special": {"epochs": 1, "lwc": True, "let": True,
+                    "aug_loss": True, "alpha": 0.6, "use_shift": False,
+                    "lwc_lr": 1e-2, "let_lr": 1e-3},
+    })
+    algo = ALGO_REGISTRY["OmniQuant"](model, cfg, _calib(model), None,
+                                      DotDict({}))
+    algo.run_block_loop()
+    # LWC factors stored for every linear
+    assert all("upbound_factor" in algo.layer_state[i][n]
+               for i in range(model.num_blocks)
+               for n in model.get_block_linear_names(i))
+    algo.deploy("fake_quant")
+    assert np.isfinite(_ppl(model))
