@@ -51,7 +51,7 @@ def main():
     # --- 1. qlinear-only stack (all 7 linears x 32 layers, W4A8)
     from lightcompress_tpu.ops import qlinear_apply
 
-    def lin_step(x0):
+    def lin_step(layers, x0):
         def body(i, xx):
             h = xx
             for lw in layers:
@@ -70,7 +70,11 @@ def main():
         return jax.lax.fori_loop(0, N_ITERS, body, x0)
 
     if "1" in stages:
-        timed(jax.jit(lin_step), x, "qlinear stack (W4A8)", weight_bytes)
+        # layers passed as jit ARGS (a closure captures 3.9GB of constants
+        # at lowering and kills the remote compile server)
+        jl = jax.jit(lin_step)
+        timed(lambda x0: jl(layers, x0), x, "qlinear stack (W4A8)",
+              weight_bytes)
 
     # --- 2. XLA einsum int8-KV attention only (32 layers)
     kq = [jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), jnp.int8)
@@ -85,7 +89,7 @@ def main():
     G = N_HEADS // N_KV
     q0 = jax.random.normal(key, (BATCH, N_KV, G, HEAD_DIM), jnp.bfloat16)
 
-    def xla_attn_step(q0):
+    def xla_attn_step(kq, vq, ks, vs, q0):
         def body(i, qq):
             acc = qq
             for li in range(LAYERS):
@@ -102,13 +106,14 @@ def main():
         return jax.lax.fori_loop(0, N_ITERS, body, q0)
 
     if "2" in stages:
-        timed(jax.jit(xla_attn_step), q0, "XLA einsum int8-KV attn",
-              kv_bytes)
+        ja = jax.jit(xla_attn_step)
+        timed(lambda q: ja(kq, vq, ks, vs, q), q0,
+              "XLA einsum int8-KV attn", kv_bytes)
 
     # --- 3. Pallas decode_attention_kv8 only (32 layers)
     from lightcompress_tpu.ops.pallas_attention import decode_attention_kv8
 
-    def pl_attn_step(q0):
+    def pl_attn_step(kq, vq, ks, vs, q0):
         def body(i, qq):
             acc = qq
             for li in range(LAYERS):
@@ -120,7 +125,9 @@ def main():
         return jax.lax.fori_loop(0, N_ITERS, body, q0)
 
     if "3" in stages:
-        timed(jax.jit(pl_attn_step), q0, "Pallas int8-KV attn", kv_bytes)
+        jp = jax.jit(pl_attn_step)
+        timed(lambda q: jp(kq, vq, ks, vs, q), q0,
+              "Pallas int8-KV attn", kv_bytes)
 
 
 if __name__ == "__main__":
