@@ -203,6 +203,10 @@ class CalibDataset:
         self.preproc = calib_cfg.get("preproc", "txt_general_preproc")
         self.padding = calib_cfg.get("padding", False)
         self.seed = calib_cfg.get("seed", 42)
+        # base_dataset.py:27,99: wrap calib texts in the tokenizer's chat
+        # template; add_answer keeps the assistant turn in the text
+        self.apply_chat_template = calib_cfg.get("apply_chat_template", False)
+        self.add_answer = calib_cfg.get("add_answer", False)
         self.raw = self._load()
 
     def _load(self):
@@ -232,13 +236,41 @@ class CalibDataset:
 
         return load_from_disk(self.path)
 
+    def _chat_wrap(self, raw, key: str):
+        """Apply the tokenizer chat template to each text sample
+        (base_dataset.py general template path; add_answer keeps the
+        assistant turn)."""
+        tok = self.tokenizer
+        if tok is None or not getattr(tok, "chat_template", None):
+            return raw
+
+        def wrap_text(text, ans=""):
+            msgs = [{"role": "user", "content": str(text)}]
+            if self.add_answer and ans:
+                msgs.append({"role": "assistant", "content": str(ans)})
+            return tok.apply_chat_template(
+                msgs, tokenize=False,
+                add_generation_prompt=not (self.add_answer and ans))
+
+        if hasattr(raw, "map"):  # datasets.Dataset: rewrite the text column
+            return raw.map(
+                lambda ex: {key: wrap_text(ex.get(key, ""),
+                                           ex.get("answer", ""))})
+        if isinstance(raw, list):
+            return [wrap_text(x) for x in raw]
+        return raw
+
     def get_samples(self) -> List[np.ndarray]:
         random.seed(self.seed)
         fn = PREPROC_REGISTRY[self.preproc]
+        raw = self.raw
+        key = self.FIELD_MAP.get(self.name, "text")
+        if self.apply_chat_template:
+            raw = self._chat_wrap(raw, key)
         kwargs = {}
         if self.preproc == "txt_general_preproc":
-            kwargs["key"] = self.FIELD_MAP.get(self.name, "text")
-        return fn(self.raw, self.tokenizer, self.n_samples, self.seq_len, **kwargs)
+            kwargs["key"] = key
+        return fn(raw, self.tokenizer, self.n_samples, self.seq_len, **kwargs)
 
     def get_calib_dataset(
         self, shard: Tuple[int, int] = (0, 1)

@@ -103,15 +103,21 @@ class DecodePerplexityEval:
         testenc: np.ndarray,
         num_eval_tokens: Optional[int] = None,
         max_len: Optional[int] = None,
+        num_samples: Optional[int] = None,
     ):
         self.testenc = testenc
         self.num_eval_tokens = num_eval_tokens
         self.max_len = max_len
+        # eval_ppl.py:65: number of eval texts (rows) when testenc is 2D
+        self.num_samples = num_samples
 
     def eval(self, model, kv_hook_factory: Optional[Callable] = None) -> float:
         from ..models import arch as A
 
-        ids = np.asarray(self.testenc).reshape(-1)
+        te = np.asarray(self.testenc)
+        if te.ndim == 2 and te.shape[0] > 1 and self.num_samples is not None:
+            te = te[: self.num_samples]
+        ids = te.reshape(-1)
         n = len(ids) - 1
         if self.num_eval_tokens is not None:
             n = min(n, self.num_eval_tokens)

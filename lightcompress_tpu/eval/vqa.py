@@ -89,11 +89,20 @@ class VQAEval:
     (possibly fake-quant-deployed) VLM."""
 
     def __init__(self, model, tasks: Sequence[str] = ("mme",),
-                 batch_size: int = 1, limit: Optional[int] = None):
+                 batch_size: int = 1, limit: Optional[int] = None,
+                 statistics: bool = False):
         self.model = model
         self.tasks = list(tasks)
         self.batch_size = batch_size
         self.limit = limit
+        # eval_vqa.py:30,138: per-stage latency statistics alongside scores
+        self.statistics = statistics
+
+    def collect_statistics(self, input_ids, pixels, n_decode: int = 8):
+        """Per-stage latency stats (the set_statistics_modules analogue —
+        hook-free: stage_latency re-times vision/prefill/decode)."""
+        return stage_latency(self.model, input_ids, pixels,
+                             n_decode=n_decode)
 
     def eval(self, model=None):
         model = model or self.model

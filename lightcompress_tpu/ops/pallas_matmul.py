@@ -81,14 +81,20 @@ def tile_scales(s: Array, n_tile: int, gpp: int) -> Array:
 # ---------------------------------------------------------------------------
 
 def pick_n_tile(N: int, kp: int, group: int,
-                max_bytes: int = 4 << 20) -> int:
+                max_bytes: int = 0) -> int:
     """Largest output-channel tile whose full-K packed block fits in
     ``max_bytes``.  Measured on v5e (tools/dma_experiments*.py): the grid
     pipeline streams ~640 GB/s with 4MB blocks but only ~180 GB/s with 1MB
     and ~130 GB/s with the old 128KB per-(tile,group) blocks — per-step DMA
-    size, not layout, is what sets the kernel's bandwidth."""
+    size, not layout, is what sets the kernel's bandwidth.  Default cap is
+    4MB (double-buffered in VMEM); LCTPU_TILE_MAX_MB overrides for
+    experiments."""
+    import os
+
+    if not max_bytes:
+        max_bytes = int(os.environ.get("LCTPU_TILE_MAX_MB", "4")) << 20
     gpp = max(kp // group, 1)
-    for nt in (2048, 1024, 512, 256, 128):
+    for nt in (4096, 2048, 1024, 512, 256, 128):
         if N % nt == 0 and gpp * nt * group * 4 <= max_bytes:
             return nt
     return 128

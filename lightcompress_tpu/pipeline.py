@@ -43,6 +43,7 @@ def _build_one_eval(model, ec, name):
     if etype == "decode_ppl":
         testenc = _load_testenc(model, ec, name)
         n = ec.get("num_eval_tokens", 256)
+        # reference decode_ppl reads num_samples texts (eval_ppl.py:65)
         return DecodePerplexityEvalWrap(testenc[:, : n + 1], n), etype
     if etype in ("ppl", "token_acc"):
         testenc = _load_testenc(model, ec, name)
@@ -76,7 +77,8 @@ def _build_one_eval(model, ec, name):
         from .eval import VQAEval
 
         return VQAEval(model, tasks=ec.get("tasks", ("mme",)),
-                       batch_size=bs, limit=ec.get("limit")), etype
+                       batch_size=bs, limit=ec.get("limit"),
+                       statistics=ec.get("statistics", False)), etype
     if etype == "code" and name == "human_eval":
         from .eval import HumanEvalRunner
         from .eval.code import load_problems
@@ -115,10 +117,11 @@ def _build_one_eval(model, ec, name):
     raise ValueError(f"Unsupported eval type: {etype} (eval/utils.py:72)")
 
 
-def DecodePerplexityEvalWrap(testenc, n):
+def DecodePerplexityEvalWrap(testenc, n, ns=None):
     from .eval import DecodePerplexityEval
 
-    return DecodePerplexityEval(testenc, num_eval_tokens=n)
+    return DecodePerplexityEval(testenc, num_eval_tokens=n,
+                                num_samples=ns)
 
 
 def build_eval(model, config) -> Optional[Dict]:

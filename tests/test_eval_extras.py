@@ -210,3 +210,53 @@ def test_int8_decode_attention_numerics():
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bkgs,bksd->bkgd", p, vd)
     np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_calib_apply_chat_template():
+    """calib.apply_chat_template wraps texts in the tokenizer chat template
+    (base_dataset.py:27,99); add_answer keeps the assistant turn."""
+    import numpy as np
+
+    from lightcompress_tpu.data.dataset import CalibDataset
+
+    class Tok:
+        chat_template = "x"
+
+        def apply_chat_template(self, msgs, tokenize=False,
+                                add_generation_prompt=True):
+            body = "|".join(m["content"] for m in msgs)
+            return f"<chat>{body}</chat>" + ("<gen>" if add_generation_prompt
+                                             else "")
+
+        def __call__(self, text, **kw):
+            class R:
+                input_ids = np.array(
+                    [[len(text) % 7 + 1] * kw.get("max_length", 8)])
+            return R()
+
+        pad_token_id = 0
+
+    ds = CalibDataset(Tok(), {
+        "name": "custom_txt", "path": "/dev/null", "n_samples": 2,
+        "seq_len": 4, "preproc": "random_truncate_txt",
+        "apply_chat_template": True,
+    })
+    ds.raw = ["hello", "world"]
+    wrapped = ds._chat_wrap(ds.raw, "text")
+    assert wrapped == ["<chat>hello</chat><gen>", "<chat>world</chat><gen>"]
+    ds.add_answer = True
+    w2 = ds._chat_wrap([{"text": "q"}], "text")  # list of strings only path
+    assert isinstance(w2, list)
+
+
+def test_decode_ppl_num_samples():
+    """decode_ppl caps eval texts at num_samples rows (eval_ppl.py:65)."""
+    import numpy as np
+
+    from lightcompress_tpu.eval import DecodePerplexityEval
+    from helpers import make_tiny_adapter
+
+    m = make_tiny_adapter(seed=40)
+    enc = np.random.RandomState(0).randint(0, 256, (3, 12)).astype(np.int32)
+    p2 = DecodePerplexityEval(enc, num_eval_tokens=8, num_samples=1).eval(m)
+    assert np.isfinite(p2)

@@ -55,14 +55,23 @@ def main():
         def body(i, xx):
             h = xx
             for lw in layers:
-                q = qlinear_apply(h, lw["q"], act_bits=8)
-                k = qlinear_apply(h, lw["k"], act_bits=8)
-                v = qlinear_apply(h, lw["v"], act_bits=8)
-                o = qlinear_apply(q, lw["o"], act_bits=8)
-                g = qlinear_apply(h, lw["gate"], act_bits=8)
-                u = qlinear_apply(h, lw["up"], act_bits=8)
+                if "qkv" in lw:  # BENCH_FUSED=1 layout
+                    qkv = qlinear_apply(h, lw["qkv"], act_bits=8)
+                    q = qkv[:, :N_HEADS * HEAD_DIM]
+                    kv_mean = jnp.mean(qkv[:, N_HEADS * HEAD_DIM:])
+                    o = qlinear_apply(q, lw["o"], act_bits=8)
+                    gu = qlinear_apply(h, lw["gateup"], act_bits=8)
+                    g, u = gu[:, :INTER], gu[:, INTER:]
+                else:
+                    q = qlinear_apply(h, lw["q"], act_bits=8)
+                    k = qlinear_apply(h, lw["k"], act_bits=8)
+                    v = qlinear_apply(h, lw["v"], act_bits=8)
+                    kv_mean = jnp.mean(k) + jnp.mean(v)
+                    o = qlinear_apply(q, lw["o"], act_bits=8)
+                    g = qlinear_apply(h, lw["gate"], act_bits=8)
+                    u = qlinear_apply(h, lw["up"], act_bits=8)
                 d = qlinear_apply(jax.nn.silu(g) * u, lw["down"], act_bits=8)
-                h = h + o + d + jnp.mean(k) + jnp.mean(v)
+                h = h + o + d + kv_mean
                 h = h * jax.lax.rsqrt(jnp.mean(h * h, -1, keepdims=True)
                                       + 1e-6)
             return h
