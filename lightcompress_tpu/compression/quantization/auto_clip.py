@@ -33,6 +33,10 @@ Array = jax.Array
 
 
 def _logit(x):
+    # clamp away from {0,1}: the grid search includes shrink=1.0, where the
+    # ratio hits exactly 1 and an unclamped logit is +inf — which NaNs any
+    # later gradient-based use of the stored factors (omniq load_clip)
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
     return jnp.log(x / (1.0 - x))
 
 

@@ -62,6 +62,15 @@ class OmniQuant(BaseBlockwiseQuantization):
             with open(os.path.join(sp["scale_path"], "scales.pkl"),
                       "rb") as f:
                 self.loaded_scales = pickle.load(f)
+        # omniq.py:84-85,371: init LWC factors from a saved AutoClipper v2
+        # run (clips.pkl written by save_clip)
+        self.loaded_clips = None
+        if sp.get("load_clip", False) and sp.get("clip_path"):
+            import os
+            import pickle
+
+            with open(os.path.join(sp["clip_path"], "clips.pkl"), "rb") as f:
+                self.loaded_clips = pickle.load(f)
         self._fp_inputs = None  # FP-chained teacher stream (get_original_out)
         self.ste_wspec = self.wspec.with_(ste=True, calib_algo="learnable")
         self.ste_aspec = (
@@ -69,17 +78,27 @@ class OmniQuant(BaseBlockwiseQuantization):
         )
 
     # ------------------------------------------------------------------
-    def _lwc_init(self, bp, names, init_value=4.0):
+    def _lwc_init(self, bp, names, init_value=4.0, block_idx=None):
         out = {}
+        clips = {}
+        if self.loaded_clips is not None and block_idx is not None:
+            clips = self.loaded_clips.get(block_idx, {})
         for name in names:
             w = resolve(bp, name)["weight"]
             mn, mx = minmax_range(
                 reshape_tensor(w.astype(jnp.float32), self.wspec), self.wspec
             )
-            out[name] = {
-                "up": jnp.full_like(mx, init_value),
-                "low": jnp.full_like(mn, init_value),
-            }
+            up_key = f"{name}.upbound_factor"
+            if up_key in clips and clips[up_key] is not None:
+                up = jnp.asarray(clips[up_key], jnp.float32).reshape(mx.shape)
+                low_v = clips.get(f"{name}.lowbound_factor")
+                low = (jnp.asarray(low_v, jnp.float32).reshape(mn.shape)
+                       if low_v is not None
+                       else jnp.full_like(mn, init_value))
+            else:
+                up = jnp.full_like(mx, init_value)
+                low = jnp.full_like(mn, init_value)
+            out[name] = {"up": up, "low": low}
         return out
 
     def _let_subsets(self, block_idx) -> List[Subset]:
@@ -173,7 +192,8 @@ class OmniQuant(BaseBlockwiseQuantization):
 
         trainables: Dict = {}
         if self.lwc:
-            trainables["lwc"] = self._lwc_init(bp, names)
+            trainables["lwc"] = self._lwc_init(bp, names,
+                                               block_idx=block_idx)
         # LET shift folds into the LN bias — only for biased-norm families
         # use_shift (omniq.py:100-103): shift requires a biased norm to fold
         # into (reference raises on no-bias models; llama RMSNorm has none)

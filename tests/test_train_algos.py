@@ -143,3 +143,37 @@ def test_omniquant_let_aug_loss_and_alpha_init():
                for n in model.get_block_linear_names(i))
     algo.deploy("fake_quant")
     assert np.isfinite(_ppl(model))
+
+
+def test_awq_clip_to_omniquant_load_clip(tmp_path):
+    """Two-stage pipeline (configs/combination/awq_comb_omni analogue):
+    AWQ clip_version v2 + save_clip writes clips.pkl; OmniQuant load_clip
+    initializes its LWC factors from it (omniq.py:84-85,371)."""
+    clip_dir = str(tmp_path / "clips")
+    model = make_tiny_adapter(seed=41)
+    cfg1 = DotDict({
+        "method": "Awq", "weight": dict(W3G16),
+        "special": {"trans": True, "trans_version": "v2",
+                    "weight_clip": True, "clip_version": "v2",
+                    "save_clip": True, "clip_path": clip_dir},
+    })
+    a1 = ALGO_REGISTRY["Awq"](model, cfg1, _calib(model), None, DotDict({}))
+    a1.run_block_loop()
+    import os
+    assert os.path.exists(os.path.join(clip_dir, "clips.pkl"))
+
+    model2 = make_tiny_adapter(seed=41)
+    cfg2 = DotDict({
+        "method": "OmniQuant", "weight": dict(W3G16),
+        "special": {"epochs": 1, "lwc": True, "let": False,
+                    "load_clip": True, "clip_path": clip_dir},
+    })
+    a2 = ALGO_REGISTRY["OmniQuant"](model2, cfg2, _calib(model2), None,
+                                    DotDict({}))
+    assert a2.loaded_clips is not None
+    a2.run_block_loop()
+    assert all("upbound_factor" in a2.layer_state[i][n]
+               for i in range(model2.num_blocks)
+               for n in model2.get_block_linear_names(i))
+    a2.deploy("fake_quant")
+    assert np.isfinite(_ppl(model2))
