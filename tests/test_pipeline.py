@@ -128,3 +128,27 @@ def test_quant_analysis_cli(tiny_model_dir, tmp_path, monkeypatch):
     rows = json.load(open(out))
     assert len(rows) == 2  # tiny model: 2 blocks
     assert all(0.9 < r["fp_quant_cosine"] <= 1.0 for r in rows)
+
+
+def test_pipeline_sparse_wanda(tiny_model_dir, tmp_path):
+    """sparse: section drives the same pipeline (get_compress_config reads
+    quant OR sparse; __main__.py modality loop parity)."""
+    import yaml
+
+    from lightcompress_tpu.config import DotDict
+    from lightcompress_tpu.pipeline import run_pipeline
+
+    cfg = DotDict({
+        "base": {"seed": 0},
+        "model": {"type": "Llama", "path": tiny_model_dir},
+        "calib": {"name": "synthetic", "n_samples": 2, "bs": 1,
+                  "seq_len": 16, "preproc": "synthetic_random", "seed": 0},
+        "eval": {"eval_pos": ["pretrain", "transformed"],
+                 "name": "synthetic", "seq_len": 16, "bs": 1},
+        "sparse": {"method": "Wanda", "weight": {"pattern": "2:4"}},
+        "save": {"save_path": str(tmp_path / "save")},
+    })
+    results = run_pipeline(cfg)
+    assert "ppl_pretrain" in results and "ppl_transformed" in results
+    import numpy as np
+    assert np.isfinite(results["ppl_transformed"])
