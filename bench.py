@@ -142,9 +142,9 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             def q8(t):
                 amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
                                keepdims=True)
-                sc = jnp.maximum(amax, 1e-8) / 127.0
-                return (jnp.clip(jnp.round(t / sc), -127, 127)
-                        .astype(jnp.int8), sc[..., 0])
+                sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+                return (jnp.clip(jnp.round(t / sc.astype(jnp.float32)),
+                                 -127, 127).astype(jnp.int8), sc[..., 0])
             k8, ksn = q8(k)
             v8, vsn = q8(v)
             if KV_APPEND == "nocopy":
@@ -249,9 +249,9 @@ def decode_step_dus(layers, x, k_cache, v_cache, k_scales, v_scales, pos):
 
         def q8(t):
             amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1, keepdims=True)
-            sc = jnp.maximum(amax, 1e-8) / 127.0
-            return (jnp.clip(jnp.round(t / sc), -127, 127).astype(jnp.int8),
-                    sc[..., 0])
+            sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+            return (jnp.clip(jnp.round(t / sc.astype(jnp.float32)), -127,
+                             127).astype(jnp.int8), sc[..., 0])
 
         k8, ksn = q8(k)
         v8, vsn = q8(v)
@@ -291,9 +291,10 @@ def main():
     v_cache = [
         jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt) for _ in range(LAYERS)
     ]
+    # bf16 KV scales (serving kv_cache default): halves the scale stream
     kv_scales = [
-        (jnp.full((BATCH, N_KV, CTX), 0.01, jnp.float32),
-         jnp.full((BATCH, N_KV, CTX), 0.01, jnp.float32))
+        (jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16),
+         jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16))
         for _ in range(LAYERS)
     ] if KV_BITS == 8 else [None] * LAYERS
 
@@ -308,8 +309,8 @@ def main():
         Tbuf = CTX + n_iters
         kb = jnp.zeros((LAYERS, BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
         vb = jnp.zeros((LAYERS, BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
-        ksb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.float32)
-        vsb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.float32)
+        ksb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
+        vsb = jnp.full((LAYERS, BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
 
         def many(layers, x, kb, vb, ksb, vsb):
             def body(i, carry):
@@ -361,7 +362,7 @@ def main():
     )
     kv_elem = 1 if KV_BITS == 8 else 2
     kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (HEAD_DIM * kv_elem
-                                                  + (4 if KV_BITS == 8
+                                                  + (2 if KV_BITS == 8
                                                      else 0))
     roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
 
