@@ -424,3 +424,116 @@ def w4a16_matmul(x: Array, qp, interpret: bool = False) -> Array:
     if qp.bias is not None:
         y = y + qp.bias
     return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 with native s4 storage (jnp.int4): the hardware does the nibble
+# unpack on load.  The plane kernel's VPU shift+mask unpack (~2.5 ops per
+# nibble, ~21M ops per 4MB block) slightly exceeds the 4MB-block DMA time
+# and caps the pipeline at ~450 GB/s; a native s4->s8 convert drops that to
+# ~1 op/elem so the kernel sits back on the DMA floor.  Weight layout:
+# (N/NT, NT, K) s4 (natural K order, tile-contiguous: NT*K/2 bytes/block);
+# scales/zs: (N/NT, NT, G) with zs premultiplied.  No x reorder needed.
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_kernel_s4(x_ref, w_ref, s_ref, zs_ref, o_ref, *, group: int):
+    b, nt = o_ref.shape
+    K = x_ref.shape[1]
+    G = K // group
+    xb = x_ref[:]
+    xsum = jnp.sum(xb.astype(jnp.int32).reshape(b, G, group), axis=2
+                   ).astype(jnp.float32)  # (B, G)
+
+    assert G % 4 == 0
+
+    def g_body(g4, accs):
+        news = list(accs)
+        for j in range(4):  # 4 groups per iteration: static acc index + ILP
+            g = g4 * 4 + j
+            wg = w_ref[0, :, pl.ds(g * group, group)].astype(jnp.int8)
+            xg = x_ref[:, pl.ds(g * group, group)]
+            partial = jax.lax.dot_general(
+                xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            sg = s_ref[0, :, pl.ds(g, 1)].astype(jnp.float32)  # (NT, 1)
+            news[j] = news[j] + partial.astype(jnp.float32) * \
+                sg[:, 0][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, G // 4, g_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = zs_ref[0].astype(jnp.float32)  # (NT, G)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+def tile_s4(codes_u: Array, n_tile: int):
+    """(N, K) unsigned-nibble codes u in [0, 16) -> (N/NT, NT, K) s4
+    storing c' = u - 8 in [-8, 7].  Dequant identity:
+    (u - z) * s = c' * s - (z - 8) * s, so the caller passes
+    zs' = (z - 8) * s as the premultiplied zero correction."""
+    n, k = codes_u.shape
+    assert n % n_tile == 0
+    u = jnp.asarray(codes_u, jnp.int32) & 0xF
+    return (u - 8).astype(jnp.int4).reshape(n // n_tile, n_tile, k)
+
+
+def tile_scales_s4(s: Array, n_tile: int):
+    """(N, G) -> (N/NT, NT, G)."""
+    n, G = s.shape
+    return s.reshape(n // n_tile, n_tile, G)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "n_tile", "interpret"),
+)
+def w4a8_matmul_s4(
+    xq: Array,           # (B, K) int8
+    x_scale: Array,      # (B, 1) f32
+    w4: Array,           # (N/NT, NT, K) s4  (tile_s4)
+    scales: Array,       # (N/NT, NT, G)
+    zs: Array,           # (N/NT, NT, G)  zeros premultiplied by scales,
+                         # with the sign-offset fold: zs' = (z - 8) * s
+                         # when codes were packed via tile_s4 from unsigned
+    group: int = 128,
+    n_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = xq.shape
+    n_blocks, n_tile_, kw = w4.shape
+    assert kw == K and n_tile_ == n_tile * 1
+    N = n_blocks * n_tile_
+    G = K // group
+
+    kernel = functools.partial(_w4a8_kernel_s4, group=group)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile_, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile_, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile_, G), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile_), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2 + 2 * N * G * scales.dtype.itemsize
+            + B * K,
+            transcendentals=0,
+        ),
+    )(xq, w4, scales, zs)
+    return out * x_scale

@@ -185,3 +185,31 @@ def test_pretiled_scales_layout_roundtrip():
     a = np.asarray(dequant_weight(qp_bf16), np.float32)
     b = np.asarray(dequant_weight(qp_rows), np.float32)
     assert np.abs(a - b).mean() / (np.abs(b).mean() + 1e-9) < 0.01
+
+
+def test_w4a8_s4_kernel_matches_reference():
+    """s4-native W4A8 kernel (hardware nibble unpack): integer-exact vs the
+    dequant formula with the c' = u - 8 offset folded into zs."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        quantize_act_per_token,
+        tile_s4,
+        tile_scales_s4,
+        w4a8_matmul_s4,
+    )
+
+    rng = np.random.RandomState(5)
+    N, K, g, B, NT = 256, 1024, 128, 8, 128
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    scales = jnp.asarray(rng.rand(N, K // g).astype(np.float32) * 0.1)
+    zeros = jnp.asarray(rng.randint(0, 16, (N, K // g)).astype(np.float32))
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    xq, sx = quantize_act_per_token(x)
+    y = w4a8_matmul_s4(
+        xq, sx, tile_s4(codes, NT), tile_scales_s4(scales, NT),
+        tile_scales_s4((zeros - 8.0) * scales, NT),
+        group=g, n_tile=NT, interpret=True)
+    w = (codes.astype(jnp.float32).reshape(N, K // g, g)
+         - zeros[:, :, None]) * scales[:, :, None]
+    ref = (xq.astype(jnp.float32) * sx) @ w.reshape(N, K).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
+                               atol=1e-3)
