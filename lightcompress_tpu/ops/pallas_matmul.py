@@ -445,30 +445,40 @@ def _w4a8_kernel_s4(x_ref, w_ref, s_ref, zs_ref, o_ref, *, group: int):
     xsum = jnp.sum(xb.astype(jnp.int32).reshape(b, G, group), axis=2
                    ).astype(jnp.float32)  # (B, G)
 
-    assert G % 4 == 0
+    # STATIC unroll over groups: Mosaic cannot lower dynamic slices on an
+    # int4 ref (lax.dynamic_slice is "Unimplemented" and pl.ds indexing
+    # crashes the compiler above trivial loop trip counts —
+    # tools/s4_compile_probe{,2}.py); Python-int slices lower fine.
+    accs = [jnp.zeros((b, nt), jnp.float32) for _ in range(4)]
+    for g in range(G):
+        wg = w_ref[0, :, g * group:(g + 1) * group].astype(jnp.int8)
+        xg = xb[:, g * group:(g + 1) * group]
+        partial = jax.lax.dot_general(
+            xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sg = s_ref[0, :, g].astype(jnp.float32)  # (NT,)
+        accs[g % 4] = accs[g % 4] + partial.astype(jnp.float32) * \
+            sg[None, :]
 
-    def g_body(g4, accs):
-        news = list(accs)
-        for j in range(4):  # 4 groups per iteration: static acc index + ILP
-            g = g4 * 4 + j
-            wg = w_ref[0, :, pl.ds(g * group, group)].astype(jnp.int8)
-            xg = x_ref[:, pl.ds(g * group, group)]
-            partial = jax.lax.dot_general(
-                xg, wg, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            sg = s_ref[0, :, pl.ds(g, 1)].astype(jnp.float32)  # (NT, 1)
-            news[j] = news[j] + partial.astype(jnp.float32) * \
-                sg[:, 0][None, :]
-        return tuple(news)
-
-    accs = jax.lax.fori_loop(
-        0, G // 4, g_body,
-        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
     zsb = zs_ref[0].astype(jnp.float32)  # (NT, G)
     corr = jax.lax.dot_general(
         xsum, zsb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+def pick_n_tile_s4(N: int, K: int, max_bytes: int = 0) -> int:
+    """Largest output-channel tile whose (NT, K) s4 block stays within the
+    4MB per-step DMA sweet spot (same rule as pick_n_tile; s4 stores K/2
+    bytes per row)."""
+    import os
+
+    if not max_bytes:
+        max_bytes = int(os.environ.get("LCTPU_TILE_MAX_MB", "4")) << 20
+    for nt in (4096, 2048, 1024, 512, 256, 128):
+        if N % nt == 0 and nt * K // 2 <= max_bytes:
+            return nt
+    return 128
 
 
 def tile_s4(codes_u: Array, n_tile: int):
