@@ -46,6 +46,12 @@ FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 SCALES = os.environ.get("BENCH_SCALES", "bf16")
 if SCALES == "raw":
     SCALES = ""
+# "planes" -> int32 plane-packed codes, VPU shift+mask unpack in-kernel;
+# "s4" -> byte-packed codes stored int8, bitcast to jnp.int4 in-jit so the
+# hardware does the nibble unpack on VMEM load (the plane kernel's unpack
+# ALU slightly exceeds the 4MB-block DMA time; s4 sits back on the DMA
+# floor — measured 1.7x per-kernel in tools/s4_experiments2.py)
+WLAYOUT = os.environ.get("BENCH_WLAYOUT", "planes")
 
 
 # Llama-3-8B block shapes
@@ -84,11 +90,26 @@ def make_layer_qweights(key):
             "up": (INTER, HIDDEN),
             "down": (HIDDEN, INTER),
         }
-    from lightcompress_tpu.ops.pallas_matmul import pick_n_tile, tile_packed
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_s4_bytes, pick_n_tile, pick_n_tile_s4, tile_packed,
+        tile_scales_s4,
+    )
 
     out = {}
     ks = jax.random.split(key, len(shapes))
     for i, (name, (oc, ic)) in enumerate(shapes.items()):
+        if WLAYOUT == "s4":
+            codes_u = jax.random.randint(ks[i], (oc, ic), 0, 16, jnp.int32)
+            nt = pick_n_tile_s4(oc, ic)
+            packed = pack_s4_bytes(codes_u, nt)
+            scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+            zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+            sd = jnp.bfloat16 if SCALES == "bf16" else jnp.float32
+            zs = tile_scales_s4((zeros - 8.0) * scales, nt).astype(sd)
+            sc = tile_scales_s4(scales, nt).astype(sd)
+            out[name] = QLinearParams(packed, sc, zs, None, 4, GROUP, False,
+                                      "s4")
+            continue
         codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
                                    dtype=jnp.int32)
         # library tile picker: largest output tile with a <=4MB full-K DMA
@@ -353,7 +374,7 @@ def main():
 
     # roofline: bytes read per decode step
     weight_bytes = sum(
-        int(np.prod(lw[n].codes.shape)) * 4
+        int(np.prod(lw[n].codes.shape)) * lw[n].codes.dtype.itemsize
         + lw[n].scales.size * lw[n].scales.dtype.itemsize
         + (lw[n].zeros.size * lw[n].zeros.dtype.itemsize
            if lw[n].zeros is not None else 0)

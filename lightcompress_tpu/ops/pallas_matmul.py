@@ -498,6 +498,31 @@ def tile_scales_s4(s: Array, n_tile: int):
     return s.reshape(n // n_tile, n_tile, G)
 
 
+def pack_s4_bytes(codes_u: Array, n_tile: int) -> Array:
+    """(N, K) unsigned-nibble codes -> (N/NT, NT, K/2) int8 byte-packed
+    signed nibbles (c' = u - 8), LOW nibble = even element.
+
+    s4 jax.Arrays cannot cross a jit boundary on the axon runtime
+    (recursive-jit error in _array_shard_arg), so the serving layout stores
+    the same bytes as int8 and ``s4_view`` bitcasts to int4 INSIDE the jit
+    (a free view: jax.lax.bitcast_convert_type int8 -> int4 appends a
+    trailing dim of 2 with the low nibble first — verified semantics)."""
+    n, k = codes_u.shape
+    assert n % n_tile == 0 and k % 2 == 0
+    c = (jnp.asarray(codes_u, jnp.int32) & 0xF) - 8
+    pairs = (c & 0xF).reshape(n, k // 2, 2)
+    b = pairs[..., 0] | (pairs[..., 1] << 4)
+    # values 0..255 -> int8 two's complement
+    b = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
+    return b.reshape(n // n_tile, n_tile, k // 2)
+
+
+def s4_view(codes_bytes: Array) -> Array:
+    """(..., K/2) int8 byte-packed -> (..., K) s4 view (in-jit only)."""
+    v = jax.lax.bitcast_convert_type(codes_bytes, jnp.int4)
+    return v.reshape(*codes_bytes.shape[:-1], codes_bytes.shape[-1] * 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("group", "n_tile", "interpret"),
 )
@@ -547,3 +572,59 @@ def w4a8_matmul_s4(
         ),
     )(xq, w4, scales, zs)
     return out * x_scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "n_tile", "interpret"),
+)
+def w4a8_matmul_s4_bytes(
+    xq: Array,           # (B, K) int8
+    x_scale: Array,      # (B, 1) f32
+    w4_bytes: Array,     # (N/NT, NT, K/2) int8 byte-packed (pack_s4_bytes)
+    scales: Array,       # (N/NT, NT, G)
+    zs: Array,           # (N/NT, NT, G) premultiplied: (z - 8) * s
+    group: int = 128,
+    n_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Jit boundary takes int8 bytes; the free int8->s4 bitcast happens
+    in-jit (axon cannot pass s4 arrays across jit boundaries)."""
+    return w4a8_matmul_s4(
+        xq, x_scale, s4_view(w4_bytes), scales, zs, group=group,
+        n_tile=n_tile, interpret=interpret)
+
+
+def s4_matmul_available(x: Array, qp) -> bool:
+    """Serving s4 layout: byte-packed codes (N/NT, NT, K/2) int8 +
+    (N/NT, NT, G) scales/premultiplied zeros."""
+    if qp.bits != 4 or qp.is_float or qp.group_size <= 0:
+        return False
+    if getattr(qp, "layout", "rows") != "s4":
+        return False
+    *lead, K = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if m > 256:  # decode-regime kernel, same M rule as the planes path
+        return False
+    if qp.codes.ndim != 3 or qp.codes.shape[2] * 2 != K:
+        return False
+    return K % qp.group_size == 0
+
+
+def w4a8_s4_matmul(x: Array, qp, interpret: bool = False) -> Array:
+    """W4A8 apply for the s4 serving layout: per-token int8 act quant, then
+    the s4-native kernel (hardware nibble unpack on VMEM load)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, x_scale = quantize_act_per_token(x2)
+    n_tile = qp.codes.shape[1]
+    zs = qp.zeros if qp.zeros is not None else jnp.zeros_like(qp.scales)
+    y = w4a8_matmul_s4_bytes(
+        xq, x_scale, qp.codes, qp.scales, zs, group=qp.group_size,
+        n_tile=n_tile, interpret=interpret,
+    ).astype(x.dtype)
+    if qp.bias is not None:
+        y = y + qp.bias
+    return y.reshape(*lead, -1)

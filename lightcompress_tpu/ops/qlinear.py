@@ -56,6 +56,30 @@ def quantize_linear(
     if spec.bit == 4:
         s4 = scales.astype(jnp.float32)
         z4 = None if zeros is None else zeros.astype(jnp.float32)
+        if z4 is None:
+            # symmetric codes are SIGNED; every packed layout stores
+            # unsigned nibbles, so offset to u = c + 8 with zero-point 8
+            # (dequant (u - 8) * s) — keeps the kernels sign-free
+            codes = codes.astype(jnp.int32) + 8
+            z4 = jnp.full_like(s4, 8.0)
+        if layout == "s4":
+            from .pallas_matmul import (pack_s4_bytes, pick_n_tile_s4,
+                                        tile_scales_s4)
+
+            N, K = codes.shape
+            gs = spec.granularity == "per_group" and spec.group_size or 0
+            if gs and K % gs == 0 and N % 128 == 0 and K % 2 == 0:
+                nt = pick_n_tile_s4(N, K)
+                packed = pack_s4_bytes(codes, nt)
+                # zero correction folds the s4 sign offset: the kernel's
+                # stored code is c' = u - 8, so w = c'*s - (z - 8)*s
+                # (z4 is never None here — symmetric was offset above, and
+                # its correction is exactly zero)
+                z4 = tile_scales_s4((z4 - 8.0) * s4, nt).astype(scale_dtype)
+                s4 = tile_scales_s4(s4, nt).astype(scale_dtype)
+                return QLinearParams(packed, s4, z4, bias, 4,
+                                     spec.group_size, False, "s4")
+            layout = "planes"  # fall back when shapes don't fit
         if layout == "planes":
             from .pallas_matmul import (pack_int4_planes, pick_n_tile,
                                         tile_packed, tile_scales)
@@ -122,6 +146,22 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
         w = w.reshape(oc, s.shape[1], -1) * s
         return w.reshape(oc, -1).astype(dtype)
     if qp.bits == 4:
+        if qp.layout == "s4":
+            # byte-packed signed nibbles, low nibble first (pack_s4_bytes);
+            # w = c' * s - zs with pre-tiled (N/NT, NT, G) scales
+            nb, nt, kh = qp.codes.shape
+            b = qp.codes.astype(jnp.int32)
+            lo = ((b & 0xF) ^ 8) - 8
+            hi = (((b >> 4) & 0xF) ^ 8) - 8
+            c = jnp.stack([lo, hi], axis=-1).reshape(nb, nt, kh * 2)
+            K = kh * 2
+            g = qp.group_size
+            cg = c.reshape(nb, nt, K // g, g).astype(jnp.float32)
+            s = qp.scales.astype(jnp.float32)[..., None]
+            zs = (qp.zeros.astype(jnp.float32)[..., None]
+                  if qp.zeros is not None else 0.0)
+            w = cg * s - zs
+            return w.reshape(nb * nt, K).astype(dtype)
         if qp.layout == "planes":
             from .pallas_matmul import unpack_int4_planes
 
@@ -179,11 +219,15 @@ def qlinear_apply(
     if use_pallas and qp.bits == 4 and not qp.is_float:
         try:
             from .pallas_matmul import (
+                s4_matmul_available,
                 w4a16_matmul,
                 w4a16_matmul_available,
                 w4a8_matmul,
+                w4a8_s4_matmul,
             )
 
+            if act_bits == 8 and s4_matmul_available(x, qp):
+                return w4a8_s4_matmul(x, qp)
             if w4a16_matmul_available(x, qp):
                 if act_bits == 8:
                     return w4a8_matmul(x, qp)

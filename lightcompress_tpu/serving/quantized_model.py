@@ -43,6 +43,7 @@ def build_serving_weights(
     wspec: QuantSpec,
     algo=None,
     act_bits: int = 16,
+    layout: Optional[str] = None,
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
@@ -61,7 +62,7 @@ def build_serving_weights(
                 w = algo.w_qdq(w, idx, name)
             qp = quantize_linear(
                 w.astype(jnp.float32), wspec, bias=node.get("bias"),
-                layout="planes" if wspec.bit == 4 else "rows",
+                layout=layout or ("planes" if wspec.bit == 4 else "rows"),
             )
             entry[name] = qp
         for ln in ("ln1", "ln2"):

@@ -213,3 +213,78 @@ def test_w4a8_s4_kernel_matches_reference():
     ref = (xq.astype(jnp.float32) * sx) @ w.reshape(N, K).T
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_s4_bytes_layout_end_to_end():
+    """Serving s4 layout: int8 byte-packed codes crossing the jit boundary,
+    bitcast to s4 in-jit; quantize_linear -> qlinear_apply(act_bits=8)
+    matches the dequant-then-matmul reference."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_s4_bytes,
+        quantize_act_per_token,
+        s4_matmul_available,
+        s4_view,
+        w4a8_matmul_s4_bytes,
+    )
+    from lightcompress_tpu.ops.qlinear import (
+        QLinearParams,
+        dequant_weight,
+        quantize_linear,
+    )
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(7)
+    N, K, g, B = 256, 1024, 128, 8
+
+    # bitcast view roundtrip: low nibble first
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    bytes_ = pack_s4_bytes(codes, 128)
+    v = jax.jit(lambda b: s4_view(b).astype(jnp.int8))(bytes_)
+    np.testing.assert_array_equal(
+        np.asarray(v).reshape(N, K), np.asarray(codes) - 8)
+
+    # full path: quantize_linear(layout='s4') on a real weight
+    w = jnp.asarray(rng.randn(N, K).astype(np.float32) * 0.05)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=g)
+    qp = quantize_linear(w, spec, layout="s4", scale_dtype=jnp.float32)
+    assert qp.layout == "s4" and qp.codes.dtype == jnp.int8
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    assert s4_matmul_available(x, qp)
+
+    # dequant_weight(s4) matches the rows-layout dequant
+    qp_rows = quantize_linear(w, spec, layout="rows")
+    np.testing.assert_allclose(
+        np.asarray(dequant_weight(qp, jnp.float32)),
+        np.asarray(dequant_weight(qp_rows, jnp.float32)),
+        rtol=1e-5, atol=1e-5)
+
+    # kernel (interpret mode) matches dequant matmul with act quant
+    xq, sx = quantize_act_per_token(x)
+    y = w4a8_matmul_s4_bytes(
+        xq, sx, qp.codes, qp.scales,
+        qp.zeros, group=g, n_tile=qp.codes.shape[1], interpret=True)
+    ref = (xq.astype(jnp.float32) * sx) @ np.asarray(
+        dequant_weight(qp, jnp.float32)).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_s4_symmetric_zero_correction():
+    """Symmetric spec: codes are signed; the +8 offset fold makes the
+    correction term exactly zero."""
+    from lightcompress_tpu.ops.qlinear import dequant_weight, quantize_linear
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(9)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.05)
+    spec = QuantSpec(bit=4, symmetric=True, granularity="per_group",
+                     group_size=128)
+    qp = quantize_linear(w, spec, layout="s4", scale_dtype=jnp.float32)
+    assert qp.layout == "s4"
+    np.testing.assert_allclose(np.asarray(qp.zeros), 0.0, atol=1e-7)
+    qp_rows = quantize_linear(w, spec, layout="rows")
+    np.testing.assert_allclose(
+        np.asarray(dequant_weight(qp, jnp.float32)),
+        np.asarray(dequant_weight(qp_rows, jnp.float32)),
+        rtol=1e-5, atol=1e-5)
