@@ -564,6 +564,11 @@ def w4a8_matmul_s4(
         out_specs=pl.BlockSpec((B, n_tile_), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        # 4MB double-buffered s4 blocks + the static-unroll's live int8
+        # group slices exceed Mosaic's default 16MB scoped-VMEM limit at
+        # NT=2048; v5e has 128MB VMEM so raise the cap for this kernel.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * K // 2 + 2 * N * G * scales.dtype.itemsize
