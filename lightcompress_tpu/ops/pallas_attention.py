@@ -25,6 +25,160 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _attn_kernel_i8(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
+                    scale: float):
+    """Fully-int8 decode attention over a (hb, S, D) slab of (batch, head)
+    pairs.  Both dots run in MXU int8 mode (no VPU upcast of the KV slab —
+    the bf16 kernel's astype of the whole block costs more than its dots):
+    scores = (q8 @ k8^T) * qs * ks; probs are per-row requantized to int8
+    for the PV dot (numerics of ops.scaled_matmul.int8_decode_attention).
+    """
+    q8 = q_ref[:]                                  # (hb, G, D) int8
+    sc32 = jax.lax.dot_general(
+        q8, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (hb, G, S)
+    qsf = qs_ref[:].astype(jnp.float32)
+    scf = sc32.astype(jnp.float32) * (qsf[:, :, None] * scale) * \
+        ks_ref[:].astype(jnp.float32)[:, None, :]
+    m = jnp.max(scf, axis=-1, keepdims=True)
+    e = jnp.exp(scf - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    pv = e * vs_ref[:].astype(jnp.float32)[:, None, :]
+    ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+    p8 = jnp.round(pv / ps).astype(jnp.int8)
+    ctx32 = jax.lax.dot_general(
+        p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (hb, G, D)
+    o_ref[:] = ctx32.astype(jnp.float32) * (ps / denom)
+
+
+def _attn_kernel_i8_append(q_ref, qs_ref, kn_ref, kns_ref, vn_ref, vns_ref,
+                           k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
+                           scale: float):
+    """int8 decode attention over a READ-ONLY cache slab plus one fresh
+    token per (batch, head) passed separately — the serving shape.  Keeping
+    the cache out of the softmax concat means XLA never materializes an
+    appended copy of the 30+MB per-layer cache to feed the kernel (the
+    round-1 kernel lost end-to-end exactly because pallas_call forced the
+    jnp.concatenate(cache, new) to materialize ~67MB/layer)."""
+    q8 = q_ref[:]                                  # (hb, G, D) int8
+    sc32 = jax.lax.dot_general(
+        q8, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (hb, G, S)
+    qsf = qs_ref[:].astype(jnp.float32)            # (hb, G)
+    scf = sc32.astype(jnp.float32) * (qsf[:, :, None] * scale) * \
+        ks_ref[:].astype(jnp.float32)[:, None, :]
+    # fresh token: one extra score column, computed in-register
+    scn32 = jax.lax.dot_general(
+        q8, kn_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (hb, G)
+    scnf = scn32.astype(jnp.float32) * (qsf * scale) * \
+        kns_ref[:, 0].astype(jnp.float32)[:, None]
+    m = jnp.maximum(jnp.max(scf, axis=-1), scnf)[..., None]  # (hb, G, 1)
+    e = jnp.exp(scf - m)
+    en = jnp.exp(scnf - m[..., 0])                 # (hb, G)
+    denom = jnp.sum(e, axis=-1) + en               # (hb, G)
+    pv = e * vs_ref[:].astype(jnp.float32)[:, None, :]
+    pvn = en * vns_ref[:, 0].astype(jnp.float32)[:, None]   # (hb, G)
+    ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+    p8 = jnp.round(pv / ps).astype(jnp.int8)
+    ctx32 = jax.lax.dot_general(
+        p8, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (hb, G, D)
+    ctx = ctx32.astype(jnp.float32) * ps
+    ctx = ctx + pvn[:, :, None] * vn_ref[:].astype(jnp.float32)[:, None, :]
+    o_ref[:] = ctx / denom[..., None]
+
+
+def _quantize_q(q: Array):
+    """Per-(b, h, g) symmetric int8 quantization of the decode query."""
+    qf = q.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qs = jnp.maximum(amax, 1e-8) / 127.0
+    q8 = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    return q8, qs[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("h_block", "interpret"))
+def decode_attention_i8(
+    q: Array,            # (B, H, G, D) bf16/f32
+    kq: Array,           # (B, H, S, D) int8
+    ks: Array,           # (B, H, S) f32/bf16
+    vq: Array,           # (B, H, S, D) int8
+    vs: Array,           # (B, H, S) f32/bf16
+    k_new: Optional[Array] = None,   # (B, H, D) int8 — fresh token K
+    kns: Optional[Array] = None,     # (B, H) its scale
+    v_new: Optional[Array] = None,
+    vns: Optional[Array] = None,
+    h_block: int = 32,
+    interpret: bool = False,
+) -> Array:
+    """Single-token GQA decode attention, fully on the int8 MXU.
+
+    Flattens (B, H) into one slab axis so each grid step DMAs a contiguous
+    multi-MB KV block (h_block=32 -> 4.2MB at S=1024, D=128 — the measured
+    ~640 GB/s regime), with batched int8 dots instead of per-(b,h) loops.
+    When ``k_new`` is given the cache stays read-only and the fresh token
+    contributes one extra softmax column in-register (no cache concat/copy
+    anywhere).  Returns (B, H, G, D) f32.
+    """
+    B, H, G, D = q.shape
+    S = kq.shape[2]
+    BH = B * H
+    h_block = min(h_block, BH)
+    assert BH % h_block == 0
+    q8, qs = _quantize_q(q)
+    q8 = q8.reshape(BH, G, D)
+    qs = qs.reshape(BH, G)
+    kq2 = kq.reshape(BH, S, D)
+    vq2 = vq.reshape(BH, S, D)
+    ks2 = ks.reshape(BH, S)
+    vs2 = vs.reshape(BH, S)
+    grid = (BH // h_block,)
+    append = k_new is not None
+    sdt = ks2.dtype
+
+    def spec3(sz, d):
+        return pl.BlockSpec((h_block, sz, d), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec2(sz):
+        return pl.BlockSpec((h_block, sz), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    if append:
+        kernel = functools.partial(_attn_kernel_i8_append, scale=D ** -0.5)
+        args = (q8, qs, k_new.reshape(BH, D),
+                kns.reshape(BH, 1).astype(sdt),
+                v_new.reshape(BH, D), vns.reshape(BH, 1).astype(sdt),
+                kq2, ks2, vq2, vs2)
+        in_specs = [spec3(G, D), spec2(G), spec2(D), spec2(1),
+                    spec2(D), spec2(1),
+                    spec3(S, D), spec2(S), spec3(S, D), spec2(S)]
+    else:
+        kernel = functools.partial(_attn_kernel_i8, scale=D ** -0.5)
+        args = (q8, qs, kq2, ks2, vq2, vs2)
+        in_specs = [spec3(G, D), spec2(G),
+                    spec3(S, D), spec2(S), spec3(S, D), spec2(S)]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, G, D), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=spec3(G, D),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * G * S * D,
+            bytes_accessed=2 * BH * S * (D + sdt.itemsize),
+            transcendentals=BH * G * S,
+        ),
+    )(*args)
+    return out.reshape(B, H, G, D)
+
+
 def _attn_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
                  n_heads: int, scale: float):
     bb = q_ref.shape[0]

@@ -32,6 +32,16 @@ from jax.experimental import pallas as pl
 Array = jax.Array
 
 
+def _vmem_limit_bytes() -> int:
+    """Scoped-VMEM cap for the s4 kernel.  Default sized for v5e/v4-class
+    parts (128MB VMEM); override via LCTPU_VMEM_LIMIT_MB on generations
+    with less so Mosaic reports a clear scoped-VMEM error instead of a
+    runtime failure (ADVICE r1)."""
+    import os
+
+    return int(os.environ.get("LCTPU_VMEM_LIMIT_MB", "100")) * 1024 * 1024
+
+
 # ---------------------------------------------------------------------------
 # packing
 # ---------------------------------------------------------------------------
@@ -566,9 +576,10 @@ def w4a8_matmul_s4(
         interpret=interpret,
         # 4MB double-buffered s4 blocks + the static-unroll's live int8
         # group slices exceed Mosaic's default 16MB scoped-VMEM limit at
-        # NT=2048; v5e has 128MB VMEM so raise the cap for this kernel.
+        # NT=2048; v5e has 128MB VMEM.  On parts with smaller VMEM set
+        # LCTPU_VMEM_LIMIT_MB lower (ADVICE r1).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * K // 2 + 2 * N * G * scales.dtype.itemsize

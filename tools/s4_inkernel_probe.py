@@ -57,6 +57,7 @@ def _kernel_bytes_bitcast(x_ref, wb_ref, s_ref, zs_ref, o_ref, *,
     b, nt = o_ref.shape
     K = x_ref.shape[1]
     G = K // group
+    assert G % 4 == 0, 'kernel unrolls 4 groups/iter; pad K or change group'
     hb = group // 2
     xb = x_ref[:]
     xsum = jnp.sum(xb.astype(jnp.int32).reshape(b, G, group), axis=2
@@ -94,6 +95,7 @@ def _kernel_bytes_shift(x_ref, wb_ref, s_ref, zs_ref, o_ref, *, group: int):
     b, nt = o_ref.shape
     K = x_ref.shape[1]
     G = K // group
+    assert G % 4 == 0, 'kernel unrolls 4 groups/iter; pad K or change group'
     hb = group // 2
     xb = x_ref[:]
     xsum = jnp.sum(xb.astype(jnp.int32).reshape(b, G, group), axis=2
@@ -134,6 +136,7 @@ def _bytes_call(kernel, xq, wb, scales, zs, group, n_tile):
     n_blocks = wb.shape[0]
     N = n_blocks * n_tile
     G = K // group
+    assert G % 4 == 0, 'kernel unrolls 4 groups/iter; pad K or change group'
     return pl.pallas_call(
         functools.partial(kernel, group=group),
         out_shape=jax.ShapeDtypeStruct((Bq, N), jnp.float32),
