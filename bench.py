@@ -47,11 +47,16 @@ SCALES = os.environ.get("BENCH_SCALES", "bf16")
 if SCALES == "raw":
     SCALES = ""
 # "planes" -> int32 plane-packed codes, VPU shift+mask unpack in-kernel;
-# "s4" -> byte-packed codes stored int8, bitcast to jnp.int4 in-jit so the
-# hardware does the nibble unpack on VMEM load (the plane kernel's unpack
-# ALU slightly exceeds the 4MB-block DMA time; s4 sits back on the DMA
-# floor — measured 1.7x per-kernel in tools/s4_experiments2.py)
+# "s4" -> byte-packed codes stored int8, nibbles bitcast to s4 IN-KERNEL
+# (w4a8_matmul_bytes: int8 HBM stream at the DMA floor, ~1 VPU op/elem
+# unpack vs the plane kernel's shift+mask ~2.5 ops which caps it ~450GB/s)
 WLAYOUT = os.environ.get("BENCH_WLAYOUT", "planes")
+# 1 -> fully-fused decode linears (s4 layout only): RMSNorm + per-token
+# int8 act quant in-kernel at grid step 0, per-token rescale epilogue —
+# removes all XLA glue ops between kernel launches
+FUSEDLIN = os.environ.get("BENCH_FUSEDLIN", "0") == "1"
+if FUSEDLIN:
+    WLAYOUT = "s4"
 
 
 # Llama-3-8B block shapes
@@ -91,8 +96,8 @@ def make_layer_qweights(key):
             "down": (HIDDEN, INTER),
         }
     from lightcompress_tpu.ops.pallas_matmul import (
-        pack_s4_bytes, pick_n_tile, pick_n_tile_s4, tile_packed,
-        tile_scales_s4,
+        pack_s4_pairs, pick_n_tile, pick_n_tile_s4, tile_packed,
+        tile_scales_pairs,
     )
 
     out = {}
@@ -101,12 +106,12 @@ def make_layer_qweights(key):
         if WLAYOUT == "s4":
             codes_u = jax.random.randint(ks[i], (oc, ic), 0, 16, jnp.int32)
             nt = pick_n_tile_s4(oc, ic)
-            packed = pack_s4_bytes(codes_u, nt)
+            packed = pack_s4_pairs(codes_u, nt)
             scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
             zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
             sd = jnp.bfloat16 if SCALES == "bf16" else jnp.float32
-            zs = tile_scales_s4((zeros - 8.0) * scales, nt).astype(sd)
-            sc = tile_scales_s4(scales, nt).astype(sd)
+            zs = tile_scales_pairs((zeros - 8.0) * scales, nt).astype(sd)
+            sc = tile_scales_pairs(scales, nt).astype(sd)
             out[name] = QLinearParams(packed, sc, zs, None, 4, GROUP, False,
                                       "s4")
             continue
@@ -142,10 +147,29 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
     def qlinear_apply(h, qp):
         return _qa(h, qp, act_bits=ACT_BITS)
 
+    if FUSEDLIN:
+        from lightcompress_tpu.ops.pallas_matmul import (
+            w4a8_linear_bytes_fused,
+        )
+
+    def rms(t):
+        return t * jax.lax.rsqrt(jnp.mean(t * t, -1, keepdims=True) + 1e-6)
+
+    def lin(h, qp, with_rms=False):
+        """One decode linear; with_rms folds the pre-norm in.  FUSEDLIN
+        runs norm+act-quant+rescale inside the kernel; otherwise they are
+        XLA ops (identical HLO to the original h1-shared form via CSE)."""
+        if FUSEDLIN:
+            return w4a8_linear_bytes_fused(
+                h, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
+                rms=with_rms)
+        hh = rms(h) if with_rms else h
+        return qlinear_apply(hh, qp)
+
     B = x.shape[0]
     for li, lw in enumerate(layers):
-        h1 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
         if FUSED:
+            h1 = rms(x)
             qkv = qlinear_apply(h1, lw["qkv"])
             nq = N_HEADS * HEAD_DIM
             nkv = N_KV * HEAD_DIM
@@ -153,9 +177,9 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             k = qkv[:, nq:nq + nkv].reshape(B, N_KV, 1, HEAD_DIM)
             v = qkv[:, nq + nkv:].reshape(B, N_KV, 1, HEAD_DIM)
         else:
-            q = qlinear_apply(h1, lw["q"]).reshape(B, N_HEADS, 1, HEAD_DIM)
-            k = qlinear_apply(h1, lw["k"]).reshape(B, N_KV, 1, HEAD_DIM)
-            v = qlinear_apply(h1, lw["v"]).reshape(B, N_KV, 1, HEAD_DIM)
+            q = lin(x, lw["q"], True).reshape(B, N_HEADS, 1, HEAD_DIM)
+            k = lin(x, lw["k"], True).reshape(B, N_KV, 1, HEAD_DIM)
+            v = lin(x, lw["v"], True).reshape(B, N_KV, 1, HEAD_DIM)
         G = N_HEADS // N_KV
         if KV_BITS == 8:
             ks, vs = kv_scales[li]  # (B, N_KV, CTX) f32 each
@@ -168,7 +192,27 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                                  -127, 127).astype(jnp.int8), sc[..., 0])
             k8, ksn = q8(k)
             v8, vsn = q8(v)
-            if KV_APPEND == "nocopy":
+            if ATTN_IMPL == "i8app":
+                # read-only cache + fresh token as an in-register extra
+                # softmax column inside the kernel: no concat anywhere, so
+                # nothing materializes an appended cache copy to feed the
+                # pallas_call (the round-1 kernel's end-to-end loss mode)
+                from lightcompress_tpu.ops.pallas_attention import (
+                    decode_attention_i8,
+                )
+
+                qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+                ctx = decode_attention_i8(
+                    qg, k_cache[li], ks, v_cache[li], vs,
+                    k8[:, :, 0, :], ksn[..., 0], v8[:, :, 0, :],
+                    vsn[..., 0])
+                ctx = ctx.reshape(B, -1).astype(x.dtype)
+                x = x + lin(ctx, lw["o"])
+                g_ = lin(x, lw["gate"], True)
+                u_ = lin(x, lw["up"], True)
+                x = x + lin(jax.nn.silu(g_) * u_, lw["down"])
+                continue
+            elif KV_APPEND == "nocopy":
                 # cache is read-only; the new token contributes one extra
                 # score column / value row computed from the fresh k8/v8
                 qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
@@ -237,15 +281,15 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                 (HEAD_DIM**-0.5)
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
-        x = x + qlinear_apply(ctx, lw["o"])
-        h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        x = x + lin(ctx, lw["o"])
         if FUSED:
+            h2 = rms(x)
             gu = qlinear_apply(h2, lw["gateup"])
             g, u = gu[:, :INTER], gu[:, INTER:]
         else:
-            g = qlinear_apply(h2, lw["gate"])
-            u = qlinear_apply(h2, lw["up"])
-        x = x + qlinear_apply(jax.nn.silu(g) * u, lw["down"])
+            g = lin(x, lw["gate"], True)
+            u = lin(x, lw["up"], True)
+        x = x + lin(jax.nn.silu(g) * u, lw["down"])
     return x
 
 

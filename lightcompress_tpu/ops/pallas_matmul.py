@@ -611,9 +611,9 @@ def w4a8_matmul_s4_bytes(
 
 
 def s4_matmul_available(x: Array, qp) -> bool:
-    """Serving s4 layout: byte-packed codes (N/NT, NT, K/2) int8 +
-    (N/NT, NT, G) scales/premultiplied zeros."""
-    if qp.bits != 4 or qp.is_float or qp.group_size <= 0:
+    """Serving s4 layout (group-pair bytes): codes (N/NT, NT, K/2) int8 +
+    transposed (N/NT, G, NT) scales/premultiplied zeros."""
+    if qp.bits != 4 or qp.is_float or qp.group_size != 128:
         return False
     if getattr(qp, "layout", "rows") != "s4":
         return False
@@ -625,22 +625,255 @@ def s4_matmul_available(x: Array, qp) -> bool:
         return False
     if qp.codes.ndim != 3 or qp.codes.shape[2] * 2 != K:
         return False
-    return K % qp.group_size == 0
+    return K % (4 * qp.group_size) == 0
 
 
 def w4a8_s4_matmul(x: Array, qp, interpret: bool = False) -> Array:
-    """W4A8 apply for the s4 serving layout: per-token int8 act quant, then
-    the s4-native kernel (hardware nibble unpack on VMEM load)."""
+    """W4A8 apply for the s4/bytes serving layout: per-token int8 act
+    quant, then the bytes kernel (codes stream as int8, nibbles bitcast to
+    s4 in-register inside the kernel — no XLA-level s4 array, which would
+    materialize an upcast copy per use)."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
     xq, x_scale = quantize_act_per_token(x2)
-    n_tile = qp.codes.shape[1]
     zs = qp.zeros if qp.zeros is not None else jnp.zeros_like(qp.scales)
-    y = w4a8_matmul_s4_bytes(
+    y = w4a8_matmul_bytes(
         xq, x_scale, qp.codes, qp.scales, zs, group=qp.group_size,
-        n_tile=n_tile, interpret=interpret,
+        interpret=interpret,
     ).astype(x.dtype)
     if qp.bias is not None:
         y = y + qp.bias
     return y.reshape(*lead, -1)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 "bytes" kernel, group-PAIR nibble layout.  Codes stream from HBM as
+# plain int8 (no XLA-level s4 array anywhere — an s4 operand materializes
+# an upcast copy per call, which collapsed the end-to-end s4 path to
+# 411 tok/s), and the in-kernel unpack is 3 int8 arithmetic-shift ops per
+# BYTE (two codes), vs the plane kernel's ~2 int32 ops per NIBBLE that cap
+# that pipeline at ~450 GB/s.  Mosaic constraints honored (probed on-chip,
+# tools/s4_inkernel_probe.py): no bitcast_convert_type (bitwidth changes
+# unsupported), no lax.dynamic_slice on VALUES (refs slice fine via pl.ds).
+#
+# Layout: byte column p*group + t  (pair p, t in [0, group)) packs
+#   low  nibble: c'[n, (2p  )*group + t]
+#   high nibble: c'[n, (2p+1)*group + t]        with c' = u - 8 in [-8, 7]
+# so both nibble planes of one byte-block are FULL-WIDTH (group = 128 lane)
+# K-slices of adjacent groups: lo = (wb << 4) >> 4, hi = wb >> 4 (sign
+# extension is automatic on the arithmetic shift), x stays in natural K
+# order, and each unpacked plane feeds one 128-deep int8 MXU dot.
+# Scales are stored TRANSPOSED, (N/NT, G, NT), so the per-group scale row
+# is lane-resident — no in-kernel sublane->lane transpose.  zs rows are
+# premultiplied (z - 8) * s; the zero correction is one (B,G)x(G,NT) dot.
+# RMSNorm gamma is folded into the weights at quantization time
+# (W' = W * gamma[None, :]), so kernels never see it.
+# ---------------------------------------------------------------------------
+
+
+def pack_s4_pairs(codes_u: Array, n_tile: int) -> Array:
+    """(N, K) unsigned-nibble codes u in [0,16) -> (N/NT, NT, K/2) int8,
+    group-pair layout (group=128 columns per nibble plane)."""
+    n, k = codes_u.shape
+    group = 128
+    assert n % n_tile == 0 and k % (2 * group) == 0
+    c = ((jnp.asarray(codes_u, jnp.int32) & 0xF) - 8)
+    c = c.reshape(n, k // (2 * group), 2, group)
+    lo = c[:, :, 0, :] & 0xF
+    hi = c[:, :, 1, :] & 0xF
+    b = lo | (hi << 4)
+    b = jnp.where(b > 127, b - 256, b).astype(jnp.int8)
+    return b.reshape(n // n_tile, n_tile, k // 2)
+
+
+def tile_scales_pairs(s: Array, n_tile: int) -> Array:
+    """(N, G) -> (N/NT, G, NT): per-group scale rows lane-resident."""
+    n, G = s.shape
+    assert n % n_tile == 0
+    return s.reshape(n // n_tile, n_tile, G).transpose(0, 2, 1)
+
+
+def _pairs_group_loop(xq_ref, wb_ref, s_ref, o_shape, group):
+    """fori over group-pairs, 2 pairs (4 groups) per iteration; int8 MXU
+    dots on shift-unpacked nibble planes; scale rows are (1, NT) slices."""
+    b, nt = o_shape
+    K = xq_ref.shape[1]
+    G = K // group
+    hb = group  # byte columns per pair
+
+    four = jnp.int8(4)
+
+    def body(qi, accs):
+        news = list(accs)
+        for j in range(2):
+            p = qi * 2 + j
+            wb = wb_ref[0, :, pl.ds(p * hb, hb)]          # (NT, g) int8
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(wb, four), four)
+            hi = jax.lax.shift_right_arithmetic(wb, four)
+            xe = xq_ref[:, pl.ds((2 * p) * group, group)]
+            xo = xq_ref[:, pl.ds((2 * p + 1) * group, group)]
+            pe = jax.lax.dot_general(
+                xe, lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            po = jax.lax.dot_general(
+                xo, hi, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            se = s_ref[0, pl.ds(2 * p, 1), :].astype(jnp.float32)
+            so = s_ref[0, pl.ds(2 * p + 1, 1), :].astype(jnp.float32)
+            news[2 * j] = news[2 * j] + pe.astype(jnp.float32) * se
+            news[2 * j + 1] = news[2 * j + 1] + \
+                po.astype(jnp.float32) * so
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, G // 4, body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    return (accs[0] + accs[1]) + (accs[2] + accs[3])
+
+
+def _w4a8_kernel_pairs(x_ref, wb_ref, s_ref, zs_ref, o_ref, *, group: int):
+    """Pre-quantized int8 activations (natural K order)."""
+    b, nt = o_ref.shape
+    K = x_ref.shape[1]
+    G = K // group
+    xsum = jnp.sum(x_ref[:].astype(jnp.int32).reshape(b, G, group), axis=2
+                   ).astype(jnp.float32)
+    acc = _pairs_group_loop(x_ref, wb_ref, s_ref, (b, nt), group)
+    corr = jax.lax.dot_general(
+        xsum, zs_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = acc - corr
+
+
+def _w4a8_kernel_pairs_fused(x_ref, wb_ref, s_ref, zs_ref, o_ref,
+                             xq_scr, xs_scr, xsum_scr, *,
+                             group: int, rms: bool, eps: float):
+    """bf16/f32 activations in; RMSNorm (optional) + per-token int8 quant
+    run once at grid step 0 into persistent scratch (the TPU grid is
+    sequential); the epilogue applies the per-token scale and writes o_ref
+    in its own (bf16) dtype — zero XLA glue between kernel launches."""
+    b, nt = o_ref.shape
+    K = x_ref.shape[1]
+    G = K // group
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if rms:
+            xf = xf * jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+        xq_scr[:] = q
+        xs_scr[:] = sc
+        xsum_scr[:] = jnp.sum(
+            q.astype(jnp.int32).reshape(b, G, group), axis=2
+        ).astype(jnp.float32)
+
+    acc = _pairs_group_loop(xq_scr, wb_ref, s_ref, (b, nt), group)
+    corr = jax.lax.dot_general(
+        xsum_scr[:], zs_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = ((acc - corr) * xs_scr[:]).astype(o_ref.dtype)
+
+
+def _pairs_specs(B, K, n_tile, G, pltpu):
+    return [
+        pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile, K // 2), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, n_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, n_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def w4a8_matmul_bytes(
+    xq: Array,           # (B, K) int8, natural order
+    x_scale: Array,      # (B, 1) f32
+    wb: Array,           # (N/NT, NT, K/2) int8 (pack_s4_pairs)
+    scales: Array,       # (N/NT, G, NT)  (tile_scales_pairs)
+    zs: Array,           # (N/NT, G, NT), premultiplied (z - 8) * s
+    group: int = 128,
+    interpret: bool = False,
+) -> Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = xq.shape
+    n_blocks, n_tile, kw = wb.shape
+    assert kw * 2 == K and K % (4 * group) == 0
+    N = n_blocks * n_tile
+    G = K // group
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_pairs, group=group),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=(n_blocks,),
+        in_specs=_pairs_specs(B, K, n_tile, G, pltpu),
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2
+            + 2 * N * G * scales.dtype.itemsize + B * K,
+            transcendentals=0,
+        ),
+    )(xq, wb, scales, zs)
+    return out * x_scale
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "rms", "eps", "interpret"))
+def w4a8_linear_bytes_fused(
+    x: Array,            # (B, K) bf16/f32, natural order, UN-normalized
+    wb: Array,           # (N/NT, NT, K/2) int8
+    scales: Array,       # (N/NT, G, NT)
+    zs: Array,           # (N/NT, G, NT)
+    group: int = 128,
+    rms: bool = False,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """Fully-fused decode linear: [RMSNorm ->] per-token int8 quant ->
+    grouped-W4 int8 matmul -> per-token rescale, one pallas_call, bf16 out.
+    RMSNorm gamma must be pre-folded into the quantized weights."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = x.shape
+    n_blocks, n_tile, kw = wb.shape
+    assert kw * 2 == K and K % (4 * group) == 0
+    N = n_blocks * n_tile
+    G = K // group
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_pairs_fused, group=group, rms=rms,
+                          eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        grid=(n_blocks,),
+        in_specs=_pairs_specs(B, K, n_tile, G, pltpu),
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, G), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2
+            + 2 * N * G * scales.dtype.itemsize + B * K * 2,
+            transcendentals=0,
+        ),
+    )(x, wb, scales, zs)
+    return out

@@ -63,20 +63,21 @@ def quantize_linear(
             codes = codes.astype(jnp.int32) + 8
             z4 = jnp.full_like(s4, 8.0)
         if layout == "s4":
-            from .pallas_matmul import (pack_s4_bytes, pick_n_tile_s4,
-                                        tile_scales_s4)
+            from .pallas_matmul import (pack_s4_pairs, pick_n_tile_s4,
+                                        tile_scales_pairs)
 
             N, K = codes.shape
             gs = spec.granularity == "per_group" and spec.group_size or 0
-            if gs and K % gs == 0 and N % 128 == 0 and K % 2 == 0:
+            if gs == 128 and K % (4 * gs) == 0 and N % 128 == 0:
                 nt = pick_n_tile_s4(N, K)
-                packed = pack_s4_bytes(codes, nt)
-                # zero correction folds the s4 sign offset: the kernel's
+                packed = pack_s4_pairs(codes, nt)
+                # zero correction folds the sign offset: the kernel's
                 # stored code is c' = u - 8, so w = c'*s - (z - 8)*s
                 # (z4 is never None here — symmetric was offset above, and
                 # its correction is exactly zero)
-                z4 = tile_scales_s4((z4 - 8.0) * s4, nt).astype(scale_dtype)
-                s4 = tile_scales_s4(s4, nt).astype(scale_dtype)
+                z4 = tile_scales_pairs((z4 - 8.0) * s4, nt
+                                       ).astype(scale_dtype)
+                s4 = tile_scales_pairs(s4, nt).astype(scale_dtype)
                 return QLinearParams(packed, s4, z4, bias, 4,
                                      spec.group_size, False, "s4")
             layout = "planes"  # fall back when shapes don't fit
@@ -147,18 +148,19 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
         return w.reshape(oc, -1).astype(dtype)
     if qp.bits == 4:
         if qp.layout == "s4":
-            # byte-packed signed nibbles, low nibble first (pack_s4_bytes);
-            # w = c' * s - zs with pre-tiled (N/NT, NT, G) scales
+            # group-pair byte layout (pack_s4_pairs): byte column
+            # p*g + t packs c' of group 2p (low nibble) and 2p+1 (high);
+            # w = c' * s - zs with transposed (N/NT, G, NT) scales
             nb, nt, kh = qp.codes.shape
-            b = qp.codes.astype(jnp.int32)
-            lo = ((b & 0xF) ^ 8) - 8
-            hi = (((b >> 4) & 0xF) ^ 8) - 8
-            c = jnp.stack([lo, hi], axis=-1).reshape(nb, nt, kh * 2)
-            K = kh * 2
             g = qp.group_size
+            K = kh * 2
+            b = qp.codes.astype(jnp.int32).reshape(nb, nt, kh // g, g)
+            lo = ((b & 0xF) ^ 8) - 8          # group 2p codes
+            hi = (((b >> 4) & 0xF) ^ 8) - 8   # group 2p+1 codes
+            c = jnp.stack([lo, hi], axis=3)   # (nb, nt, K/2g, 2, g)
             cg = c.reshape(nb, nt, K // g, g).astype(jnp.float32)
-            s = qp.scales.astype(jnp.float32)[..., None]
-            zs = (qp.zeros.astype(jnp.float32)[..., None]
+            s = qp.scales.astype(jnp.float32).transpose(0, 2, 1)[..., None]
+            zs = (qp.zeros.astype(jnp.float32).transpose(0, 2, 1)[..., None]
                   if qp.zeros is not None else 0.0)
             w = cg * s - zs
             return w.reshape(nb * nt, K).astype(dtype)

@@ -29,3 +29,44 @@ def test_decode_attention_kv8_matches_reference():
                     np.asarray(vq, np.float32))
     err = np.abs(np.asarray(out) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 2e-2  # bf16 in-kernel dequant noise
+
+
+def test_decode_attention_i8_matches_reference():
+    """Batched int8-MXU decode attention (h_block slabs): ~int8 quant noise
+    vs the f32 reference, both with and without the read-only-cache append
+    path (fresh token as an in-register extra softmax column)."""
+    from lightcompress_tpu.ops.pallas_attention import decode_attention_i8
+
+    B, H, G, S, D = 4, 2, 4, 256, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, G, D), jnp.float32)
+    k8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    vs = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    kn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    vn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    kns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+    vns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+
+    def ref_attn(q, kf, vf):
+        sc = jnp.einsum("bhgd,bhsd->bhgs", q, kf) * (D ** -0.5)
+        p = jax.nn.softmax(sc, -1)
+        return jnp.einsum("bhgs,bhsd->bhgd", p, vf)
+
+    kf = k8.astype(jnp.float32) * ks[..., None]
+    vf = v8.astype(jnp.float32) * vs[..., None]
+    out = decode_attention_i8(q, k8, ks, v8, vs, h_block=8, interpret=True)
+    ref = ref_attn(q, kf, vf)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel  # q-int8 + probs-int8 quantization noise
+
+    kf2 = jnp.concatenate(
+        [kf, (kn.astype(jnp.float32) * kns[..., None])[:, :, None, :]], 2)
+    vf2 = jnp.concatenate(
+        [vf, (vn.astype(jnp.float32) * vns[..., None])[:, :, None, :]], 2)
+    out2 = decode_attention_i8(q, k8, ks, v8, vs, kn, kns, vn, vns,
+                               h_block=8, interpret=True)
+    ref2 = ref_attn(q, kf2, vf2)
+    rel2 = float(jnp.linalg.norm(out2 - ref2) / jnp.linalg.norm(ref2))
+    assert rel2 < 0.03, rel2

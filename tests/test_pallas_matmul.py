@@ -224,7 +224,7 @@ def test_s4_bytes_layout_end_to_end():
         quantize_act_per_token,
         s4_matmul_available,
         s4_view,
-        w4a8_matmul_s4_bytes,
+        w4a8_matmul_bytes,
     )
     from lightcompress_tpu.ops.qlinear import (
         QLinearParams,
@@ -261,9 +261,9 @@ def test_s4_bytes_layout_end_to_end():
 
     # kernel (interpret mode) matches dequant matmul with act quant
     xq, sx = quantize_act_per_token(x)
-    y = w4a8_matmul_s4_bytes(
+    y = w4a8_matmul_bytes(
         xq, sx, qp.codes, qp.scales,
-        qp.zeros, group=g, n_tile=qp.codes.shape[1], interpret=True)
+        qp.zeros, group=g, interpret=True)
     ref = (xq.astype(jnp.float32) * sx) @ np.asarray(
         dequant_weight(qp, jnp.float32)).T
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-4,
@@ -277,7 +277,7 @@ def test_s4_symmetric_zero_correction():
     from lightcompress_tpu.quant import QuantSpec
 
     rng = np.random.RandomState(9)
-    w = jnp.asarray(rng.randn(128, 256).astype(np.float32) * 0.05)
+    w = jnp.asarray(rng.randn(128, 512).astype(np.float32) * 0.05)
     spec = QuantSpec(bit=4, symmetric=True, granularity="per_group",
                      group_size=128)
     qp = quantize_linear(w, spec, layout="s4", scale_dtype=jnp.float32)
@@ -288,3 +288,65 @@ def test_s4_symmetric_zero_correction():
         np.asarray(dequant_weight(qp, jnp.float32)),
         np.asarray(dequant_weight(qp_rows, jnp.float32)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_bytes_kernel_matches_reference():
+    """In-kernel bitcast byte-unpack kernel (w4a8_matmul_bytes): no XLA s4
+    array, natural-K-order acts."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_s4_pairs, quantize_act_per_token, tile_scales_pairs,
+        w4a8_matmul_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    B, N, K, g = 8, 256, 1024, 128
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    s = jnp.asarray(rng.rand(N, K // g).astype(np.float32) * 0.01 + 0.004)
+    z = jnp.asarray(np.round(rng.rand(N, K // g) * 8 + 4).astype(np.float32))
+    nt = 128
+    wb = pack_s4_pairs(codes, nt)
+    sr = tile_scales_pairs(s, nt)
+    zsr = tile_scales_pairs((z - 8.0) * s, nt)
+
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    xq, xs = quantize_act_per_token(x)
+    wdq = (codes.astype(jnp.float32)
+           - jnp.repeat(z, g, 1)) * jnp.repeat(s, g, 1)
+    ref = (xq.astype(jnp.float32) @ wdq.T) * xs
+
+    y = w4a8_matmul_bytes(xq, xs, wb, sr, zsr, group=g, interpret=True)
+    rel = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-5  # f32 scales: integer-exact up to scale rounding
+
+
+def test_w4a8_bytes_fused_prologue():
+    """Fused kernel: in-kernel RMSNorm + per-token int8 quant + epilogue
+    rescale must match doing those steps in XLA + the plain bytes kernel."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_s4_pairs, quantize_act_per_token, tile_scales_pairs,
+        w4a8_linear_bytes_fused,
+    )
+
+    rng = np.random.RandomState(8)
+    B, N, K, g = 8, 128, 512, 128
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    s = jnp.asarray(rng.rand(N, K // g).astype(np.float32) * 0.01 + 0.004)
+    nt = 128
+    wb = pack_s4_pairs(codes, nt)
+    sr = tile_scales_pairs(s, nt)
+    zsr = tile_scales_pairs(jnp.zeros_like(s), nt)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+
+    for rms in (False, True):
+        xf = x
+        if rms:
+            xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                    + 1e-6)
+        xq, xs = quantize_act_per_token(xf)
+        wdq = (codes.astype(jnp.float32) - 8.0) * jnp.repeat(s, g, 1)
+        ref = (xq.astype(jnp.float32) @ wdq.T) * xs
+        y = w4a8_linear_bytes_fused(x, wb, sr, zsr, group=g, rms=rms,
+                                    interpret=True)
+        rel = float(jnp.linalg.norm(y.astype(jnp.float32) - ref)
+                    / jnp.linalg.norm(ref))
+        assert rel < 1e-5, (rms, rel)

@@ -1,0 +1,219 @@
+"""Locate the qlinear-stack bandwidth gap (453 GB/s stack vs ~640 GB/s
+microbench): time chains of ONE matrix size at a time (W4A8 planes path,
+serving pre-tiled scales), with the same per-token act-quant glue as the
+real stack.  Sizes = Llama-8B decode linears:
+
+  q/o   (4096, 4096)   8MB codes,  grid 2
+  kv    (1024, 4096)   2MB codes,  grid 1   (no intra-kernel pipelining)
+  gate  (14336, 4096)  29MB codes, grid 7
+  down  (4096, 14336)  29MB codes, grid 8
+
+Also: 'noquant' variants with pre-quantized int8 acts fed straight through
+(isolates the act-quant + plane-reorder glue), and an 'allsizes' chain =
+one full layer's 7 linears (sanity vs bench_split's 453).
+
+SIZES env filters, e.g. SIZES=q,kv,gate,down,gate_nq,allsizes.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightcompress_tpu.ops.pallas_matmul import (
+    pack_int4_planes, pick_n_tile, tile_packed, tile_scales,
+    quantize_act_per_token, w4a8_matmul_planes,
+)
+
+HIDDEN, INTER = 4096, 14336
+GROUP = 128
+B = 32
+ITERS = 100
+
+
+def mk(key, oc, ic):
+    codes = jax.random.randint(key, (oc, ic), 0, 16, jnp.int32)
+    nt = pick_n_tile(oc, ic // 8, GROUP)
+    gpp = ic // 8 // GROUP
+    wp = tile_packed(pack_int4_planes(codes), nt, GROUP)
+    s = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+    z = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+    sr = tile_scales(s, nt, gpp).astype(jnp.bfloat16)
+    zsr = tile_scales(z * s, nt, gpp).astype(jnp.bfloat16)
+    nbytes = wp.size * 4 + sr.size * 2 + zsr.size * 2
+    return (wp, sr, zsr, nt), nbytes
+
+
+def timeit(label, run, x0, nbytes_per_iter):
+    try:
+        out = run(x0)
+        float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        out = run(out)
+        float(jnp.sum(out.astype(jnp.float32)))
+        per = (time.perf_counter() - t0) / ITERS
+        print(json.dumps({
+            "size": label, "us": round(per * 1e6, 1),
+            "GBps": round(nbytes_per_iter / per / 1e9, 1)}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"size": label, "error": str(e)[:300]}), flush=True)
+
+
+def main():
+    sizes = os.environ.get(
+        "SIZES", "q,kv,gate,down,q_nq,kv_nq,allsizes").split(",")
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    shapes = {"q": (HIDDEN, HIDDEN), "kv": (1024, HIDDEN),
+              "gate": (INTER, HIDDEN), "down": (HIDDEN, INTER)}
+    weights, nbytes = {}, {}
+    for i, (nm, (oc, ic)) in enumerate(shapes.items()):
+        weights[nm], nbytes[nm] = mk(ks[i], oc, ic)
+
+    def one(nm, h):
+        wp, sr, zsr, nt = weights[nm]
+        hq, hs = quantize_act_per_token(h)
+        return w4a8_matmul_planes(hq, hs, wp, sr, zsr, group=GROUP,
+                                  n_tile=nt)
+
+    # --- per-size chains (output fed back; reshape keeps (B, ic) input)
+    for nm in ("q", "kv", "gate", "down"):
+        if nm not in sizes:
+            continue
+        oc, ic = shapes[nm]
+
+        @jax.jit
+        def run(x0, nm=nm, ic=ic):
+            def body(i, h):
+                y = one(nm, h)
+                # fold back to input width with a cheap reduce (keeps the
+                # chain dependent without a second matmul)
+                y = y.astype(jnp.float32)
+                rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
+                    else jnp.tile(y, (1, ic // y.shape[1]))
+                return (rep * jax.lax.rsqrt(
+                    jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
+                ).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, ITERS, body, x0)
+
+        x0 = jax.random.normal(key, (B, ic), jnp.bfloat16)
+        timeit(nm, run, x0, nbytes[nm])
+
+    # --- no-quant variants: pre-quantized int8 acts, no glue in the chain
+    for nm in ("q_nq", "kv_nq", "gate_nq", "down_nq"):
+        if nm not in sizes:
+            continue
+        base = nm[:-3]
+        oc, ic = shapes[base]
+        wp, sr, zsr, nt = weights[base]
+        xq0 = jnp.ones((B, ic), jnp.int8)
+        xs0 = jnp.full((B, 1), 0.01, jnp.float32)
+
+        @jax.jit
+        def run_nq(c0, wp=wp, sr=sr, zsr=zsr, nt=nt, xq0=xq0, xs0=xs0):
+            def body(i, c):
+                y = w4a8_matmul_planes(xq0, xs0 + c, wp, sr, zsr,
+                                       group=GROUP, n_tile=nt)
+                return jnp.max(y) * 1e-9
+            return jax.lax.fori_loop(0, ITERS, body, c0)
+
+        timeit(nm, run_nq, jnp.float32(0.0), nbytes[base])
+
+    # --- bytes-kernel variants (in-kernel bitcast unpack) + fused prologue
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_s4_pairs, pick_n_tile_s4, tile_scales_pairs, w4a8_matmul_bytes,
+        w4a8_linear_bytes_fused,
+    )
+
+    def mk_bytes(key, oc, ic):
+        codes = jax.random.randint(key, (oc, ic), 0, 16, jnp.int32)
+        nt = pick_n_tile_s4(oc, ic)
+        wb = pack_s4_pairs(codes, nt)
+        s = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+        sr = tile_scales_pairs(s, nt).astype(jnp.bfloat16)
+        zsr = tile_scales_pairs(jnp.zeros_like(s), nt).astype(jnp.bfloat16)
+        return (wb, sr, zsr), wb.size + sr.size * 2 + zsr.size * 2
+
+    bw, bnb = {}, {}
+    for i, (nm, (oc, ic)) in enumerate(shapes.items()):
+        if any(v.startswith(nm) and ("_b" in v or "_f" in v)
+               for v in sizes):
+            bw[nm], bnb[nm] = mk_bytes(ks[i + 4], oc, ic)
+
+    for nm in list(shapes):
+        # *_b: bytes kernel, XLA-side act quant glue (vs planes *)
+        if f"{nm}_b" in sizes:
+            oc, ic = shapes[nm]
+            wb, sr, zsr = bw[nm]
+
+            @jax.jit
+            def run_b(x0, nm=nm, ic=ic, wb=wb, sr=sr, zsr=zsr):
+                def body(i, h):
+                    hq, hs = quantize_act_per_token(h)
+                    y = w4a8_matmul_bytes(hq, hs, wb, sr, zsr, group=GROUP)
+                    y = y.astype(jnp.float32)
+                    rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
+                        else jnp.tile(y, (1, ic // y.shape[1]))
+                    return (rep * jax.lax.rsqrt(
+                        jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
+                    ).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, ITERS, body, x0)
+
+            x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
+            timeit(f"{nm}_b", run_b, x0, bnb[nm])
+
+        # *_f: fully-fused bytes kernel (in-kernel rms+quant, bf16 out)
+        if f"{nm}_f" in sizes:
+            oc, ic = shapes[nm]
+            wb, sr, zsr = bw[nm]
+
+            @jax.jit
+            def run_f(x0, nm=nm, ic=ic, wb=wb, sr=sr, zsr=zsr):
+                def body(i, h):
+                    y = w4a8_linear_bytes_fused(h, wb, sr, zsr, group=GROUP,
+                                                rms=True)
+                    y = y.astype(jnp.float32)
+                    rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
+                        else jnp.tile(y, (1, ic // y.shape[1]))
+                    return rep.astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, ITERS, body, x0)
+
+            x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
+            timeit(f"{nm}_f", run_f, x0, bnb[nm])
+
+    # --- full layer (7 linears) — should reproduce bench_split's 453
+    if "allsizes" in sizes:
+        layer_bytes = (2 * nbytes["q"] + 2 * nbytes["kv"]
+                       + 2 * nbytes["gate"] + nbytes["down"])
+
+        @jax.jit
+        def run_layer(x0):
+            def body(i, h):
+                q = one("q", h)
+                k = one("kv", h)
+                v = one("kv", h)
+                o = one("q", q.astype(jnp.bfloat16))
+                g = one("gate", h)
+                u = one("gate", h)
+                d = one("down", (jax.nn.silu(g.astype(jnp.float32))
+                                 * u.astype(jnp.float32)
+                                 ).astype(jnp.bfloat16))
+                h2 = (d + o + jnp.mean(k) + jnp.mean(v)).astype(jnp.float32)
+                return (h2 * jax.lax.rsqrt(
+                    jnp.mean(h2 * h2, -1, keepdims=True) + 1e-6)
+                ).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, ITERS, body, x0)
+
+        x0 = jax.random.normal(key, (B, HIDDEN), jnp.bfloat16)
+        timeit("allsizes", run_layer, x0, layer_bytes)
+
+
+if __name__ == "__main__":
+    main()
