@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_matmul import _vmem_limit_bytes
+
 Array = jax.Array
 
 
@@ -53,14 +55,21 @@ def _attn_kernel_i8(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
 
 
 def _attn_kernel_i8_append(q_ref, qs_ref, kn_ref, kns_ref, vn_ref, vns_ref,
-                           k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
-                           scale: float):
+                           k_ref, ks_ref, v_ref, vs_ref, *refs,
+                           scale: float, masked: bool = False):
     """int8 decode attention over a READ-ONLY cache slab plus one fresh
     token per (batch, head) passed separately — the serving shape.  Keeping
     the cache out of the softmax concat means XLA never materializes an
     appended copy of the 30+MB per-layer cache to feed the kernel (the
     round-1 kernel lost end-to-end exactly because pallas_call forced the
-    jnp.concatenate(cache, new) to materialize ~67MB/layer)."""
+    jnp.concatenate(cache, new) to materialize ~67MB/layer).
+    With ``masked``, an extra (hb, 1) int32 per-row length ref gates cache
+    columns (continuous-batching slots of differing fill; the fresh token
+    stays visible even at length 0)."""
+    if masked:
+        len_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     q8 = q_ref[:]                                  # (hb, G, D) int8
     sc32 = jax.lax.dot_general(
         q8, k_ref[:], (((2,), (2,)), ((0,), (0,))),
@@ -68,6 +77,9 @@ def _attn_kernel_i8_append(q_ref, qs_ref, kn_ref, kns_ref, vn_ref, vns_ref,
     qsf = qs_ref[:].astype(jnp.float32)            # (hb, G)
     scf = sc32.astype(jnp.float32) * (qsf[:, :, None] * scale) * \
         ks_ref[:].astype(jnp.float32)[:, None, :]
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 2)
+        scf = jnp.where(col < len_ref[:, 0][:, None, None], scf, -jnp.inf)
     # fresh token: one extra score column, computed in-register
     scn32 = jax.lax.dot_general(
         q8, kn_ref[:], (((2,), (1,)), ((0,), (0,))),
@@ -110,6 +122,7 @@ def decode_attention_i8(
     kns: Optional[Array] = None,     # (B, H) its scale
     v_new: Optional[Array] = None,
     vns: Optional[Array] = None,
+    lengths: Optional[Array] = None,  # (B,) int32 valid cache length/row
     h_block: int = 32,
     interpret: bool = False,
 ) -> Array:
@@ -126,7 +139,8 @@ def decode_attention_i8(
     S = kq.shape[2]
     BH = B * H
     h_block = min(h_block, BH)
-    assert BH % h_block == 0
+    while BH % h_block:  # largest divisor of B*H under the requested slab
+        h_block -= 1
     q8, qs = _quantize_q(q)
     q8 = q8.reshape(BH, G, D)
     qs = qs.reshape(BH, G)
@@ -147,14 +161,22 @@ def decode_attention_i8(
                             memory_space=pltpu.VMEM)
 
     if append:
-        kernel = functools.partial(_attn_kernel_i8_append, scale=D ** -0.5)
-        args = (q8, qs, k_new.reshape(BH, D),
+        masked = lengths is not None
+        kernel = functools.partial(_attn_kernel_i8_append, scale=D ** -0.5,
+                                   masked=masked)
+        args = [q8, qs, k_new.reshape(BH, D),
                 kns.reshape(BH, 1).astype(sdt),
                 v_new.reshape(BH, D), vns.reshape(BH, 1).astype(sdt),
-                kq2, ks2, vq2, vs2)
+                kq2, ks2, vq2, vs2]
         in_specs = [spec3(G, D), spec2(G), spec2(D), spec2(1),
                     spec2(D), spec2(1),
                     spec3(S, D), spec2(S), spec3(S, D), spec2(S)]
+        if masked:
+            args.append(jnp.broadcast_to(
+                lengths.astype(jnp.int32)[:, None], (B, H)
+            ).reshape(BH, 1))
+            in_specs.append(spec2(1))
+        args = tuple(args)
     else:
         kernel = functools.partial(_attn_kernel_i8, scale=D ** -0.5)
         args = (q8, qs, kq2, ks2, vq2, vs2)
@@ -169,7 +191,7 @@ def decode_attention_i8(
         out_specs=spec3(G, D),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * BH * G * S * D,
             bytes_accessed=2 * BH * S * (D + sdt.itemsize),

@@ -24,12 +24,66 @@ import numpy as np
 
 from ..models import arch as A
 from .kv_cache import (KVCache, PagedKVCache, PageAllocator, append_kv,
-                       paged_append_decode, paged_append_prefill, paged_read,
+                       append_kv_quantized, paged_append_decode,
+                       paged_append_prefill, paged_read, quantize_kv,
                        read_kv)
 from .quantized_model import ServingWeights, apply_qlinear
 from .sampler import SamplingParams, sample
 
 Array = jax.Array
+
+
+def _block_apply_decode_i8(
+    sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
+    cache: KVCache, li: int, lengths: Array, interpret: bool = False,
+):
+    """Decode-only block over the int8 slot cache via the Pallas int8-MXU
+    attention kernel (ops/pallas_attention.decode_attention_i8): the cache
+    slab streams as contiguous multi-MB int8 DMA blocks, the fresh token is
+    an in-register extra softmax column (no cache concat/copy), and slot
+    lengths gate the columns in-kernel.  Returns
+    (y, kq, ks, vq, vs) so the caller writes the already-quantized token
+    into the cache without re-quantizing."""
+    from ..ops.pallas_attention import decode_attention_i8
+
+    arch = sw.arch
+    ab = getattr(sw, "act_bits", 16)
+    S = x.shape[0]
+    nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
+    h1 = A.apply_norm(x, entry["ln1"], arch)
+    q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
+    k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
+    v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
+    q = q.reshape(S, 1, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
+    if arch.qk_norm:
+        q = A.rmsnorm(q, entry["q_norm"]["weight"], arch.rms_eps)
+        k = A.rmsnorm(k, entry["k_norm"]["weight"], arch.rms_eps)
+    if cos is not None:
+        q, k = A.apply_rope(q, k, cos, sin)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    # q head h attends kv head h // groups -> (S, nkv, G, hd) grouping
+    qg = q[:, :, 0, :].reshape(S, nkv, nh // nkv, hd)
+    ctx = decode_attention_i8(
+        qg, cache.k[li], cache.k_scale[li], cache.v[li], cache.v_scale[li],
+        kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :], vs[:, :, 0],
+        lengths=lengths, interpret=interpret,
+    )  # (S, nkv, G, hd) f32
+    ctx = ctx.reshape(S, 1, nh * hd).astype(x.dtype)
+    attn_out = apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
+    h = x + attn_out
+    h2 = A.apply_norm(h, entry["ln2"], arch)
+    if arch.family == "llama":
+        g = apply_qlinear(entry["mlp.gate"], h2, act_bits=ab)
+        u = apply_qlinear(entry["mlp.up"], h2, act_bits=ab)
+        mid = jax.nn.silu(g) * u
+        y = h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
+    else:
+        f1 = apply_qlinear(entry["mlp.fc1"], h2, act_bits=ab)
+        y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1), act_bits=ab)
+    return y, kq, ks, vq, vs
 
 
 @dataclasses.dataclass
@@ -95,7 +149,18 @@ class LLMEngine:
         page_size: int = 16,
         n_pages: Optional[int] = None,
         mesh=None,
+        attn_impl: str = "auto",
     ):
+        # decode attention: "pallas" = int8-MXU kernel over the slot cache
+        # (contiguous multi-MB DMA slabs, fresh token in-register);
+        # "xla" = dequant+concat einsum; "pallas_interpret" exercises the
+        # kernel path on CPU (tests).  auto -> pallas on TPU for the
+        # non-paged int8 cache, xla otherwise.
+        if attn_impl == "auto":
+            use = (jax.default_backend() not in ("cpu",) and not paged
+                   and kv_bits == 8 and mesh is None)
+            attn_impl = "pallas" if use else "xla"
+        self.attn_impl = attn_impl
         self.mesh = mesh
         if mesh is not None:
             from .sharding import shard_serving_weights
@@ -233,6 +298,15 @@ class LLMEngine:
         visible = (j < lengths[:, None, None, None]) | (j == T)
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
         for li, entry in enumerate(sw.blocks):
+            if self.attn_impl.startswith("pallas") and not self.paged \
+                    and cache.bits == 8:
+                x, kq, ksn, vq, vsn = _block_apply_decode_i8(
+                    sw, entry, x, cos, sin, cache, li, lengths,
+                    interpret=self.attn_impl == "pallas_interpret",
+                )
+                cache = append_kv_quantized(cache, li, kq, ksn, vq, vsn,
+                                            lengths)
+                continue
             if self.paged:
                 k_full, v_full = paged_read(cache, li)
             else:

@@ -248,3 +248,39 @@ class PageAllocator:
 
     def release(self, pages):
         self.free.extend(int(p) for p in pages if int(p) >= 0)
+
+
+def append_kv_quantized(
+    cache: KVCache, layer: int, kq: Array, ks: Array, vq: Array, vs: Array,
+    lengths: Array,
+) -> KVCache:
+    """append_kv for already-quantized new tokens (the Pallas decode
+    attention path quantizes the fresh token once and reuses the codes for
+    both the in-register attention column and the cache write).
+
+    kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype."""
+    assert cache.bits == 8
+
+    def upd_slot(buf_s, new_s, pos):
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.astype(buf_s.dtype), (0, pos, 0)
+        )
+
+    def upd_scale_slot(buf_s, new_s, pos):
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.astype(buf_s.dtype), (0, pos)
+        )
+
+    k = cache.k.at[layer].set(
+        jax.vmap(upd_slot)(cache.k[layer], kq, lengths)
+    )
+    v = cache.v.at[layer].set(
+        jax.vmap(upd_slot)(cache.v[layer], vq, lengths)
+    )
+    k_scale = cache.k_scale.at[layer].set(
+        jax.vmap(upd_scale_slot)(cache.k_scale[layer], ks, lengths)
+    )
+    v_scale = cache.v_scale.at[layer].set(
+        jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths)
+    )
+    return KVCache(k, v, k_scale, v_scale, 8)

@@ -271,3 +271,28 @@ def test_vocab_parallel_lm_head(tiny_setup):
     shd = shard_serving_weights(sw, mesh)
     spec = shd.lm_head.sharding.spec
     assert spec and spec[0] == "tp", f"lm_head spec: {spec}"
+
+
+def test_engine_pallas_i8_attention_matches_xla(tiny_setup):
+    """Engine decode via the Pallas int8-MXU attention kernel (interpret
+    mode on CPU) tracks the XLA dequant+concat path: same teacher-forced
+    logit correlations (both paths share the int8 cache; the kernel adds
+    only q/probs int8 quantization noise)."""
+    model, sw = tiny_setup
+    eng_k = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,), attn_impl="pallas_interpret")
+    assert eng_k.attn_impl == "pallas_interpret"
+    tokens = [1, 5, 9, 44, 100, 7, 3, 120, 11, 64]
+    corrs = _teacher_forced_corr(model, eng_k, tokens, 5)
+    assert all(c > 0.97 for c in corrs), corrs
+
+    # generation parity vs the XLA engine on greedy decoding
+    eng_k.reset()  # _teacher_forced_corr donated the engine cache
+    eng_x = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,), attn_impl="xla")
+    p = [[3, 17, 9, 2, 100]]
+    gk = eng_k.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    gx = eng_x.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    # tiny random models have near-flat logits; demand most tokens agree
+    agree = sum(a == b for a, b in zip(gk[0], gx[0]))
+    assert agree >= 4, (gk, gx)
