@@ -218,7 +218,8 @@ def qlinear_apply(
     int8-MXU dots) — numerics change (act quant error), throughput gains
     ~35% on the compute-bound bf16 kernel (see pallas_matmul).
     """
-    if use_pallas and qp.bits == 4 and not qp.is_float:
+    if use_pallas and qp.bits == 4 and not qp.is_float \
+            and jax.default_backend() != "cpu":
         try:
             from .pallas_matmul import (
                 s4_matmul_available,

@@ -45,15 +45,40 @@ def _block_apply_decode_i8(
     (y, kq, ks, vq, vs) so the caller writes the already-quantized token
     into the cache without re-quantizing."""
     from ..ops.pallas_attention import decode_attention_i8
+    from ..ops.qlinear import QLinearParams
 
     arch = sw.arch
     ab = getattr(sw, "act_bits", 16)
     S = x.shape[0]
     nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
-    h1 = A.apply_norm(x, entry["ln1"], arch)
-    q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
-    k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
-    v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
+
+    def fused_ok(e):
+        """Fully-fused decode linear available?  (s4 group-pair layout +
+        gamma folded into the weights at build time.)"""
+        return (getattr(sw, "fused_rms", False)
+                and isinstance(e, QLinearParams) and e.bits == 4
+                and getattr(e, "layout", "") == "s4" and ab == 8)
+
+    def flin(e, h2d, with_rms):
+        from ..ops.pallas_matmul import w4a8_linear_bytes_fused
+
+        y = w4a8_linear_bytes_fused(
+            h2d, e.codes, e.scales, e.zeros, group=e.group_size,
+            rms=with_rms, eps=arch.rms_eps, interpret=interpret)
+        if e.bias is not None:
+            y = y + e.bias
+        return y
+
+    x2 = x[:, 0, :]  # (S, H) — decode is single-token
+    if all(fused_ok(entry[n]) for n in ("attn.q", "attn.k", "attn.v")):
+        q = flin(entry["attn.q"], x2, True)[:, None, :]
+        k = flin(entry["attn.k"], x2, True)[:, None, :]
+        v = flin(entry["attn.v"], x2, True)[:, None, :]
+    else:
+        h1 = A.apply_norm(x, entry["ln1"], arch)
+        q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
+        k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
+        v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
     q = q.reshape(S, 1, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
@@ -72,8 +97,17 @@ def _block_apply_decode_i8(
         lengths=lengths, interpret=interpret,
     )  # (S, nkv, G, hd) f32
     ctx = ctx.reshape(S, 1, nh * hd).astype(x.dtype)
-    attn_out = apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
-    h = x + attn_out
+    if fused_ok(entry["attn.o"]):
+        h = x + flin(entry["attn.o"], ctx[:, 0, :], False)[:, None, :]
+    else:
+        h = x + apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
+    if arch.family == "llama" and all(
+            fused_ok(entry[n]) for n in ("mlp.gate", "mlp.up", "mlp.down")):
+        g = flin(entry["mlp.gate"], h[:, 0, :], True)
+        u = flin(entry["mlp.up"], h[:, 0, :], True)
+        mid = jax.nn.silu(g) * u
+        y = h + flin(entry["mlp.down"], mid, False)[:, None, :]
+        return y, kq, ks, vq, vs
     h2 = A.apply_norm(h, entry["ln2"], arch)
     if arch.family == "llama":
         g = apply_qlinear(entry["mlp.gate"], h2, act_bits=ab)
@@ -154,12 +188,13 @@ class LLMEngine:
         # decode attention: "pallas" = int8-MXU kernel over the slot cache
         # (contiguous multi-MB DMA slabs, fresh token in-register);
         # "xla" = dequant+concat einsum; "pallas_interpret" exercises the
-        # kernel path on CPU (tests).  auto -> pallas on TPU for the
-        # non-paged int8 cache, xla otherwise.
+        # kernel path on CPU (tests).  auto -> xla: measured on v5e the
+        # slab kernel reads KV at only ~280 GB/s (Mosaic lowers the
+        # batched 4-row dots poorly) vs ~510 GB/s for XLA's einsum with
+        # fused dequant+concat (tools/attn_i8_kernel_experiments.py) —
+        # the kernel stays as an opt-in for future Mosaic generations.
         if attn_impl == "auto":
-            use = (jax.default_backend() not in ("cpu",) and not paged
-                   and kv_bits == 8 and mesh is None)
-            attn_impl = "pallas" if use else "xla"
+            attn_impl = "xla"
         self.attn_impl = attn_impl
         self.mesh = mesh
         if mesh is not None:

@@ -33,9 +33,19 @@ class ServingWeights:
     wbits: int
     # 16 = W4A16; 8 = W4A8 (per-token dynamic int8 acts on the MXU int8 path)
     act_bits: int = 16
+    # True = RMSNorm gammas were folded into the pre-norm linears' weights
+    # at quantization time (W' = W * gamma[None, :], exact since the fold
+    # happens before quantization) and the stored ln weights are ones.
+    # The plain path stays correct (norm with ones + folded linear); the
+    # fused decode kernel additionally runs the norm+act-quant in-kernel.
+    fused_rms: bool = False
 
     def tree_blocks(self):
         return self.blocks
+
+
+_LN1_LINEARS = ("attn.q", "attn.k", "attn.v", "attn.qkv")
+_LN2_LINEARS = ("mlp.gate", "mlp.up", "mlp.fc1", "mlp.gate_up")
 
 
 def build_serving_weights(
@@ -44,29 +54,46 @@ def build_serving_weights(
     algo=None,
     act_bits: int = 16,
     layout: Optional[str] = None,
+    fused_rms: bool = False,
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
     the algorithm's w_qdq output losslessly re-coded; otherwise direct RTN
-    real-quant of the (transformed) weights."""
+    real-quant of the (transformed) weights.
+
+    ``fused_rms`` folds each pre-norm RMSNorm gamma into its consumer
+    linears BEFORE quantization (exact) and stores ones as the ln weights,
+    enabling the fully-fused decode kernel (norm+quant in-kernel)."""
     arch = model.arch
     params = model.params
+    # rmsnorm-family check mirrors arch.apply_norm's dispatch (arch.py:338)
+    fold = fused_rms and (arch.family == "llama"
+                          or getattr(arch, "norm_type", "") == "rmsnorm")
     blocks_out = []
     for idx in range(model.num_blocks):
         bp = params["blocks"][idx]
         entry: Dict[str, Any] = {}
+        g1 = resolve(bp, "ln1").get("weight") if fold else None
+        g2 = resolve(bp, "ln2").get("weight") if fold else None
         for name in model.get_block_linear_names(idx):
             node = resolve(bp, name)
             w = node["weight"]
             if algo is not None:
                 w = algo.w_qdq(w, idx, name)
+            if fold and name in _LN1_LINEARS and g1 is not None:
+                w = w * g1[None, :].astype(w.dtype)
+            elif fold and name in _LN2_LINEARS and g2 is not None:
+                w = w * g2[None, :].astype(w.dtype)
             qp = quantize_linear(
                 w.astype(jnp.float32), wspec, bias=node.get("bias"),
                 layout=layout or ("planes" if wspec.bit == 4 else "rows"),
             )
             entry[name] = qp
         for ln in ("ln1", "ln2"):
-            entry[ln] = {k: v for k, v in resolve(bp, ln).items()}
+            lnp = {k: v for k, v in resolve(bp, ln).items()}
+            if fold and "weight" in lnp:
+                lnp["weight"] = jnp.ones_like(lnp["weight"])
+            entry[ln] = lnp
         if arch.qk_norm:
             entry["q_norm"] = dict(bp["attn"]["q_norm"])
             entry["k_norm"] = dict(bp["attn"]["k_norm"])
@@ -86,6 +113,7 @@ def build_serving_weights(
         blocks=blocks_out,
         wbits=wspec.bit if isinstance(wspec.bit, int) else 8,
         act_bits=act_bits,
+        fused_rms=fold,
     )
 
 

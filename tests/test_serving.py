@@ -296,3 +296,25 @@ def test_engine_pallas_i8_attention_matches_xla(tiny_setup):
     # tiny random models have near-flat logits; demand most tokens agree
     agree = sum(a == b for a, b in zip(gk[0], gx[0]))
     assert agree >= 4, (gk, gx)
+
+
+def test_engine_fused_rms_s4_decode():
+    """fused_rms build: RMSNorm gammas folded into pre-norm linears (ln
+    weights become ones), decode runs the fully-fused s4 kernel (in-kernel
+    norm + act quant) + Pallas int8 attention — tracks the reference
+    model's logits on CPU interpret."""
+    model = make_tiny_adapter(seed=81, vocab=128, hidden=512, inter=1024,
+                              layers=2, heads=4, kv_heads=2)
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=128)
+    sw = build_serving_weights(model, wspec, act_bits=8, layout="s4",
+                               fused_rms=True)
+    assert sw.fused_rms
+    assert sw.blocks[0]["attn.q"].layout == "s4"
+    assert bool(jnp.all(sw.blocks[0]["ln1"]["weight"] == 1.0))
+    engine = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                       prefill_buckets=(16,), attn_impl="pallas_interpret")
+    tokens = [1, 5, 9, 44, 100, 7, 3, 120, 11, 64]
+    corrs = _teacher_forced_corr(model, engine, tokens, 5)
+    # W4 g128 + A8 + int8 KV on a random tiny model: noisy but correlated
+    assert all(c > 0.9 for c in corrs), corrs

@@ -38,6 +38,17 @@ B = 32
 ITERS = 100
 
 
+
+def fold(y, ic):
+    """Fold (B, oc) f32 back to (B, ic) to chain mismatched widths."""
+    B, oc = y.shape
+    if oc >= ic:
+        m = oc // ic
+        return y[:, :m * ic].reshape(B, m, ic).mean(1)
+    reps = -(-ic // oc)
+    return jnp.tile(y, (1, reps))[:, :ic]
+
+
 def mk(key, oc, ic):
     codes = jax.random.randint(key, (oc, ic), 0, 16, jnp.int32)
     nt = pick_n_tile(oc, ic // 8, GROUP)
@@ -95,9 +106,7 @@ def main():
                 y = one(nm, h)
                 # fold back to input width with a cheap reduce (keeps the
                 # chain dependent without a second matmul)
-                y = y.astype(jnp.float32)
-                rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
-                    else jnp.tile(y, (1, ic // y.shape[1]))
+                rep = fold(y.astype(jnp.float32), ic)
                 return (rep * jax.lax.rsqrt(
                     jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
                 ).astype(jnp.bfloat16)
@@ -158,9 +167,7 @@ def main():
                 def body(i, h):
                     hq, hs = quantize_act_per_token(h)
                     y = w4a8_matmul_bytes(hq, hs, wb, sr, zsr, group=GROUP)
-                    y = y.astype(jnp.float32)
-                    rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
-                        else jnp.tile(y, (1, ic // y.shape[1]))
+                    rep = fold(y.astype(jnp.float32), ic)
                     return (rep * jax.lax.rsqrt(
                         jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
                     ).astype(jnp.bfloat16)
@@ -179,9 +186,7 @@ def main():
                 def body(i, h):
                     y = w4a8_linear_bytes_fused(h, wb, sr, zsr, group=GROUP,
                                                 rms=True)
-                    y = y.astype(jnp.float32)
-                    rep = y.reshape(B, -1, ic).mean(1) if y.shape[1] >= ic \
-                        else jnp.tile(y, (1, ic // y.shape[1]))
+                    rep = fold(y.astype(jnp.float32), ic)
                     return rep.astype(jnp.bfloat16)
                 return jax.lax.fori_loop(0, ITERS, body, x0)
 
