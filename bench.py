@@ -51,12 +51,12 @@ if SCALES == "raw":
 # (w4a8_matmul_bytes: int8 HBM stream at the DMA floor, ~1 VPU op/elem
 # unpack vs the plane kernel's shift+mask ~2.5 ops which caps it ~450GB/s)
 WLAYOUT = os.environ.get("BENCH_WLAYOUT", "planes")
-# 1 -> fully-fused decode linears (s4 layout only): RMSNorm + per-token
-# int8 act quant in-kernel at grid step 0, per-token rescale epilogue —
-# removes all XLA glue ops between kernel launches
+# 1 -> fully-fused decode linears: RMSNorm + per-token int8 act quant
+# in-kernel at grid step 0, per-token rescale epilogue — removes all XLA
+# glue ops between kernel launches.  Works with WLAYOUT=planes (proven
+# int32 plane unpack; the s4/bytes kernels crash this Mosaic toolchain —
+# int8 shifts, tools/pairs_compile_probe.py).
 FUSEDLIN = os.environ.get("BENCH_FUSEDLIN", "0") == "1"
-if FUSEDLIN:
-    WLAYOUT = "s4"
 
 
 # Llama-3-8B block shapes
@@ -149,7 +149,7 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
 
     if FUSEDLIN:
         from lightcompress_tpu.ops.pallas_matmul import (
-            w4a8_linear_bytes_fused,
+            w4a8_linear_bytes_fused, w4a8_linear_planes_fused,
         )
 
     def rms(t):
@@ -160,7 +160,9 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
         runs norm+act-quant+rescale inside the kernel; otherwise they are
         XLA ops (identical HLO to the original h1-shared form via CSE)."""
         if FUSEDLIN:
-            return w4a8_linear_bytes_fused(
+            fused = (w4a8_linear_bytes_fused if qp.layout == "s4"
+                     else w4a8_linear_planes_fused)
+            return fused(
                 h, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
                 rms=with_rms)
         hh = rms(h) if with_rms else h
@@ -169,8 +171,7 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
     B = x.shape[0]
     for li, lw in enumerate(layers):
         if FUSED:
-            h1 = rms(x)
-            qkv = qlinear_apply(h1, lw["qkv"])
+            qkv = lin(x, lw["qkv"], True)
             nq = N_HEADS * HEAD_DIM
             nkv = N_KV * HEAD_DIM
             q = qkv[:, :nq].reshape(B, N_HEADS, 1, HEAD_DIM)
@@ -283,8 +284,7 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
         x = x + lin(ctx, lw["o"])
         if FUSED:
-            h2 = rms(x)
-            gu = qlinear_apply(h2, lw["gateup"])
+            gu = lin(x, lw["gateup"], True)
             g, u = gu[:, :INTER], gu[:, INTER:]
         else:
             g = lin(x, lw["gate"], True)

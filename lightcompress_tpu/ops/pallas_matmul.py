@@ -877,3 +877,122 @@ def w4a8_linear_bytes_fused(
         ),
     )(x, wb, scales, zs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused-prologue PLANES kernel: the proven int32 plane-unpack body (int8
+# shifts crash this Mosaic toolchain — tools/pairs_compile_probe.py — so
+# the byte-pair layout is dead on it) with the RMSNorm + per-token int8
+# act-quant prologue computed in-kernel at grid step 0 and the per-token
+# rescale epilogue.  Removes every XLA glue op between kernel launches.
+# x arrives in NATURAL K order: plane j / group-in-plane gi covers the
+# contiguous x slice at (j * gpp + gi) * group (no reorder — the offset
+# arithmetic replaces it); the zero-correction dot transposes the TINY
+# (B, G) xsum instead of the scale tiles.
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_kernel_fullk_fused(x_ref, wp_ref, s_ref, zs_ref, o_ref,
+                             xq_scr, xs_scr, xsum_scr, *,
+                             group: int, gpp: int, rms: bool, eps: float):
+    b, nt = o_ref.shape
+    K = x_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        if rms:
+            xf = xf * jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+        xq_scr[:] = q
+        xs_scr[:] = sc
+        # natural-order group sums, then (b, 8, gpp) -> (b, gpp*8) in the
+        # scale tiles' (gi, j) row order — transposing the tiny xsum
+        # replaces the old (B, K) activation reorder
+        xs2 = jnp.sum(q.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3)
+        xsum_scr[:] = xs2.transpose(0, 2, 1).reshape(
+            b, gpp * 8).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = xq_scr[:, pl.ds((j * gpp + gi) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                s_ref[gi, 0, j, :][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt).astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum_scr[:], zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+    o_ref[:] = (acc * xs_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "rms", "eps", "interpret"))
+def w4a8_linear_planes_fused(
+    x: Array,            # (B, K) bf16/f32, natural order, UN-normalized
+    wp: Array,           # (N/NT, gpp, NT, group) int32 (tile_packed)
+    scales: Array,       # (gpp, N/NT, 8, NT) pre-tiled (tile_scales)
+    zs: Array,           # (gpp, N/NT, 8, NT), zeros premultiplied
+    group: int = 128,
+    rms: bool = False,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """Fully-fused decode linear on the plane-packed serving layout:
+    [RMSNorm ->] per-token int8 quant -> W4 int8 matmul -> rescale, one
+    pallas_call, output in x.dtype.  RMSNorm gamma must be pre-folded into
+    the quantized weights (exact — fold happens before quantization)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = x.shape
+    n_blocks, gpp, n_tile, gw = wp.shape
+    assert gw == group and gpp * group * 8 == K
+    N = n_blocks * n_tile
+    G = K // group
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_fullk_fused, group=group, gpp=gpp,
+                          rms=rms, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpp, n_tile, group), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, K), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, G), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2
+            + 2 * N * G * scales.dtype.itemsize + B * K * 2,
+            transcendentals=0,
+        ),
+    )(x, wp, scales, zs)
+    return out

@@ -53,16 +53,23 @@ def _block_apply_decode_i8(
     nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
 
     def fused_ok(e):
-        """Fully-fused decode linear available?  (s4 group-pair layout +
-        gamma folded into the weights at build time.)"""
-        return (getattr(sw, "fused_rms", False)
+        """Fully-fused decode linear available?  (pre-tiled serving layout
+        + gamma folded into the weights at build time.)"""
+        if not (getattr(sw, "fused_rms", False)
                 and isinstance(e, QLinearParams) and e.bits == 4
-                and getattr(e, "layout", "") == "s4" and ab == 8)
+                and e.zeros is not None and ab == 8):
+            return False
+        lay = getattr(e, "layout", "")
+        return ((lay == "s4" and e.codes.ndim == 3)
+                or (lay == "planes" and e.codes.ndim == 4))
 
     def flin(e, h2d, with_rms):
-        from ..ops.pallas_matmul import w4a8_linear_bytes_fused
+        from ..ops.pallas_matmul import (w4a8_linear_bytes_fused,
+                                         w4a8_linear_planes_fused)
 
-        y = w4a8_linear_bytes_fused(
+        fused = (w4a8_linear_bytes_fused if e.layout == "s4"
+                 else w4a8_linear_planes_fused)
+        y = fused(
             h2d, e.codes, e.scales, e.zeros, group=e.group_size,
             rms=with_rms, eps=arch.rms_eps, interpret=interpret)
         if e.bias is not None:

@@ -350,3 +350,38 @@ def test_w4a8_bytes_fused_prologue():
         rel = float(jnp.linalg.norm(y.astype(jnp.float32) - ref)
                     / jnp.linalg.norm(ref))
         assert rel < 1e-5, (rms, rel)
+
+
+def test_w4a8_planes_fused_prologue():
+    """Fused-prologue PLANES kernel (natural-order x, in-kernel RMSNorm +
+    act quant + rescale) matches the XLA-glue + plain kernel pipeline."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_int4_planes, quantize_act_per_token, tile_packed, tile_scales,
+        w4a8_linear_planes_fused,
+    )
+
+    rng = np.random.RandomState(11)
+    B, N, K, g = 8, 256, 2048, 128
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    s = jnp.asarray(rng.rand(N, K // g).astype(np.float32) * 0.01 + 0.004)
+    z = jnp.asarray(np.round(rng.rand(N, K // g) * 8 + 4).astype(np.float32))
+    nt = 128
+    gpp = K // 8 // g
+    wp = tile_packed(pack_int4_planes(codes), nt, g)
+    sr = tile_scales(s, nt, gpp)
+    zsr = tile_scales(z * s, nt, gpp)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+    wdq = (codes.astype(jnp.float32)
+           - jnp.repeat(z, g, 1)) * jnp.repeat(s, g, 1)
+    for rms in (False, True):
+        xf = x
+        if rms:
+            xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                                    + 1e-6)
+        xq, xs = quantize_act_per_token(xf)
+        ref = (xq.astype(jnp.float32) @ wdq.T) * xs
+        y = w4a8_linear_planes_fused(x, wp, sr, zsr, group=g, rms=rms,
+                                     interpret=True)
+        rel = float(jnp.linalg.norm(y.astype(jnp.float32) - ref)
+                    / jnp.linalg.norm(ref))
+        assert rel < 1e-5, (rms, rel)

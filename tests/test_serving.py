@@ -318,3 +318,24 @@ def test_engine_fused_rms_s4_decode():
     corrs = _teacher_forced_corr(model, engine, tokens, 5)
     # W4 g128 + A8 + int8 KV on a random tiny model: noisy but correlated
     assert all(c > 0.9 for c in corrs), corrs
+
+
+def test_engine_fused_rms_planes_decode():
+    """fused_rms on the PLANES layout (the production serving layout — the
+    byte/s4 kernels crash the current Mosaic toolchain): fully-fused decode
+    linears + Pallas attention on CPU interpret track the reference."""
+    # hidden >= 1024: the tiled planes layout needs K % (8 * 128) == 0
+    model = make_tiny_adapter(seed=82, vocab=128, hidden=1024, inter=2048,
+                              layers=2, heads=4, kv_heads=2)
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=128)
+    sw = build_serving_weights(model, wspec, act_bits=8, layout="planes",
+                               fused_rms=True)
+    assert sw.fused_rms
+    assert sw.blocks[0]["attn.q"].layout == "planes"
+    assert sw.blocks[0]["attn.q"].codes.ndim == 4
+    engine = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                       prefill_buckets=(16,), attn_impl="pallas_interpret")
+    tokens = [1, 5, 9, 44, 100, 7, 3, 120, 11, 64]
+    corrs = _teacher_forced_corr(model, engine, tokens, 5)
+    assert all(c > 0.9 for c in corrs), corrs

@@ -100,12 +100,16 @@ def main():
             continue
         oc, ic = shapes[nm]
 
+        wp, sr, zsr, nt = weights[nm]
+
+        # weights as jit ARGS: closure constants are re-shipped per call
+        # through the axon tunnel and poison the timing (r1 commit c906997)
         @jax.jit
-        def run(x0, nm=nm, ic=ic):
+        def run(wp, sr, zsr, x0, nm=nm, ic=ic, nt=nt):
             def body(i, h):
-                y = one(nm, h)
-                # fold back to input width with a cheap reduce (keeps the
-                # chain dependent without a second matmul)
+                hq, hs = quantize_act_per_token(h)
+                y = w4a8_matmul_planes(hq, hs, wp, sr, zsr, group=GROUP,
+                                       n_tile=nt)
                 rep = fold(y.astype(jnp.float32), ic)
                 return (rep * jax.lax.rsqrt(
                     jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
@@ -113,7 +117,8 @@ def main():
             return jax.lax.fori_loop(0, ITERS, body, x0)
 
         x0 = jax.random.normal(key, (B, ic), jnp.bfloat16)
-        timeit(nm, run, x0, nbytes[nm])
+        timeit(nm, lambda a, wp=wp, sr=sr, zsr=zsr: run(wp, sr, zsr, a),
+               x0, nbytes[nm])
 
     # --- no-quant variants: pre-quantized int8 acts, no glue in the chain
     for nm in ("q_nq", "kv_nq", "gate_nq", "down_nq"):
@@ -126,14 +131,15 @@ def main():
         xs0 = jnp.full((B, 1), 0.01, jnp.float32)
 
         @jax.jit
-        def run_nq(c0, wp=wp, sr=sr, zsr=zsr, nt=nt, xq0=xq0, xs0=xs0):
+        def run_nq(wp, sr, zsr, xq0, xs0, c0, nt=nt):
             def body(i, c):
                 y = w4a8_matmul_planes(xq0, xs0 + c, wp, sr, zsr,
                                        group=GROUP, n_tile=nt)
                 return jnp.max(y) * 1e-9
             return jax.lax.fori_loop(0, ITERS, body, c0)
 
-        timeit(nm, run_nq, jnp.float32(0.0), nbytes[base])
+        timeit(nm, lambda c, w=(wp, sr, zsr, xq0, xs0): run_nq(*w, c),
+               jnp.float32(0.0), nbytes[base])
 
     # --- bytes-kernel variants (in-kernel bitcast unpack) + fused prologue
     from lightcompress_tpu.ops.pallas_matmul import (
@@ -163,7 +169,7 @@ def main():
             wb, sr, zsr = bw[nm]
 
             @jax.jit
-            def run_b(x0, nm=nm, ic=ic, wb=wb, sr=sr, zsr=zsr):
+            def run_b(wb, sr, zsr, x0, ic=ic):
                 def body(i, h):
                     hq, hs = quantize_act_per_token(h)
                     y = w4a8_matmul_bytes(hq, hs, wb, sr, zsr, group=GROUP)
@@ -174,7 +180,8 @@ def main():
                 return jax.lax.fori_loop(0, ITERS, body, x0)
 
             x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
-            timeit(f"{nm}_b", run_b, x0, bnb[nm])
+            timeit(f"{nm}_b",
+                   lambda a, w=(wb, sr, zsr): run_b(*w, a), x0, bnb[nm])
 
         # *_f: fully-fused bytes kernel (in-kernel rms+quant, bf16 out)
         if f"{nm}_f" in sizes:
@@ -182,7 +189,7 @@ def main():
             wb, sr, zsr = bw[nm]
 
             @jax.jit
-            def run_f(x0, nm=nm, ic=ic, wb=wb, sr=sr, zsr=zsr):
+            def run_f(wb, sr, zsr, x0, ic=ic):
                 def body(i, h):
                     y = w4a8_linear_bytes_fused(h, wb, sr, zsr, group=GROUP,
                                                 rms=True)
@@ -191,7 +198,8 @@ def main():
                 return jax.lax.fori_loop(0, ITERS, body, x0)
 
             x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
-            timeit(f"{nm}_f", run_f, x0, bnb[nm])
+            timeit(f"{nm}_f",
+                   lambda a, w=(wb, sr, zsr): run_f(*w, a), x0, bnb[nm])
 
     # --- full layer (7 linears) — should reproduce bench_split's 453
     if "allsizes" in sizes:
