@@ -400,20 +400,34 @@ def main():
         _ = float(jnp.sum(out))  # forces real completion
         dt = (time.time() - t0) / n_iters
     else:
-        def many(layers, x, k_cache, v_cache, kv_scales):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def step(layers, x, k_cache, v_cache, kv_scales, iters):
             def body(i, xx):
                 y = decode_step(layers, xx, k_cache, v_cache, kv_scales)
                 return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
 
-            return jax.lax.fori_loop(0, n_iters, body, x)
+            return jax.lax.fori_loop(0, iters, body, x)
 
-        step = jax.jit(many)
-        out = step(layers, x, k_cache, v_cache, kv_scales)
-        _ = float(jnp.sum(out))  # compile + drain
+        # iter-count differencing: the axon tunnel adds ~20-30ms FIXED
+        # latency per execute (measured, tools/stack_gap_experiments.py)
+        # which would tax a single 20-iter run ~10%; marginal per-step
+        # time = (t_100 - t_20) / 80 cancels it exactly.
+        n_hi = 5 * n_iters
+        out = step(layers, x, k_cache, v_cache, kv_scales, iters=n_iters)
+        _ = float(jnp.sum(out))  # compile lo
+        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_hi)
+        _ = float(jnp.sum(out))  # compile hi + drain
         t0 = time.time()
-        out = step(layers, out, k_cache, v_cache, kv_scales)
-        _ = float(jnp.sum(out))  # forces real completion
-        dt = (time.time() - t0) / n_iters
+        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_iters)
+        _ = float(jnp.sum(out))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_hi)
+        _ = float(jnp.sum(out))
+        t_hi = time.time() - t0
+        dt = (t_hi - t_lo) / (n_hi - n_iters)
     tokens_per_s = BATCH / dt
 
     # roofline: bytes read per decode step

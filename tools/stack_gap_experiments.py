@@ -15,6 +15,7 @@ one full layer's 7 linears (sanity vs bench_split's 453).
 SIZES env filters, e.g. SIZES=q,kv,gate,down,gate_nq,allsizes.
 """
 
+import functools
 import json
 import os
 import sys
@@ -35,7 +36,8 @@ from lightcompress_tpu.ops.pallas_matmul import (
 HIDDEN, INTER = 4096, 14336
 GROUP = 128
 B = 32
-ITERS = 100
+ITERS = 100          # low iter count
+ITERS_HI = 500       # high count: marginal = (t_hi - t_lo) / (HI - LO)
 
 
 
@@ -63,16 +65,27 @@ def mk(key, oc, ic):
 
 
 def timeit(label, run, x0, nbytes_per_iter):
+    """Marginal per-iteration time via iter-count differencing: the axon
+    tunnel adds ~20-30ms FIXED latency per execute, which swamps a chain of
+    one cheap kernel (tools/dma_experiments6.py protocol)."""
     try:
-        out = run(x0)
-        float(jnp.sum(out.astype(jnp.float32)))
+        out = run(x0, ITERS)
+        float(jnp.sum(out.astype(jnp.float32)))       # compile lo
+        out = run(x0, ITERS_HI)
+        float(jnp.sum(out.astype(jnp.float32)))       # compile hi + drain
         t0 = time.perf_counter()
-        out = run(out)
+        out = run(out, ITERS)
         float(jnp.sum(out.astype(jnp.float32)))
-        per = (time.perf_counter() - t0) / ITERS
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = run(out, ITERS_HI)
+        float(jnp.sum(out.astype(jnp.float32)))
+        t_hi = time.perf_counter() - t0
+        per = (t_hi - t_lo) / (ITERS_HI - ITERS)
         print(json.dumps({
             "size": label, "us": round(per * 1e6, 1),
-            "GBps": round(nbytes_per_iter / per / 1e9, 1)}), flush=True)
+            "GBps": round(nbytes_per_iter / per / 1e9, 1),
+            "fixed_ms": round((t_lo - per * ITERS) * 1e3, 1)}), flush=True)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"size": label, "error": str(e)[:300]}), flush=True)
 
@@ -104,8 +117,8 @@ def main():
 
         # weights as jit ARGS: closure constants are re-shipped per call
         # through the axon tunnel and poison the timing (r1 commit c906997)
-        @jax.jit
-        def run(wp, sr, zsr, x0, nm=nm, ic=ic, nt=nt):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def run(wp, sr, zsr, x0, iters, nm=nm, ic=ic, nt=nt):
             def body(i, h):
                 hq, hs = quantize_act_per_token(h)
                 y = w4a8_matmul_planes(hq, hs, wp, sr, zsr, group=GROUP,
@@ -114,11 +127,11 @@ def main():
                 return (rep * jax.lax.rsqrt(
                     jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
                 ).astype(jnp.bfloat16)
-            return jax.lax.fori_loop(0, ITERS, body, x0)
+            return jax.lax.fori_loop(0, iters, body, x0)
 
         x0 = jax.random.normal(key, (B, ic), jnp.bfloat16)
-        timeit(nm, lambda a, wp=wp, sr=sr, zsr=zsr: run(wp, sr, zsr, a),
-               x0, nbytes[nm])
+        timeit(nm, lambda a, it, wp=wp, sr=sr, zsr=zsr:
+               run(wp, sr, zsr, a, iters=it), x0, nbytes[nm])
 
     # --- no-quant variants: pre-quantized int8 acts, no glue in the chain
     for nm in ("q_nq", "kv_nq", "gate_nq", "down_nq"):
@@ -130,16 +143,16 @@ def main():
         xq0 = jnp.ones((B, ic), jnp.int8)
         xs0 = jnp.full((B, 1), 0.01, jnp.float32)
 
-        @jax.jit
-        def run_nq(wp, sr, zsr, xq0, xs0, c0, nt=nt):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def run_nq(wp, sr, zsr, xq0, xs0, c0, iters, nt=nt):
             def body(i, c):
                 y = w4a8_matmul_planes(xq0, xs0 + c, wp, sr, zsr,
                                        group=GROUP, n_tile=nt)
                 return jnp.max(y) * 1e-9
-            return jax.lax.fori_loop(0, ITERS, body, c0)
+            return jax.lax.fori_loop(0, iters, body, c0)
 
-        timeit(nm, lambda c, w=(wp, sr, zsr, xq0, xs0): run_nq(*w, c),
-               jnp.float32(0.0), nbytes[base])
+        timeit(nm, lambda c, it, w=(wp, sr, zsr, xq0, xs0):
+               run_nq(*w, c, iters=it), jnp.float32(0.0), nbytes[base])
 
     # --- bytes-kernel variants (in-kernel bitcast unpack) + fused prologue
     from lightcompress_tpu.ops.pallas_matmul import (
@@ -168,8 +181,8 @@ def main():
             oc, ic = shapes[nm]
             wb, sr, zsr = bw[nm]
 
-            @jax.jit
-            def run_b(wb, sr, zsr, x0, ic=ic):
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def run_b(wb, sr, zsr, x0, iters, ic=ic):
                 def body(i, h):
                     hq, hs = quantize_act_per_token(h)
                     y = w4a8_matmul_bytes(hq, hs, wb, sr, zsr, group=GROUP)
@@ -177,29 +190,34 @@ def main():
                     return (rep * jax.lax.rsqrt(
                         jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
                     ).astype(jnp.bfloat16)
-                return jax.lax.fori_loop(0, ITERS, body, x0)
+                return jax.lax.fori_loop(0, iters, body, x0)
 
             x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
-            timeit(f"{nm}_b",
-                   lambda a, w=(wb, sr, zsr): run_b(*w, a), x0, bnb[nm])
+            timeit(f"{nm}_b", lambda a, it, w=(wb, sr, zsr):
+                   run_b(*w, a, iters=it), x0, bnb[nm])
 
         # *_f: fully-fused bytes kernel (in-kernel rms+quant, bf16 out)
         if f"{nm}_f" in sizes:
             oc, ic = shapes[nm]
             wb, sr, zsr = bw[nm]
 
-            @jax.jit
-            def run_f(wb, sr, zsr, x0, ic=ic):
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def run_f(wp_, sr_, zsr_, x0, iters, ic=ic, nm=nm):
+                from lightcompress_tpu.ops.pallas_matmul import (
+                    w4a8_linear_planes_fused,
+                )
+
                 def body(i, h):
-                    y = w4a8_linear_bytes_fused(h, wb, sr, zsr, group=GROUP,
-                                                rms=True)
+                    y = w4a8_linear_planes_fused(h, wp_, sr_, zsr_,
+                                                 group=GROUP, rms=True)
                     rep = fold(y.astype(jnp.float32), ic)
                     return rep.astype(jnp.bfloat16)
-                return jax.lax.fori_loop(0, ITERS, body, x0)
+                return jax.lax.fori_loop(0, iters, body, x0)
 
+            wpp, srp, zsrp, _ = weights[nm]
             x0 = jax.random.normal(key, (B, shapes[nm][1]), jnp.bfloat16)
-            timeit(f"{nm}_f",
-                   lambda a, w=(wb, sr, zsr): run_f(*w, a), x0, bnb[nm])
+            timeit(f"{nm}_f", lambda a, it, w=(wpp, srp, zsrp):
+                   run_f(*w, a, iters=it), x0, nbytes[nm])
 
     # --- full layer (7 linears) — should reproduce bench_split's 453
     if "allsizes" in sizes:
