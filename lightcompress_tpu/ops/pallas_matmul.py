@@ -909,12 +909,14 @@ def _w4a8_kernel_fullk_fused(x_ref, wp_ref, s_ref, zs_ref, o_ref,
         q = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
         xq_scr[:] = q
         xs_scr[:] = sc
-        # natural-order group sums, then (b, 8, gpp) -> (b, gpp*8) in the
-        # scale tiles' (gi, j) row order — transposing the tiny xsum
-        # replaces the old (B, K) activation reorder
-        xs2 = jnp.sum(q.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3)
-        xsum_scr[:] = xs2.transpose(0, 2, 1).reshape(
-            b, gpp * 8).astype(jnp.float32)
+        # group sums in NATURAL K order (g = j * gpp + gi): a plain
+        # reshape+sum.  (An in-kernel (b, 8, gpp) transpose crashes this
+        # Mosaic toolchain at gpp > 1 — tools/fused_compile_probe.py — so
+        # the correction below runs as 8 per-plane dots against the
+        # (gi, j)-ordered zs tiles instead of one reordered dot.)
+        xsum_scr[:] = jnp.sum(
+            q.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+        ).astype(jnp.float32)
 
     def gi_body(gi, accs):
         wpb = wp_ref[0, gi]
@@ -932,11 +934,13 @@ def _w4a8_kernel_fullk_fused(x_ref, wp_ref, s_ref, zs_ref, o_ref,
     accs = jax.lax.fori_loop(
         0, gpp, gi_body,
         tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
-    zsb = zs_ref[:, 0].reshape(gpp * 8, nt).astype(jnp.float32)
-    corr = jax.lax.dot_general(
-        xsum_scr[:], zsb, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    acc = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+    acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
+    for j in range(8):
+        xs_j = xsum_scr[:, j * gpp:(j + 1) * gpp]          # (b, gpp)
+        zs_j = zs_ref[:, 0, j, :].astype(jnp.float32)      # (gpp, nt)
+        acc = acc - jax.lax.dot_general(
+            xs_j, zs_j, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     o_ref[:] = (acc * xs_scr[:]).astype(o_ref.dtype)
 
 
