@@ -24,7 +24,10 @@ import numpy as np
 ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", "8"))
 # 8 -> int8 quantized KV cache (serving default); 16 -> bf16 KV
 KV_BITS = int(os.environ.get("BENCH_KV_BITS", "8"))
-# xla -> einsum attention; pallas -> ops.pallas_attention decode kernel
+# xla -> einsum attention; pallas -> ops.pallas_attention decode kernel;
+# bd -> block-diagonal GQA kernel (full-size int8 MXU dots over
+# feature-major K / time-major V slabs, read-only cache + flash-decoding
+# merge of the fresh token — no concat materialization)
 ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
 # concat -> per-step jnp.concatenate of cache+new (XLA fuses the concat
 # into the attention consumers — no copy materializes; FASTEST measured:
@@ -193,6 +196,30 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                                  -127, 127).astype(jnp.int8), sc[..., 0])
             k8, ksn = q8(k)
             v8, vsn = q8(v)
+            if ATTN_IMPL == "bd":
+                # block-diagonal kernel: read-only feature-major caches,
+                # fresh token merged flash-decoding style in XLA
+                from lightcompress_tpu.ops.pallas_attention import (
+                    bd_merge_new_token, decode_attention_bd,
+                )
+
+                kt, vt = k_cache[li], v_cache[li]  # (B,HD,S), (B,S,HD)
+                ks_, vs_ = kv_scales[li]
+                qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+                qctx = decode_attention_bd(qg, kt, ks_, vt, vs_)
+                ctx = bd_merge_new_token(
+                    qg, qctx, k8[:, :, 0, :], v8[:, :, 0, :],
+                    ksn[..., 0], vsn[..., 0], HEAD_DIM ** -0.5)
+                ctx = ctx.reshape(B, -1).astype(x.dtype)
+                x = x + lin(ctx, lw["o"])
+                if FUSED:
+                    gu = lin(x, lw["gateup"], True)
+                    g_, u_ = gu[:, :INTER], gu[:, INTER:]
+                else:
+                    g_ = lin(x, lw["gate"], True)
+                    u_ = lin(x, lw["up"], True)
+                x = x + lin(jax.nn.silu(g_) * u_, lw["down"])
+                continue
             if ATTN_IMPL == "i8app":
                 # read-only cache + fresh token as an in-register extra
                 # softmax column inside the kernel: no concat anywhere, so
@@ -350,12 +377,25 @@ def main():
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
     kv_dt = jnp.int8 if KV_BITS == 8 else jnp.bfloat16
-    k_cache = [
-        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt) for _ in range(LAYERS)
-    ]
-    v_cache = [
-        jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt) for _ in range(LAYERS)
-    ]
+    if ATTN_IMPL == "bd":
+        # feature-major K / time-major V slabs for the block-diagonal kernel
+        k_cache = [
+            jnp.zeros((BATCH, N_KV * HEAD_DIM, CTX), kv_dt)
+            for _ in range(LAYERS)
+        ]
+        v_cache = [
+            jnp.zeros((BATCH, CTX, N_KV * HEAD_DIM), kv_dt)
+            for _ in range(LAYERS)
+        ]
+    else:
+        k_cache = [
+            jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt)
+            for _ in range(LAYERS)
+        ]
+        v_cache = [
+            jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt)
+            for _ in range(LAYERS)
+        ]
     # bf16 KV scales (serving kv_cache default): halves the scale stream
     kv_scales = [
         (jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16),

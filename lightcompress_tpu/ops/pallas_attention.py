@@ -201,6 +201,154 @@ def decode_attention_i8(
     return out.reshape(B, H, G, D)
 
 
+def _attn_kernel_bd(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                    o_ref, m_ref, d_ref, *, n_heads: int, group: int,
+                    scale: float):
+    """Block-diagonal GQA decode attention over one (bb, ...) batch slab.
+
+    The twice-measured failure of Pallas decode attention on this toolchain
+    is Mosaic's lowering of the G=4-row (GQA group) dots — batched or not,
+    they run ~2x slower than the XLA einsum.  This kernel removes small dots
+    entirely: the query arrives as a *block-diagonal* int8 matrix
+    ``q_bd (HG=H*G, H*D)`` whose rows h*G+g carry q[h, g] in columns
+    h*D..(h+1)*D and zeros elsewhere, and the K cache is stored
+    feature-major ``(H*D, S)`` so scores for ALL heads of one batch element
+    are ONE full-size int8 MXU dot:
+
+        scores = q_bd @ k_slab            # (HG, S) int32
+
+    Row h*G+g of the product touches only k columns of head h — exact GQA
+    scores with zero wasted correctness (the MXU idles at decode anyway, so
+    the 8x zero-block FLOPs are free).  PV is the mirror image: probs
+    (HG, S) @ v_slab (S, H*D) computes all heads at once; each output row
+    keeps only its own head's D-column block.
+
+    Outputs are *unnormalized* (plus per-row softmax max ``m`` and denom
+    ``d``) so the caller can merge the fresh decode token's contribution in
+    XLA (flash-decoding style) — the cache stays read-only and nothing ever
+    materializes an appended copy to feed the kernel.
+    """
+    H, G = n_heads, group
+    bb = q_ref.shape[0]
+    for b in range(bb):
+        sc32 = jax.lax.dot_general(
+            q_ref[b], k_ref[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (HG, S)
+        scf = sc32.astype(jnp.float32) * \
+            (qs_ref[b, :, 0].astype(jnp.float32)[:, None] * scale)
+        # per-head K scale over this head's 4-row block (static slices)
+        ksf = ks_ref[b].astype(jnp.float32)                # (H, S)
+        scf = jnp.concatenate(
+            [scf[h * G:(h + 1) * G] * ksf[h][None, :] for h in range(H)], 0)
+        m = jnp.max(scf, axis=-1, keepdims=True)           # (HG, 1)
+        e = jnp.exp(scf - m)
+        denom = jnp.sum(e, axis=-1)                        # (HG,)
+        vsf = vs_ref[b].astype(jnp.float32)                # (H, S)
+        pv = jnp.concatenate(
+            [e[h * G:(h + 1) * G] * vsf[h][None, :] for h in range(H)], 0)
+        ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+        p8 = jnp.round(pv / ps).astype(jnp.int8)
+        ctx32 = jax.lax.dot_general(
+            p8, v_ref[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (HG, H*D)
+        ctx = ctx32.astype(jnp.float32) * ps               # unnormalized
+        D = v_ref.shape[2] // H
+        o_ref[b] = jnp.concatenate(
+            [ctx[h * G:(h + 1) * G, h * D:(h + 1) * D] for h in range(H)], 0)
+        m_ref[b, :, 0] = m[:, 0]
+        d_ref[b, :, 0] = denom
+
+
+def make_q_blockdiag(q8: Array, n_heads: int) -> Array:
+    """(B, H, G, D) int8 -> (B, H*G, H*D) block-diagonal decode query."""
+    B, H, G, D = q8.shape
+    eye = jnp.eye(n_heads, dtype=q8.dtype)                 # (H, H)
+    # (B, H, G, Hcol, D): row-head h, col-head hc
+    bd = q8[:, :, :, None, :] * eye[None, :, None, :, None]
+    return bd.reshape(B, H * G, H * D)
+
+
+@functools.partial(jax.jit, static_argnames=("b_block", "interpret"))
+def decode_attention_bd(
+    q: Array,            # (B, H, G, D) bf16/f32
+    kt: Array,           # (B, H*D, S) int8 — K cache, feature-major
+    ks: Array,           # (B, H, S) f32/bf16
+    vt: Array,           # (B, S, H*D) int8 — V cache, time-major
+    vs: Array,           # (B, H, S) f32/bf16
+    b_block: int = 8,
+    interpret: bool = False,
+):
+    """Block-diagonal GQA decode attention over a read-only int8 KV cache.
+
+    Returns ``(ctx, m, denom)`` with ctx (B, H, G, D) f32 *unnormalized*
+    (sum_t exp(s_t - m) * vs_t * v_t), m/denom (B, H, G) — merge the fresh
+    token outside (see bench.py BENCH_ATTN=bd).  Numerics match
+    ``decode_attention_i8`` (int8 q + int8 requantized probs).
+
+    The per-(b) aux arrays (q scales, softmax stats) ride as (B, HG, 1)
+    3D refs: a 2D (b_block, HG) block fails Mosaic's dims rule when
+    b_block < 8.
+    """
+    B, H, G, D = q.shape
+    S = kt.shape[2]
+    b_block = min(b_block, B)
+    while B % b_block:
+        b_block -= 1
+    q8, qs = _quantize_q(q)                                # int8, (B,H,G)
+    q_bd = make_q_blockdiag(q8, H)                         # (B, HG, HD)
+    qs2 = qs.reshape(B, H * G, 1)
+    kernel = functools.partial(_attn_kernel_bd, n_heads=H, group=G,
+                               scale=D ** -0.5)
+    grid = (B // b_block,)
+
+    def spec3(a, b_):
+        return pl.BlockSpec((b_block, a, b_), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    ctx, m, d = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[spec3(H * G, H * D), spec3(H * G, 1),
+                  spec3(H * D, S), spec3(H, S),
+                  spec3(S, H * D), spec3(H, S)],
+        out_specs=(spec3(H * G, D), spec3(H * G, 1), spec3(H * G, 1)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * G * S * H * D,
+            bytes_accessed=2 * B * S * H * D + 4 * B * H * S,
+            transcendentals=B * H * G * S,
+        ),
+    )(q_bd, qs2, kt, ks, vt, vs)
+    return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
+
+
+def bd_merge_new_token(q: Array, qctx, k_new: Array, v_new: Array,
+                       kns: Array, vns: Array, scale: float):
+    """Merge the fresh decode token into ``decode_attention_bd`` output.
+
+    q (B, H, G, D) bf16; qctx = (ctx, m, denom) from the kernel;
+    k_new/v_new (B, H, D) int8 with scales kns/vns (B, H).  Flash-decoding
+    style two-term softmax merge, all ops tiny (no S dimension).  Returns
+    (B, H, G, D) f32 normalized attention output.
+    """
+    ctx, m, denom = qctx
+    qf = q.astype(jnp.float32)
+    s_new = jnp.einsum("bhgd,bhd->bhg", qf, k_new.astype(jnp.float32))
+    s_new = s_new * kns.astype(jnp.float32)[:, :, None] * scale
+    m_all = jnp.maximum(m, s_new)
+    w_old = jnp.exp(m - m_all)
+    w_new = jnp.exp(s_new - m_all)
+    d_all = denom * w_old + w_new
+    vn = v_new.astype(jnp.float32) * vns.astype(jnp.float32)[..., None]
+    out = ctx * w_old[..., None] + w_new[..., None] * vn[:, :, None, :]
+    return out / d_all[..., None]
+
+
 def _attn_kernel(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
                  n_heads: int, scale: float):
     bb = q_ref.shape[0]

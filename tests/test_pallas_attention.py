@@ -70,3 +70,42 @@ def test_decode_attention_i8_matches_reference():
     ref2 = ref_attn(q, kf2, vf2)
     rel2 = float(jnp.linalg.norm(out2 - ref2) / jnp.linalg.norm(ref2))
     assert rel2 < 0.03, rel2
+
+
+def test_decode_attention_bd_matches_reference():
+    """Block-diagonal GQA kernel + fresh-token merge vs the f32 reference:
+    full-size int8 MXU dots (no G=4-row dots), read-only cache."""
+    from lightcompress_tpu.ops.pallas_attention import (
+        bd_merge_new_token, decode_attention_bd,
+    )
+
+    B, H, G, S, D = 4, 2, 4, 256, 128
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, H, G, D), jnp.float32)
+    k8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    vs = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    kn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    vn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    kns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+    vns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+
+    # feature-major K (B, H*D, S); time-major V (B, S, H*D)
+    kt = jnp.transpose(k8, (0, 1, 3, 2)).reshape(B, H * D, S)
+    vt = jnp.transpose(v8, (0, 2, 1, 3)).reshape(B, S, H * D)
+
+    qctx = decode_attention_bd(q, kt, ks, vt, vs, b_block=2, interpret=True)
+    out = bd_merge_new_token(q, qctx, kn, vn, kns, vns, D ** -0.5)
+
+    kf = jnp.concatenate(
+        [k8.astype(jnp.float32) * ks[..., None],
+         (kn.astype(jnp.float32) * kns[..., None])[:, :, None, :]], 2)
+    vf = jnp.concatenate(
+        [v8.astype(jnp.float32) * vs[..., None],
+         (vn.astype(jnp.float32) * vns[..., None])[:, :, None, :]], 2)
+    sc = jnp.einsum("bhgd,bhsd->bhgs", q, kf) * (D ** -0.5)
+    p = jax.nn.softmax(sc, -1)
+    ref = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel  # q-int8 + probs-int8 quantization noise
