@@ -202,8 +202,8 @@ def decode_attention_i8(
 
 
 def _attn_kernel_bd(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
-                    o_ref, m_ref, d_ref, *, n_heads: int, group: int,
-                    scale: float):
+                    *refs, n_heads: int, group: int, scale: float,
+                    masked: bool = False):
     """Block-diagonal GQA decode attention over one (bb, ...) batch slab.
 
     The twice-measured failure of Pallas decode attention on this toolchain
@@ -228,6 +228,10 @@ def _attn_kernel_bd(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
     XLA (flash-decoding style) — the cache stays read-only and nothing ever
     materializes an appended copy to feed the kernel.
     """
+    if masked:
+        len_ref, o_ref, m_ref, d_ref = refs
+    else:
+        o_ref, m_ref, d_ref = refs
     H, G = n_heads, group
     bb = q_ref.shape[0]
     for b in range(bb):
@@ -240,7 +244,13 @@ def _attn_kernel_bd(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
         ksf = ks_ref[b].astype(jnp.float32)                # (H, S)
         scf = jnp.concatenate(
             [scf[h * G:(h + 1) * G] * ksf[h][None, :] for h in range(H)], 0)
-        m = jnp.max(scf, axis=-1, keepdims=True)           # (HG, 1)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 1)
+            scf = jnp.where(col < len_ref[b, 0, 0], scf, -jnp.inf)
+        # finite floor so an empty slot (length 0) yields denom=0/ctx=0
+        # instead of NaN; the fresh-token merge then carries everything
+        m = jnp.maximum(jnp.max(scf, axis=-1, keepdims=True),
+                        -1e30)                             # (HG, 1)
         e = jnp.exp(scf - m)
         denom = jnp.sum(e, axis=-1)                        # (HG,)
         vsf = vs_ref[b].astype(jnp.float32)                # (H, S)
@@ -275,10 +285,16 @@ def decode_attention_bd(
     ks: Array,           # (B, H, S) f32/bf16
     vt: Array,           # (B, S, H*D) int8 — V cache, time-major
     vs: Array,           # (B, H, S) f32/bf16
-    b_block: int = 8,
+    lengths: Optional[Array] = None,  # (B,) int32 valid cache length
+    b_block: int = 1,
     interpret: bool = False,
 ):
     """Block-diagonal GQA decode attention over a read-only int8 KV cache.
+
+    b_block=1 measured fastest at bench shapes (tools/attn_bd_probe.py:
+    103.7/110.4/113.9/123.2 us/layer at bb=1/2/4/16) — the kernel is
+    DMA-bound and more grid steps shrink the pipeline-startup bubble;
+    2MB per-step blocks already stream at the ~730 GB/s copy ceiling.
 
     Returns ``(ctx, m, denom)`` with ctx (B, H, G, D) f32 *unnormalized*
     (sum_t exp(s_t - m) * vs_t * v_t), m/denom (B, H, G) — merge the fresh
@@ -297,23 +313,29 @@ def decode_attention_bd(
     q8, qs = _quantize_q(q)                                # int8, (B,H,G)
     q_bd = make_q_blockdiag(q8, H)                         # (B, HG, HD)
     qs2 = qs.reshape(B, H * G, 1)
+    masked = lengths is not None
     kernel = functools.partial(_attn_kernel_bd, n_heads=H, group=G,
-                               scale=D ** -0.5)
+                               scale=D ** -0.5, masked=masked)
     grid = (B // b_block,)
 
     def spec3(a, b_):
         return pl.BlockSpec((b_block, a, b_), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    args = [q_bd, qs2, kt, ks, vt, vs]
+    in_specs = [spec3(H * G, H * D), spec3(H * G, 1),
+                spec3(H * D, S), spec3(H, S),
+                spec3(S, H * D), spec3(H, S)]
+    if masked:
+        args.append(lengths.astype(jnp.int32).reshape(B, 1, 1))
+        in_specs.append(spec3(1, 1))
     ctx, m, d = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
                    jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32),
                    jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32)),
         grid=grid,
-        in_specs=[spec3(H * G, H * D), spec3(H * G, 1),
-                  spec3(H * D, S), spec3(H, S),
-                  spec3(S, H * D), spec3(H, S)],
+        in_specs=in_specs,
         out_specs=(spec3(H * G, D), spec3(H * G, 1), spec3(H * G, 1)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -323,7 +345,7 @@ def decode_attention_bd(
             bytes_accessed=2 * B * S * H * D + 4 * B * H * S,
             transcendentals=B * H * G * S,
         ),
-    )(q_bd, qs2, kt, ks, vt, vs)
+    )(*args)
     return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
 
 

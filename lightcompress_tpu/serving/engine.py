@@ -36,6 +36,7 @@ Array = jax.Array
 def _block_apply_decode_i8(
     sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
     cache: KVCache, li: int, lengths: Array, interpret: bool = False,
+    impl: str = "i8",
 ):
     """Decode-only block over the int8 slot cache via the Pallas int8-MXU
     attention kernel (ops/pallas_attention.decode_attention_i8): the cache
@@ -98,11 +99,25 @@ def _block_apply_decode_i8(
     vq, vs = quantize_kv(v)
     # q head h attends kv head h // groups -> (S, nkv, G, hd) grouping
     qg = q[:, :, 0, :].reshape(S, nkv, nh // nkv, hd)
-    ctx = decode_attention_i8(
-        qg, cache.k[li], cache.k_scale[li], cache.v[li], cache.v_scale[li],
-        kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :], vs[:, :, 0],
-        lengths=lengths, interpret=interpret,
-    )  # (S, nkv, G, hd) f32
+    if impl == "bd":
+        # block-diagonal kernel over the feature-major/time-major slabs
+        # (fastest measured: full-size int8 MXU dots, b_block=1 grid)
+        from ..ops.pallas_attention import (bd_merge_new_token,
+                                            decode_attention_bd)
+
+        qctx = decode_attention_bd(
+            qg, cache.k[li], cache.k_scale[li], cache.v[li],
+            cache.v_scale[li], lengths=lengths, interpret=interpret)
+        ctx = bd_merge_new_token(
+            qg, qctx, kq[:, :, 0, :], vq[:, :, 0, :],
+            ks[:, :, 0], vs[:, :, 0], hd ** -0.5)
+    else:
+        ctx = decode_attention_i8(
+            qg, cache.k[li], cache.k_scale[li], cache.v[li],
+            cache.v_scale[li],
+            kq[:, :, 0, :], ks[:, :, 0], vq[:, :, 0, :], vs[:, :, 0],
+            lengths=lengths, interpret=interpret,
+        )  # (S, nkv, G, hd) f32
     ctx = ctx.reshape(S, 1, nh * hd).astype(x.dtype)
     if fused_ok(entry["attn.o"]):
         h = x + flin(entry["attn.o"], ctx[:, 0, :], False)[:, None, :]
@@ -246,9 +261,11 @@ class LLMEngine:
             self.slot_pages: List[List[int]] = [[] for _ in
                                                 range(self.max_slots)]
         else:
+            layout = ("bd" if self.attn_impl.startswith("bd")
+                      and self.kv_bits == 8 else "hhd")
             self.cache = KVCache.create(
                 a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
-                a.head_dim, bits=self.kv_bits,
+                a.head_dim, bits=self.kv_bits, layout=layout,
             )
         if self.mesh is not None:
             from .sharding import shard_kv_cache
@@ -340,11 +357,13 @@ class LLMEngine:
         visible = (j < lengths[:, None, None, None]) | (j == T)
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
         for li, entry in enumerate(sw.blocks):
-            if self.attn_impl.startswith("pallas") and not self.paged \
+            if (self.attn_impl.startswith("pallas")
+                    or self.attn_impl.startswith("bd")) and not self.paged \
                     and cache.bits == 8:
                 x, kq, ksn, vq, vsn = _block_apply_decode_i8(
                     sw, entry, x, cos, sin, cache, li, lengths,
-                    interpret=self.attn_impl == "pallas_interpret",
+                    interpret=self.attn_impl.endswith("interpret"),
+                    impl="bd" if self.attn_impl.startswith("bd") else "i8",
                 )
                 cache = append_kv_quantized(cache, li, kq, ksn, vq, vsn,
                                             lengths)
@@ -450,6 +469,25 @@ def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):
     """Write (1, H, T, D) new KV at position 0 of one slot (prefill)."""
     from .kv_cache import quantize_kv
 
+    if cache.layout == "bd":
+        import dataclasses as _dc
+
+        _, H, T, D = k_new.shape
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        # (1,H,T,D) -> K slab (H*D, T), V slab (T, H*D)
+        kslab = kq[0].transpose(0, 2, 1).reshape(H * D, T)
+        vslab = vq[0].transpose(1, 0, 2).reshape(T, H * D)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, kslab[None, None], (layer, slot, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, vslab[None, None], (layer, slot, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks[None], (layer, slot, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs[None], (layer, slot, 0, 0))
+        return _dc.replace(cache, k=k, v=v, k_scale=k_scale,
+                           v_scale=v_scale)
     if cache.bits == 8:
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)

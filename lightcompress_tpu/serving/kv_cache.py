@@ -21,15 +21,30 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: Array  # (L, S, H, T, D) int8|bf16
-    v: Array
+    k: Array  # (L, S, H, T, D) int8|bf16; bd layout: (L, S, H*D, T)
+    v: Array  # bd layout: (L, S, T, H*D)
     k_scale: Optional[Array]  # (L, S, H, T) f32 (int8 only)
     v_scale: Optional[Array]
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
+    # "hhd" = (H, T, D) per slot; "bd" = feature-major K / time-major V
+    # slabs for ops.pallas_attention.decode_attention_bd
+    layout: str = dataclasses.field(metadata=dict(static=True),
+                                    default="hhd")
 
     @staticmethod
     def create(n_layers: int, n_slots: int, n_kv_heads: int, max_len: int,
-               head_dim: int, bits: int = 8) -> "KVCache":
+               head_dim: int, bits: int = 8,
+               layout: str = "hhd") -> "KVCache":
+        if layout == "bd":
+            assert bits == 8, "bd layout serves the int8 attention kernel"
+            kshape = (n_layers, n_slots, n_kv_heads * head_dim, max_len)
+            vshape = (n_layers, n_slots, max_len, n_kv_heads * head_dim)
+            sshape = (n_layers, n_slots, n_kv_heads, max_len)
+            return KVCache(
+                jnp.zeros(kshape, jnp.int8), jnp.zeros(vshape, jnp.int8),
+                jnp.zeros(sshape, jnp.bfloat16),
+                jnp.zeros(sshape, jnp.bfloat16), 8, "bd",
+            )
         shape = (n_layers, n_slots, n_kv_heads, max_len, head_dim)
         if bits == 8:
             return KVCache(
@@ -260,6 +275,32 @@ def append_kv_quantized(
 
     kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype."""
     assert cache.bits == 8
+    if cache.layout == "bd":
+        assert kq.shape[2] == 1, "bd decode appends one token per slot"
+        S, H, _, D = kq.shape
+
+        def upd_k(buf_s, new_s, pos):  # (H*D, T) <- (H, 1, D)
+            return jax.lax.dynamic_update_slice(
+                buf_s, new_s.reshape(H * D, 1), (0, pos))
+
+        def upd_v(buf_s, new_s, pos):  # (T, H*D) <- (H, 1, D)
+            return jax.lax.dynamic_update_slice(
+                buf_s, new_s.reshape(1, H * D), (pos, 0))
+
+        def upd_s(buf_s, new_s, pos):  # (H, T) <- (H, 1)
+            return jax.lax.dynamic_update_slice(
+                buf_s, new_s.astype(buf_s.dtype), (0, pos))
+
+        k = cache.k.at[layer].set(
+            jax.vmap(upd_k)(cache.k[layer], kq, lengths))
+        v = cache.v.at[layer].set(
+            jax.vmap(upd_v)(cache.v[layer], vq, lengths))
+        k_scale = cache.k_scale.at[layer].set(
+            jax.vmap(upd_s)(cache.k_scale[layer], ks, lengths))
+        v_scale = cache.v_scale.at[layer].set(
+            jax.vmap(upd_s)(cache.v_scale[layer], vs, lengths))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
 
     def upd_slot(buf_s, new_s, pos):
         return jax.lax.dynamic_update_slice(

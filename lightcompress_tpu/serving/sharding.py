@@ -101,7 +101,21 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
 
 
 def shard_kv_cache(cache, mesh: Mesh):
-    """KV heads over ``tp`` (layout (L, S|N_blk, H, T|P, D))."""
+    """KV heads over ``tp`` (layout (L, S|N_blk, H, T|P, D)); the bd
+    layout's K slab (L, S, H*D, T) shards its feature axis, the V slab
+    (L, S, T, H*D) its last axis — both are head-major so a tp split of
+    H*D is a split over heads."""
+    if getattr(cache, "layout", "hhd") == "bd":
+        k_spec = NamedSharding(mesh, P(None, None, "tp", None))
+        v_spec = NamedSharding(mesh, P(None, None, None, "tp"))
+        s_spec = NamedSharding(mesh, P(None, None, "tp", None))
+        return dataclasses.replace(
+            cache,
+            k=jax.device_put(cache.k, k_spec),
+            v=jax.device_put(cache.v, v_spec),
+            k_scale=jax.device_put(cache.k_scale, s_spec),
+            v_scale=jax.device_put(cache.v_scale, s_spec),
+        )
     h_spec = NamedSharding(mesh, P(None, None, "tp", None, None))
     s_spec = NamedSharding(mesh, P(None, None, "tp", None))
     rep = NamedSharding(mesh, P())

@@ -109,3 +109,47 @@ def test_decode_attention_bd_matches_reference():
     ref = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.03, rel  # q-int8 + probs-int8 quantization noise
+
+
+def test_decode_attention_bd_masked_lengths():
+    """Serving shape: per-slot valid lengths mask cache columns; a length-0
+    slot must come out NaN-free (the fresh token carries it)."""
+    from lightcompress_tpu.ops.pallas_attention import (
+        bd_merge_new_token, decode_attention_bd,
+    )
+
+    B, H, G, S, D = 4, 2, 4, 256, 128
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, H, G, D), jnp.float32)
+    k8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (B, H, S, D)), jnp.int8)
+    ks = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    vs = jnp.asarray(rng.rand(B, H, S) * 0.01 + 0.005, jnp.float32)
+    kn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    vn = jnp.asarray(rng.randint(-127, 128, (B, H, D)), jnp.int8)
+    kns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+    vns = jnp.asarray(rng.rand(B, H) * 0.01 + 0.005, jnp.float32)
+    lengths = jnp.asarray([0, 7, 128, 256], jnp.int32)
+
+    kt = jnp.transpose(k8, (0, 1, 3, 2)).reshape(B, H * D, S)
+    vt = jnp.transpose(v8, (0, 2, 1, 3)).reshape(B, S, H * D)
+    qctx = decode_attention_bd(q, kt, ks, vt, vs, lengths=lengths,
+                               b_block=2, interpret=True)
+    out = bd_merge_new_token(q, qctx, kn, vn, kns, vns, D ** -0.5)
+    assert not bool(jnp.any(jnp.isnan(out)))
+
+    # reference: mask then append the fresh token
+    kf = jnp.concatenate(
+        [k8.astype(jnp.float32) * ks[..., None],
+         (kn.astype(jnp.float32) * kns[..., None])[:, :, None, :]], 2)
+    vf = jnp.concatenate(
+        [v8.astype(jnp.float32) * vs[..., None],
+         (vn.astype(jnp.float32) * vns[..., None])[:, :, None, :]], 2)
+    sc = jnp.einsum("bhgd,bhsd->bhgs", q, kf) * (D ** -0.5)
+    col = jnp.arange(S + 1)[None, None, None, :]
+    vis = (col < lengths[:, None, None, None]) | (col == S)
+    sc = jnp.where(vis, sc, -jnp.inf)
+    p = jax.nn.softmax(sc, -1)
+    ref = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel

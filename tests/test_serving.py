@@ -339,3 +339,25 @@ def test_engine_fused_rms_planes_decode():
     tokens = [1, 5, 9, 44, 100, 7, 3, 120, 11, 64]
     corrs = _teacher_forced_corr(model, engine, tokens, 5)
     assert all(c > 0.9 for c in corrs), corrs
+
+
+def test_engine_bd_attention_matches_xla(tiny_setup):
+    """Engine decode via the block-diagonal attention kernel (interpret
+    mode on CPU): feature-major/time-major bd cache layout, masked slot
+    lengths, flash-decoding merge of the fresh token."""
+    model, sw = tiny_setup
+    eng_k = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,), attn_impl="bd_interpret")
+    assert eng_k.cache.layout == "bd"
+    tokens = [1, 5, 9, 44, 100, 7, 3, 120, 11, 64]
+    corrs = _teacher_forced_corr(model, eng_k, tokens, 5)
+    assert all(c > 0.97 for c in corrs), corrs
+
+    eng_k.reset()
+    eng_x = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,), attn_impl="xla")
+    p = [[3, 17, 9, 2, 100]]
+    gk = eng_k.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    gx = eng_x.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    agree = sum(a == b for a, b in zip(gk[0], gx[0]))
+    assert agree >= 4, (gk, gx)
