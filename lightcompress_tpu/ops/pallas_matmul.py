@@ -76,6 +76,48 @@ def tile_packed(wp: Array, n_tile: int, group: int) -> Array:
     return wp.reshape(n // n_tile, n_tile, gpp, group).transpose(0, 2, 1, 3)
 
 
+def pack_int4_planes_masked(codes: Array) -> Array:
+    """Plane packing for the MASK-ONLY unpack kernel: identical to
+    ``pack_int4_planes`` except plane 7's nibbles are stored XOR 0x8.
+
+    The masked kernel extracts plane j as ``w & (0xF << 4j)`` — ONE VPU op
+    instead of shift+mask — whose int32 value is exactly ``c * 16^j``; the
+    16^j factor folds into pre-divided scales (``tile_scales_masked``).
+    Plane 7 owns the sign bit: storing ``u = c ^ 0x8`` makes the masked
+    value ``(c - 8) * 16^7`` (signed two's complement), linear again with a
+    constant -8 offset folded into the zero correction."""
+    n, k = codes.shape
+    assert k % 8 == 0
+    kp = k // 8
+    u = jnp.asarray(codes, jnp.int32) & 0xF
+    planes = u.reshape(n, 8, kp)
+    planes = planes.at[:, 7, :].set(planes[:, 7, :] ^ 0x8)
+    shifts = (jnp.arange(8, dtype=jnp.int32) * 4)[None, :, None]
+    return jnp.sum(planes << shifts, axis=1).astype(jnp.int32)
+
+
+def tile_scales_masked(s: Array, n_tile: int, gpp: int) -> Array:
+    """Scale tiles for the masked kernel: plane-j scales pre-divided by
+    16^j so the un-shifted masked partial products come out right.
+    Input (N, G); group g belongs to plane j = g // gpp."""
+    n, G = s.shape
+    assert G == 8 * gpp
+    j = (jnp.arange(G) // gpp).astype(jnp.float32)
+    fac = jnp.exp2(-4.0 * j)
+    return tile_scales(s.astype(jnp.float32) * fac[None, :], n_tile, gpp)
+
+
+def masked_zero_scales(zeros: Array, scales: Array, gpp: int) -> Array:
+    """Premultiplied zero correction for the masked kernel:
+    zs[g] = (z[g] - 8*[plane 7]) * s[g]  (the XOR-0x8 sign trick shifts
+    plane 7's stored codes by -8)."""
+    n, G = zeros.shape
+    assert G == 8 * gpp
+    off = jnp.where(jnp.arange(G) // gpp == 7, 8.0, 0.0)
+    return (zeros.astype(jnp.float32) - off[None, :]) * \
+        scales.astype(jnp.float32)
+
+
 def tile_scales(s: Array, n_tile: int, gpp: int) -> Array:
     """(N, G=8*gpp) -> (gpp, N/NT, 8, NT) contiguous per-step scale tiles.
     Row (j, gi) order matches the kernel's g_idx = j*gpp + gi."""
@@ -145,6 +187,125 @@ def _w4a16_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
         xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+def _w4a16_kernel_fullk_masked(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,
+                               group: int, gpp: int):
+    """Mask-only unpack + bf16 MXU dots.
+
+    Plane j extracts as ``wpb & (0xF << 4j)`` — one VPU op per plane vs the
+    shift+mask+int8-cast of the int8 kernel (~2 ops/nibble instead of ~3;
+    the per-size chains are VPU-unpack-bound, tools/stack_gap_experiments
+    q=379 GB/s vs the 732 copy ceiling).  The masked int32 value c*16^j is
+    EXACT in bf16 (4-bit mantissa shifted), and the 16^j folds into
+    pre-divided scale tiles (tile_scales_masked).  Activations stay bf16
+    (no act-quant glue, no epilogue rescale): this is the W4A16 path.
+    Requires weights packed with ``pack_int4_planes_masked`` (plane 7
+    XOR 0x8; zero tiles from ``masked_zero_scales``).
+    """
+    xb = x_ref[:]
+    b, nt = o_ref.shape
+    xsum = jnp.sum(
+        xb.astype(jnp.float32).reshape(b, gpp * 8, group), axis=2)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]
+        news = list(accs)
+        for j in range(8):
+            m = 0xF << (4 * j)
+            if m >= 1 << 31:  # plane 7's mask wraps to a negative int32
+                m -= 1 << 32
+            d = (wpb & jnp.int32(m)).astype(jnp.bfloat16)
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg.astype(jnp.bfloat16), d,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            news[j % 4] = news[j % 4] + partial * \
+                s_ref[gi, 0, j, :][None, :].astype(jnp.float32)
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = zs_ref[:, 0].reshape(gpp * 8, nt).astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "n_tile", "interpret"),
+)
+def w4a16_matmul_planes_masked(
+    x: Array,
+    wp: Array,
+    scales: Array,
+    zeros_scales: Array,
+    group: int = 128,
+    n_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """y = x @ dequant(wp).T via the mask-only bf16 kernel.
+
+    x: (B, K) float, natural order; wp: (N, K/8) int32 packed with
+    ``pack_int4_planes_masked`` OR pre-tiled 4D; scales from
+    ``tile_scales_masked`` (pre-tiled) or raw (N, G) — raw inputs are
+    tiled+premultiplied here; zeros_scales = ``masked_zero_scales`` raw or
+    its tile_scales tiling.  Returns (B, N) f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = x.shape
+    if wp.ndim == 4:
+        n_blocks, gpp_w, n_tile, gw = wp.shape
+        N = n_blocks * n_tile
+        assert gw == group and gpp_w * group * 8 == K
+        wp_t = wp
+        gpp = gpp_w
+        s_t, zs_t = scales, zeros_scales
+    else:
+        N, KP = wp.shape
+        assert KP * 8 == K and K % (8 * group) == 0
+        n_tile = min(n_tile, N)
+        assert N % n_tile == 0
+        wp_t = tile_packed(wp, n_tile, group)
+        gpp = KP // group
+        s_t = tile_scales_masked(scales, n_tile, gpp)
+        zs_t = tile_scales(zeros_scales, n_tile, gpp)
+    # x reorder: k = j*kp + gi*group + t  ->  (gi, j, t) contiguous
+    xr = x.astype(jnp.bfloat16) \
+        .reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
+    kernel = functools.partial(_w4a16_kernel_fullk_masked, group=group,
+                               gpp=gpp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=(N // n_tile,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpp, n_tile, group), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp, 1, 8, n_tile), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2 + B * K * 2 + B * N * 4,
+            transcendentals=0,
+        ),
+    )(xr, wp_t, s_t, zs_t)
+    return out
 
 
 def _w4a8_kernel_fullk(x_ref, wp_ref, s_ref, zs_ref, o_ref, *,

@@ -385,3 +385,35 @@ def test_w4a8_planes_fused_prologue():
         rel = float(jnp.linalg.norm(y.astype(jnp.float32) - ref)
                     / jnp.linalg.norm(ref))
         assert rel < 1e-5, (rms, rel)
+
+
+def test_w4a16_masked_kernel_matches_dequant():
+    """Mask-only unpack + bf16 dots (pack_int4_planes_masked / pre-divided
+    scales / plane-7 XOR-0x8 sign trick) == explicit dequant matmul."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_int4_planes_masked, w4a16_matmul_planes_masked,
+    )
+
+    rng = np.random.RandomState(3)
+    B, N, K, g = 8, 256, 2048, 128
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    scales = jnp.asarray(rng.rand(N, K // g) * 0.02 + 0.005, jnp.float32)
+    zeros = jnp.asarray(rng.randint(0, 16, (N, K // g)), jnp.float32)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+
+    from lightcompress_tpu.ops.pallas_matmul import masked_zero_scales
+    wp = pack_int4_planes_masked(codes)
+    # the -8 plane-7 offset belongs to the PACKED codes, so the zero
+    # correction must come from masked_zero_scales (not plain z*s)
+    zs_m = masked_zero_scales(zeros, scales, K // 8 // g)
+    out = w4a16_matmul_planes_masked(x, wp, scales, zs_m, group=g,
+                                     n_tile=128, interpret=True)
+
+    w_deq = (codes.astype(jnp.float32)
+             - jnp.repeat(zeros, g, 1)) * jnp.repeat(scales, g, 1)
+    ref = (x.astype(jnp.bfloat16).astype(jnp.float32)) @ w_deq.T
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-3, rel  # bf16 activation rounding only

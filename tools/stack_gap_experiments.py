@@ -219,6 +219,43 @@ def main():
             timeit(f"{nm}_f", lambda a, it, w=(wpp, srp, zsrp):
                    run_f(*w, a, iters=it), x0, nbytes[nm])
 
+    # --- *_msk: mask-only unpack + bf16 dots (W4A16, no act-quant glue)
+    from lightcompress_tpu.ops.pallas_matmul import (
+        masked_zero_scales, pack_int4_planes_masked, tile_scales_masked,
+        w4a16_matmul_planes_masked,
+    )
+
+    for nm in list(shapes):
+        if f"{nm}_msk" not in sizes:
+            continue
+        oc, ic = shapes[nm]
+        codes = jax.random.randint(ks[(hash(nm) % 4) + 4], (oc, ic), 0, 16,
+                                   jnp.int32)
+        nt = pick_n_tile(oc, ic // 8, GROUP)
+        gpp = ic // 8 // GROUP
+        wpm = tile_packed(pack_int4_planes_masked(codes), nt, GROUP)
+        s = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+        z = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+        srm = tile_scales_masked(s, nt, gpp).astype(jnp.bfloat16)
+        zsrm = tile_scales(masked_zero_scales(z, s, gpp), nt,
+                           gpp).astype(jnp.bfloat16)
+        nb = wpm.size * 4 + srm.size * srm.dtype.itemsize + zsrm.size * 2
+
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def run_m(wpm, srm, zsrm, x0, iters, ic=ic, nt=nt):
+            def body(i, h):
+                y = w4a16_matmul_planes_masked(h, wpm, srm, zsrm,
+                                               group=GROUP, n_tile=nt)
+                rep = fold(y, ic)
+                return (rep * jax.lax.rsqrt(
+                    jnp.mean(rep * rep, -1, keepdims=True) + 1e-6)
+                ).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, iters, body, x0)
+
+        x0 = jax.random.normal(key, (B, ic), jnp.bfloat16)
+        timeit(f"{nm}_msk", lambda a, it, w=(wpm, srm, zsrm):
+               run_m(*w, a, iters=it), x0, nb)
+
     # --- full layer (7 linears) — should reproduce bench_split's 453
     if "allsizes" in sizes:
         layer_bytes = (2 * nbytes["q"] + 2 * nbytes["kv"]
