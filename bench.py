@@ -38,10 +38,13 @@ ATTN_IMPL = os.environ.get("BENCH_ATTN", "xla")
 # (serving/kv_cache.py:60-97 layout; the tunneled runtime defeats XLA's
 # carry aliasing, see REPORT.md)
 KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
-# 1 -> fuse q+k+v into one (6144, 4096) kernel call and gate+up into one
-# (28672, 4096) call: 4 Pallas launches per layer instead of 7, and the
-# small 2MB k/v weight reads ride the 4MB-block DMA stream
-FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
+# 1 (default) -> fuse q+k+v into one (6144, 4096) kernel call and gate+up
+# into one (28672, 4096) call: 4 Pallas launches per layer instead of 7,
+# and the small 2MB k/v weight reads ride the 4MB-block DMA stream.
+# Measured 3333 vs 3224 tok/s under the corrected protocol (the r1 "loss"
+# was the fixed-latency tax); serving analogue: build_serving_weights
+# fuse_qkv=True.
+FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # "raw" -> (oc, G) f32 scales (runtime-tiled, hoisted by XLA LICM);
 # "f32"/"bf16" -> pre-tiled serving layout (zeros premultiplied), bf16
 # halves the kernel's scale-stream bytes (scales+zeros = 13% of codes;

@@ -421,6 +421,8 @@ def w4a16_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 2,
@@ -523,6 +525,8 @@ def w4a8_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K,

@@ -33,6 +33,27 @@ from .sampler import SamplingParams, sample
 Array = jax.Array
 
 
+def _qkv_proj(entry, h1, nh, nkv, hd, ab):
+    """q/k/v projections, via the merged attn.qkv weight when present
+    (build_serving_weights fuse_qkv: 1 launch instead of 3)."""
+    if "attn.qkv" in entry:
+        qkv = apply_qlinear(entry["attn.qkv"], h1, act_bits=ab)
+        nq, nk = nh * hd, nkv * hd
+        return qkv[..., :nq], qkv[..., nq:nq + nk], qkv[..., nq + nk:]
+    return (apply_qlinear(entry["attn.q"], h1, act_bits=ab),
+            apply_qlinear(entry["attn.k"], h1, act_bits=ab),
+            apply_qlinear(entry["attn.v"], h1, act_bits=ab))
+
+
+def _gateup_proj(entry, h2, ab):
+    if "mlp.gateup" in entry:
+        gu = apply_qlinear(entry["mlp.gateup"], h2, act_bits=ab)
+        inter = gu.shape[-1] // 2
+        return gu[..., :inter], gu[..., inter:]
+    return (apply_qlinear(entry["mlp.gate"], h2, act_bits=ab),
+            apply_qlinear(entry["mlp.up"], h2, act_bits=ab))
+
+
 def _block_apply_decode_i8(
     sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
     cache: KVCache, li: int, lengths: Array, interpret: bool = False,
@@ -78,15 +99,19 @@ def _block_apply_decode_i8(
         return y
 
     x2 = x[:, 0, :]  # (S, H) — decode is single-token
-    if all(fused_ok(entry[n]) for n in ("attn.q", "attn.k", "attn.v")):
+    if "attn.qkv" in entry and fused_ok(entry["attn.qkv"]):
+        qkv = flin(entry["attn.qkv"], x2, True)[:, None, :]
+        nq, nk = nh * hd, nkv * hd
+        q, k, v = (qkv[..., :nq], qkv[..., nq:nq + nk],
+                   qkv[..., nq + nk:])
+    elif "attn.qkv" not in entry and all(
+            fused_ok(entry[n]) for n in ("attn.q", "attn.k", "attn.v")):
         q = flin(entry["attn.q"], x2, True)[:, None, :]
         k = flin(entry["attn.k"], x2, True)[:, None, :]
         v = flin(entry["attn.v"], x2, True)[:, None, :]
     else:
         h1 = A.apply_norm(x, entry["ln1"], arch)
-        q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
-        k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
-        v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
+        q, k, v = _qkv_proj(entry, h1, nh, nkv, hd, ab)
     q = q.reshape(S, 1, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(S, 1, nkv, hd).transpose(0, 2, 1, 3)
@@ -123,7 +148,14 @@ def _block_apply_decode_i8(
         h = x + flin(entry["attn.o"], ctx[:, 0, :], False)[:, None, :]
     else:
         h = x + apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
-    if arch.family == "llama" and all(
+    if arch.family == "llama" and "mlp.gateup" in entry and \
+            fused_ok(entry["mlp.gateup"]) and fused_ok(entry["mlp.down"]):
+        gu = flin(entry["mlp.gateup"], h[:, 0, :], True)
+        inter = gu.shape[-1] // 2
+        mid = jax.nn.silu(gu[:, :inter]) * gu[:, inter:]
+        y = h + flin(entry["mlp.down"], mid, False)[:, None, :]
+        return y, kq, ks, vq, vs
+    if arch.family == "llama" and "mlp.gateup" not in entry and all(
             fused_ok(entry[n]) for n in ("mlp.gate", "mlp.up", "mlp.down")):
         g = flin(entry["mlp.gate"], h[:, 0, :], True)
         u = flin(entry["mlp.up"], h[:, 0, :], True)
@@ -132,8 +164,7 @@ def _block_apply_decode_i8(
         return y, kq, ks, vq, vs
     h2 = A.apply_norm(h, entry["ln2"], arch)
     if arch.family == "llama":
-        g = apply_qlinear(entry["mlp.gate"], h2, act_bits=ab)
-        u = apply_qlinear(entry["mlp.up"], h2, act_bits=ab)
+        g, u = _gateup_proj(entry, h2, ab)
         mid = jax.nn.silu(g) * u
         y = h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
     else:
@@ -163,9 +194,7 @@ def _block_apply(
     S, T, _ = x.shape
     nh, nkv, hd = arch.num_heads, arch.num_kv_heads, arch.head_dim
     h1 = A.apply_norm(x, entry["ln1"], arch)
-    q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
-    k = apply_qlinear(entry["attn.k"], h1, act_bits=ab)
-    v = apply_qlinear(entry["attn.v"], h1, act_bits=ab)
+    q, k, v = _qkv_proj(entry, h1, nh, nkv, hd, ab)
     q = q.reshape(S, T, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
     v = v.reshape(S, T, nkv, hd).transpose(0, 2, 1, 3)
@@ -182,8 +211,7 @@ def _block_apply(
     h = x + attn_out
     h2 = A.apply_norm(h, entry["ln2"], arch)
     if arch.family == "llama":
-        g = apply_qlinear(entry["mlp.gate"], h2, act_bits=ab)
-        u = apply_qlinear(entry["mlp.up"], h2, act_bits=ab)
+        g, u = _gateup_proj(entry, h2, ab)
         mid = jax.nn.silu(g) * u
         y = h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
     else:

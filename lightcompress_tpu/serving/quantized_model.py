@@ -55,6 +55,7 @@ def build_serving_weights(
     act_bits: int = 16,
     layout: Optional[str] = None,
     fused_rms: bool = False,
+    fuse_qkv: bool = False,
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
@@ -63,7 +64,15 @@ def build_serving_weights(
 
     ``fused_rms`` folds each pre-norm RMSNorm gamma into its consumer
     linears BEFORE quantization (exact) and stores ones as the ln weights,
-    enabling the fully-fused decode kernel (norm+quant in-kernel)."""
+    enabling the fully-fused decode kernel (norm+quant in-kernel).
+
+    ``fuse_qkv`` concatenates q/k/v (and gate/up) along output channels
+    into single ``attn.qkv`` / ``mlp.gateup`` entries — 4 kernel launches
+    per block instead of 7, and the small k/v reads ride the big
+    launch's DMA stream (bench BENCH_FUSED=1: 3333 vs 3224 tok/s).
+    Numerically exact vs separate (per-group quant is per output row).
+    Best for single-chip / dp-replica serving; with tp>1 prefer separate
+    weights (a merged oc-split puts the q|k|v boundary mid-shard)."""
     arch = model.arch
     params = model.params
     # rmsnorm-family check mirrors arch.apply_norm's dispatch (arch.py:338)
@@ -75,6 +84,7 @@ def build_serving_weights(
         entry: Dict[str, Any] = {}
         g1 = resolve(bp, "ln1").get("weight") if fold else None
         g2 = resolve(bp, "ln2").get("weight") if fold else None
+        pend: Dict[str, Any] = {}
         for name in model.get_block_linear_names(idx):
             node = resolve(bp, name)
             w = node["weight"]
@@ -84,11 +94,31 @@ def build_serving_weights(
                 w = w * g1[None, :].astype(w.dtype)
             elif fold and name in _LN2_LINEARS and g2 is not None:
                 w = w * g2[None, :].astype(w.dtype)
-            qp = quantize_linear(
-                w.astype(jnp.float32), wspec, bias=node.get("bias"),
+            pend[name] = (w, node.get("bias"))
+
+        def _emit(name, w, bias):
+            entry[name] = quantize_linear(
+                w.astype(jnp.float32), wspec, bias=bias,
                 layout=layout or ("planes" if wspec.bit == 4 else "rows"),
             )
-            entry[name] = qp
+
+        def _fuse(new_name, names):
+            ws, bs = zip(*(pend.pop(n) for n in names))
+            bias = None
+            if any(b is not None for b in bs):
+                bias = jnp.concatenate([
+                    b if b is not None else jnp.zeros((w.shape[0],),
+                                                      ws[0].dtype)
+                    for w, b in zip(ws, bs)
+                ])
+            _emit(new_name, jnp.concatenate(ws, axis=0), bias)
+
+        if fuse_qkv and all(f"attn.{n}" in pend for n in ("q", "k", "v")):
+            _fuse("attn.qkv", ("attn.q", "attn.k", "attn.v"))
+        if fuse_qkv and "mlp.gate" in pend and "mlp.up" in pend:
+            _fuse("mlp.gateup", ("mlp.gate", "mlp.up"))
+        for name, (w, bias) in pend.items():
+            _emit(name, w, bias)
         for ln in ("ln1", "ln2"):
             lnp = {k: v for k, v in resolve(bp, ln).items()}
             if fold and "weight" in lnp:

@@ -28,7 +28,7 @@ from .quantized_model import ServingWeights
 
 # block-linear roles: which dim of the (out, in) weight is sharded
 _COL_PARALLEL = ("attn.q", "attn.k", "attn.v", "mlp.gate", "mlp.up",
-                 "mlp.fc1")
+                 "mlp.fc1", "attn.qkv", "mlp.gateup")
 _ROW_PARALLEL = ("attn.o", "mlp.down", "mlp.fc2")
 
 

@@ -361,3 +361,35 @@ def test_engine_bd_attention_matches_xla(tiny_setup):
     gx = eng_x.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
     agree = sum(a == b for a, b in zip(gk[0], gx[0]))
     assert agree >= 4, (gk, gx)
+
+
+def test_engine_fused_qkv_weights(tiny_setup):
+    """fuse_qkv serving layout: merged attn.qkv / mlp.gateup entries (the
+    bench's BENCH_FUSED=1 winner, 4 launches per block) generate the same
+    tokens as the separate-weight engine — the merge is numerically exact
+    because per-group quantization is per output row."""
+    from lightcompress_tpu.serving import build_serving_weights
+
+    model, sw = tiny_setup
+    wspec = QuantSpec(bit=8, symmetric=True, granularity="per_channel")
+    sw_f = build_serving_weights(model, wspec, fuse_qkv=True)
+    assert "attn.qkv" in sw_f.blocks[0]
+    assert "attn.q" not in sw_f.blocks[0]
+    assert "mlp.gateup" in sw_f.blocks[0]
+    eng_f = LLMEngine(sw_f, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,))
+    eng_s = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,))
+    p = [[3, 17, 9, 2, 100]]
+    gf = eng_f.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    gs = eng_s.generate(p, SamplingParams(max_new_tokens=6, temperature=0.0))
+    agree = sum(a == b for a, b in zip(gf[0], gs[0]))
+    assert agree >= 5, (gf, gs)
+
+    # and through the Pallas decode path (interpret) as well
+    eng_fp = LLMEngine(sw_f, max_slots=2, max_len=64, kv_bits=8,
+                       prefill_buckets=(16,), attn_impl="pallas_interpret")
+    gfp = eng_fp.generate(p, SamplingParams(max_new_tokens=6,
+                                            temperature=0.0))
+    agree = sum(a == b for a, b in zip(gfp[0], gs[0]))
+    assert agree >= 4, (gfp, gs)
