@@ -46,6 +46,23 @@ def _vmem_limit_bytes() -> int:
 # packing
 # ---------------------------------------------------------------------------
 
+def _maybe_vmem_params(weight_block_bytes: int):
+    """CompilerParams with a raised scoped-VMEM cap ONLY when the block
+    working set exceeds Mosaic's 16MB default.  Measured: passing a 100MB
+    vmem_limit_bytes unconditionally SLOWS the planes kernel ~19% (3333 ->
+    2706 tok/s end-to-end) — the limit feeds Mosaic's buffering
+    heuristics.  LCTPU_VMEM_LIMIT_MB forces the override for experiments."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    forced = os.environ.get("LCTPU_VMEM_LIMIT_MB")
+    est = 2 * weight_block_bytes + (6 << 20)
+    if forced is None and est <= 15 << 20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
+
+
 def pack_int4_planes(codes: Array) -> Array:
     """(N, K) uint4-valued -> (N, K/8) int32, plane layout."""
     n, k = codes.shape
@@ -297,8 +314,7 @@ def w4a16_matmul_planes_masked(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit_bytes()),
+        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * K // 2 + B * K * 2 + B * N * 4,
@@ -421,8 +437,7 @@ def w4a16_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit_bytes()),
+        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 2,
@@ -525,8 +540,7 @@ def w4a8_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit_bytes()),
+        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K,
@@ -1164,4 +1178,216 @@ def w4a8_linear_planes_fused(
             transcendentals=0,
         ),
     )(x, wp, scales, zs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# layer-tail megakernel: o-proj + residual + RMSNorm + gate/up + silu*mul +
+# down-proj in ONE pallas_call
+# ---------------------------------------------------------------------------
+
+def _qdq_prologue(xf, xq_scr, xs_scr, xsum_scr, b, gpp, group, rms, eps):
+    """Shared in-kernel [RMS ->] per-token int8 quant + natural-order group
+    sums (the proven _w4a8_kernel_fullk_fused prologue)."""
+    if rms:
+        xf = xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sc = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+    xq_scr[:] = q
+    xs_scr[:] = sc
+    xsum_scr[:] = jnp.sum(
+        q.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+
+def _phase_dot(xq_scr, xsum_scr, wp_ref, s_ref, zs_ref, b, nt, gpp, group):
+    """One output tile of the int8 planes matmul (natural-K-order x),
+    returning the UNSCALED f32 accumulator (caller multiplies act scale)."""
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = xq_scr[:, pl.ds((j * gpp + gi) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                s_ref[gi, 0, j, :][None, :].astype(jnp.float32)
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    acc = (accs[0] + accs[1]) + (accs[2] + accs[3])
+    for j in range(8):
+        xs_j = xsum_scr[:, j * gpp:(j + 1) * gpp]
+        zs_j = zs_ref[:, 0, j, :].astype(jnp.float32)
+        acc = acc - jax.lax.dot_general(
+            xs_j, zs_j, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _attn_tail_kernel(
+    ctx_ref, x_ref,
+    wo_ref, so_ref, zso_ref,
+    wg_ref, sg_ref, zsg_ref,
+    wd_ref, sd_ref, zsd_ref,
+    y_ref,
+    h_scr, gu_scr,
+    xq1, xs1, xsum1, xq2, xs2, xsum2, xq3, xs3, xsum3,
+    *, group: int, eps: float,
+    n_o: int, nt_o: int, gpp_o: int,
+    n_g: int, nt_g: int, gpp_g: int,
+    n_d: int, nt_d: int, gpp_d: int,
+):
+    """Post-attention layer tail, one launch (see w4a8_attn_tail_fused).
+
+    Grid phases: [0, n_o) o-proj tiles; [n_o, n_o+n_g) gate|up tiles;
+    [n_o+n_g, +n_d) down tiles.  Clamped index maps keep out-of-phase
+    weight blocks un-refetched; the Pallas pipeline prefetches the next
+    phase's first block during the current phase's last compute —
+    inter-kernel DMA gaps disappear (the point of the megakernel)."""
+    b = ctx_ref.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _qdq_prologue(ctx_ref[:].astype(jnp.float32), xq1, xs1, xsum1,
+                      b, gpp_o, group, False, eps)
+
+    @pl.when(i < n_o)
+    def _():
+        acc = _phase_dot(xq1, xsum1, wo_ref, so_ref, zso_ref,
+                         b, nt_o, gpp_o, group)
+        col = i * nt_o
+        h_scr[:, pl.ds(col, nt_o)] = (
+            x_ref[:, pl.ds(col, nt_o)].astype(jnp.float32)
+            + acc * xs1[:]
+        )
+
+    @pl.when(i == n_o)
+    def _():
+        _qdq_prologue(h_scr[:], xq2, xs2, xsum2, b, gpp_g, group, True,
+                      eps)
+
+    @pl.when((i >= n_o) & (i < n_o + n_g))
+    def _():
+        acc = _phase_dot(xq2, xsum2, wg_ref, sg_ref, zsg_ref,
+                         b, nt_g, gpp_g, group)
+        col = (i - n_o) * nt_g
+        gu_scr[:, pl.ds(col, nt_g)] = acc * xs2[:]
+
+    @pl.when(i == n_o + n_g)
+    def _():
+        inter = (n_g * nt_g) // 2
+        g = gu_scr[:, :inter]
+        u = gu_scr[:, inter:]
+        mid = (g * jax.lax.logistic(g)) * u
+        _qdq_prologue(mid, xq3, xs3, xsum3, b, gpp_d, group, False, eps)
+
+    @pl.when(i >= n_o + n_g)
+    def _():
+        acc = _phase_dot(xq3, xsum3, wd_ref, sd_ref, zsd_ref,
+                         b, nt_d, gpp_d, group)
+        col = (i - n_o - n_g) * nt_d
+        y_ref[:, pl.ds(col, nt_d)] = (
+            h_scr[:, pl.ds(col, nt_d)] + acc * xs3[:]
+        ).astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def w4a8_attn_tail_fused(
+    ctx: Array,          # (B, H) attention output, natural order
+    x: Array,            # (B, H) residual stream entering the block-half
+    wo: Array, so: Array, zso: Array,     # o-proj: tile_packed/tile_scales
+    wg: Array, sg: Array, zsg: Array,     # gate|up concat (2*I rows)
+    wd: Array, sd: Array, zsd: Array,     # down-proj
+    group: int = 128,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """y = h + down(silu_gate(gateup(rms(h)))), h = x + o(ctx): the whole
+    post-attention half of a llama block in ONE pallas_call.
+
+    All three weights are pre-tiled serving layout ((N/NT, gpp, NT, g)
+    int32 + (gpp, N/NT, 8, NT) scales with zeros premultiplied).  Phases
+    share the grid; per-token int8 act quant + RMSNorm run in-kernel at
+    the phase boundaries (gamma must be pre-folded into wg).  Returns
+    (B, H) in x.dtype."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H = ctx.shape
+    n_o, gpp_o, nt_o, gw = wo.shape
+    n_g, gpp_g, nt_g, _ = wg.shape
+    n_d, gpp_d, nt_d, _ = wd.shape
+    assert gw == group and n_o * nt_o == H
+    inter2 = n_g * nt_g
+    K_d = gpp_d * group * 8
+    assert K_d == inter2 // 2, "down K must equal inter (gate|up halves)"
+
+    no_, ng_, nd_ = wo.shape[0], wg.shape[0], wd.shape[0]
+
+    def w_in(shape, off, n_p):
+        return pl.BlockSpec(
+            (1,) + shape[1:],
+            lambda i, off=off, n_p=n_p: (jnp.clip(i - off, 0, n_p - 1),
+                                         0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def s_in(shape, off, n_p):
+        return pl.BlockSpec(
+            (shape[0], 1) + shape[2:],
+            lambda i, off=off, n_p=n_p: (0, jnp.clip(i - off, 0, n_p - 1),
+                                         0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid = (no_ + ng_ + nd_,)
+    kernel = functools.partial(
+        _attn_tail_kernel, group=group, eps=eps,
+        n_o=no_, nt_o=nt_o, gpp_o=gpp_o,
+        n_g=ng_, nt_g=nt_g, gpp_g=gpp_g,
+        n_d=nd_, nt_d=nt_d, gpp_d=gpp_d,
+    )
+    full = pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H), x.dtype),
+        grid=grid,
+        in_specs=[
+            full, full,
+            w_in(wo.shape, 0, no_), s_in(so.shape, 0, no_),
+            s_in(zso.shape, 0, no_),
+            w_in(wg.shape, no_, ng_), s_in(sg.shape, no_, ng_),
+            s_in(zsg.shape, no_, ng_),
+            w_in(wd.shape, no_ + ng_, nd_), s_in(sd.shape, no_ + ng_, nd_),
+            s_in(zsd.shape, no_ + ng_, nd_),
+        ],
+        out_specs=full,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),          # h residual
+            pltpu.VMEM((B, inter2), jnp.float32),     # gate|up
+            pltpu.VMEM((B, H), jnp.int8),             # xq1 (ctx)
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, (H // group)), jnp.float32),
+            pltpu.VMEM((B, H), jnp.int8),             # xq2 (h2)
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, (H // group)), jnp.float32),
+            pltpu.VMEM((B, inter2 // 2), jnp.int8),   # xq3 (mid)
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, (inter2 // 2) // group), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (H * H + H * inter2 + (inter2 // 2) * H),
+            bytes_accessed=(wo.size + wg.size + wd.size) * 4,
+            transcendentals=B * inter2 // 2,
+        ),
+    )(ctx, x, wo, so, zso, wg, sg, zsg, wd, sd, zsd)
     return out
