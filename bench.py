@@ -45,6 +45,11 @@ KV_APPEND = os.environ.get("BENCH_KV_APPEND", "concat")
 # was the fixed-latency tax); serving analogue: build_serving_weights
 # fuse_qkv=True.
 FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
+# 1 -> post-attention layer tail (o + residual + RMSNorm + gate|up +
+# silu*mul + down) runs as ONE pallas_call (w4a8_attn_tail_fused): the
+# grid pipeline prefetches across phase boundaries, deleting the
+# inter-kernel DMA gaps.  Implies the FUSED gateup weight layout.
+TAIL = os.environ.get("BENCH_TAIL", "0") == "1"
 # "raw" -> (oc, G) f32 scales (runtime-tiled, hoisted by XLA LICM);
 # "f32"/"bf16" -> pre-tiled serving layout (zeros premultiplied), bf16
 # halves the kernel's scale-stream bytes (scales+zeros = 13% of codes;
@@ -312,6 +317,18 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                 (HEAD_DIM**-0.5)
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
+        if TAIL:
+            from lightcompress_tpu.ops.pallas_matmul import (
+                w4a8_attn_tail_fused,
+            )
+
+            o_, gu_, d_ = lw["o"], lw["gateup"], lw["down"]
+            x = w4a8_attn_tail_fused(
+                ctx.astype(jnp.bfloat16), x,
+                o_.codes, o_.scales, o_.zeros,
+                gu_.codes, gu_.scales, gu_.zeros,
+                d_.codes, d_.scales, d_.zeros, group=GROUP)
+            continue
         x = x + lin(ctx, lw["o"])
         if FUSED:
             gu = lin(x, lw["gateup"], True)
@@ -376,6 +393,8 @@ def decode_step_dus(layers, x, k_cache, v_cache, k_scales, v_scales, pos):
 
 
 def main():
+    if TAIL:
+        assert FUSED and SCALES, "TAIL needs fused gateup + pre-tiled scales"
     key = jax.random.PRNGKey(0)
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
