@@ -48,8 +48,10 @@ FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # 1 -> post-attention layer tail (o + residual + RMSNorm + gate|up +
 # silu*mul + down) runs as ONE pallas_call (w4a8_attn_tail_fused): the
 # grid pipeline prefetches across phase boundaries, deleting the
-# inter-kernel DMA gaps.  Implies the FUSED gateup weight layout.
-TAIL = os.environ.get("BENCH_TAIL", "0") == "1"
+# inter-kernel DMA gaps.  2 -> additionally folds the NEXT layer's qkv
+# projection into the same launch (w4a8_layer_fused): ONE pallas call +
+# one XLA attention per layer.  Both imply the FUSED weight layout.
+TAIL = int(os.environ.get("BENCH_TAIL", "0"))
 # "raw" -> (oc, G) f32 scales (runtime-tiled, hoisted by XLA LICM);
 # "f32"/"bf16" -> pre-tiled serving layout (zeros premultiplied), bf16
 # halves the kernel's scale-stream bytes (scales+zeros = 13% of codes;
@@ -180,9 +182,12 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
         return qlinear_apply(hh, qp)
 
     B = x.shape[0]
+    # TAIL=2: qkv is produced by the previous layer's fused launch; the
+    # first layer needs one standalone qkv kernel as the pipeline prologue
+    qkv_carry = lin(x, layers[0]["qkv"], True) if TAIL == 2 else None
     for li, lw in enumerate(layers):
         if FUSED:
-            qkv = lin(x, lw["qkv"], True)
+            qkv = qkv_carry if TAIL == 2 else lin(x, lw["qkv"], True)
             nq = N_HEADS * HEAD_DIM
             nkv = N_KV * HEAD_DIM
             q = qkv[:, :nq].reshape(B, N_HEADS, 1, HEAD_DIM)
@@ -317,6 +322,20 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                 (HEAD_DIM**-0.5)
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bkgqs,bksd->bkgqd", probs, vc).reshape(B, -1)
+        if TAIL == 2:
+            from lightcompress_tpu.ops.pallas_matmul import (
+                w4a8_layer_fused,
+            )
+
+            o_, gu_, d_ = lw["o"], lw["gateup"], lw["down"]
+            q_ = layers[(li + 1) % LAYERS]["qkv"]
+            x, qkv_carry = w4a8_layer_fused(
+                ctx.astype(jnp.bfloat16), x,
+                o_.codes, o_.scales, o_.zeros,
+                gu_.codes, gu_.scales, gu_.zeros,
+                d_.codes, d_.scales, d_.zeros,
+                q_.codes, q_.scales, q_.zeros, group=GROUP)
+            continue
         if TAIL:
             from lightcompress_tpu.ops.pallas_matmul import (
                 w4a8_attn_tail_fused,

@@ -1391,3 +1391,179 @@ def w4a8_attn_tail_fused(
         ),
     )(ctx, x, wo, so, zso, wg, sg, zsg, wd, sd, zsd)
     return out
+
+
+def _layer_fused_kernel(
+    ctx_ref, x_ref,
+    wo_ref, so_ref, zso_ref,
+    wg_ref, sg_ref, zsg_ref,
+    wd_ref, sd_ref, zsd_ref,
+    wq_ref, sq_ref, zsq_ref,
+    y_ref, qkv_ref,
+    h_scr, gu_scr, y_scr,
+    xq1, xs1, xsum1, xq2, xs2, xsum2, xq3, xs3, xsum3, xq4, xs4, xsum4,
+    *, group: int, eps: float,
+    n_o: int, nt_o: int, gpp_o: int,
+    n_g: int, nt_g: int, gpp_g: int,
+    n_d: int, nt_d: int, gpp_d: int,
+    n_q: int, nt_q: int, gpp_q: int,
+):
+    """Whole-layer-minus-attention kernel: the tail phases of layer i plus
+    the qkv projection of layer i+1 (rms(y) in-kernel), ONE launch per
+    layer (see w4a8_layer_fused)."""
+    b = ctx_ref.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        _qdq_prologue(ctx_ref[:].astype(jnp.float32), xq1, xs1, xsum1,
+                      b, gpp_o, group, False, eps)
+
+    @pl.when(i < n_o)
+    def _():
+        acc = _phase_dot(xq1, xsum1, wo_ref, so_ref, zso_ref,
+                         b, nt_o, gpp_o, group)
+        col = i * nt_o
+        h_scr[:, pl.ds(col, nt_o)] = (
+            x_ref[:, pl.ds(col, nt_o)].astype(jnp.float32) + acc * xs1[:])
+
+    @pl.when(i == n_o)
+    def _():
+        _qdq_prologue(h_scr[:], xq2, xs2, xsum2, b, gpp_g, group, True, eps)
+
+    @pl.when((i >= n_o) & (i < n_o + n_g))
+    def _():
+        acc = _phase_dot(xq2, xsum2, wg_ref, sg_ref, zsg_ref,
+                         b, nt_g, gpp_g, group)
+        col = (i - n_o) * nt_g
+        gu_scr[:, pl.ds(col, nt_g)] = acc * xs2[:]
+
+    @pl.when(i == n_o + n_g)
+    def _():
+        inter = (n_g * nt_g) // 2
+        g = gu_scr[:, :inter]
+        u = gu_scr[:, inter:]
+        mid = (g * jax.lax.logistic(g)) * u
+        _qdq_prologue(mid, xq3, xs3, xsum3, b, gpp_d, group, False, eps)
+
+    @pl.when((i >= n_o + n_g) & (i < n_o + n_g + n_d))
+    def _():
+        acc = _phase_dot(xq3, xsum3, wd_ref, sd_ref, zsd_ref,
+                         b, nt_d, gpp_d, group)
+        col = (i - n_o - n_g) * nt_d
+        yv = h_scr[:, pl.ds(col, nt_d)] + acc * xs3[:]
+        y_scr[:, pl.ds(col, nt_d)] = yv
+        y_ref[:, pl.ds(col, nt_d)] = yv.astype(y_ref.dtype)
+
+    @pl.when(i == n_o + n_g + n_d)
+    def _():
+        _qdq_prologue(y_scr[:], xq4, xs4, xsum4, b, gpp_q, group, True, eps)
+
+    @pl.when(i >= n_o + n_g + n_d)
+    def _():
+        acc = _phase_dot(xq4, xsum4, wq_ref, sq_ref, zsq_ref,
+                         b, nt_q, gpp_q, group)
+        col = (i - n_o - n_g - n_d) * nt_q
+        qkv_ref[:, pl.ds(col, nt_q)] = (acc * xs4[:]).astype(qkv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "eps", "interpret"))
+def w4a8_layer_fused(
+    ctx: Array, x: Array,
+    wo: Array, so: Array, zso: Array,
+    wg: Array, sg: Array, zsg: Array,
+    wd: Array, sd: Array, zsd: Array,
+    wq: Array, sq: Array, zsq: Array,
+    group: int = 128,
+    eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """(y, qkv_next) = layer tail of block i + qkv projection of block
+    i+1, ONE pallas_call per layer (the attention between qkv and o stays
+    XLA, whose async operand prefetch hides the KV reads under this
+    kernel's runtime).  wq is the NEXT block's fused qkv weight; its
+    pre-norm RMS runs in-kernel on y (gamma pre-folded).  Shapes as
+    w4a8_attn_tail_fused."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H = ctx.shape
+    n_o, gpp_o, nt_o, gw = wo.shape
+    n_g, gpp_g, nt_g, _ = wg.shape
+    n_d, gpp_d, nt_d, _ = wd.shape
+    n_q, gpp_q, nt_q, _ = wq.shape
+    assert gw == group and n_o * nt_o == H
+    inter2 = n_g * nt_g
+    Nq = n_q * nt_q
+
+    def w_in(shape, off, n_p):
+        return pl.BlockSpec(
+            (1,) + shape[1:],
+            lambda i, off=off, n_p=n_p: (jnp.clip(i - off, 0, n_p - 1),
+                                         0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def s_in(shape, off, n_p):
+        return pl.BlockSpec(
+            (shape[0], 1) + shape[2:],
+            lambda i, off=off, n_p=n_p: (0, jnp.clip(i - off, 0, n_p - 1),
+                                         0, 0),
+            memory_space=pltpu.VMEM)
+
+    no_, ng_, nd_, nq_ = n_o, n_g, n_d, n_q
+    grid = (no_ + ng_ + nd_ + nq_,)
+    kernel = functools.partial(
+        _layer_fused_kernel, group=group, eps=eps,
+        n_o=no_, nt_o=nt_o, gpp_o=gpp_o,
+        n_g=ng_, nt_g=nt_g, gpp_g=gpp_g,
+        n_d=nd_, nt_d=nt_d, gpp_d=gpp_d,
+        n_q=nq_, nt_q=nt_q, gpp_q=gpp_q,
+    )
+    full = pl.BlockSpec((B, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    qfull = pl.BlockSpec((B, Nq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    y, qkv = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H), x.dtype),
+                   jax.ShapeDtypeStruct((B, Nq), x.dtype)),
+        grid=grid,
+        in_specs=[
+            full, full,
+            w_in(wo.shape, 0, no_), s_in(so.shape, 0, no_),
+            s_in(zso.shape, 0, no_),
+            w_in(wg.shape, no_, ng_), s_in(sg.shape, no_, ng_),
+            s_in(zsg.shape, no_, ng_),
+            w_in(wd.shape, no_ + ng_, nd_), s_in(sd.shape, no_ + ng_, nd_),
+            s_in(zsd.shape, no_ + ng_, nd_),
+            w_in(wq.shape, no_ + ng_ + nd_, nq_),
+            s_in(sq.shape, no_ + ng_ + nd_, nq_),
+            s_in(zsq.shape, no_ + ng_ + nd_, nq_),
+        ],
+        out_specs=(full, qfull),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, inter2), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, H // group), jnp.float32),
+            pltpu.VMEM((B, H), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, H // group), jnp.float32),
+            pltpu.VMEM((B, inter2 // 2), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, (inter2 // 2) // group), jnp.float32),
+            pltpu.VMEM((B, H), jnp.int8),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, H // group), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (H * H + H * inter2 + (inter2 // 2) * H
+                           + H * Nq),
+            bytes_accessed=(wo.size + wg.size + wd.size + wq.size) * 4,
+            transcendentals=B * inter2 // 2,
+        ),
+    )(ctx, x, wo, so, zso, wg, sg, zsg, wd, sd, zsd, wq, sq, zsq)
+    return y, qkv

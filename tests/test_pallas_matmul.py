@@ -467,3 +467,61 @@ def test_attn_tail_megakernel_matches_composition():
     # the megakernel re-quantizes its intermediates in-kernel (same spots
     # the split pipeline quantizes in XLA) — only bf16 rounding differs
     assert rel < 2e-2, rel
+
+
+def test_layer_fused_kernel_matches_composition():
+    """Single-launch layer kernel (tail + next block's qkv) == composed
+    separate ops."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_int4_planes, quantize_act_per_token, tile_packed, tile_scales,
+        w4a8_layer_fused, w4a8_matmul_planes,
+    )
+
+    rng = np.random.RandomState(9)
+    B, H, I, g = 8, 1024, 2048, 128
+    Nq = int(1.5 * H)
+
+    def mk(oc, ic, nt):
+        codes = jnp.asarray(rng.randint(0, 16, (oc, ic)), jnp.int32)
+        s = jnp.asarray(rng.rand(oc, ic // g) * 0.02 + 0.005, jnp.float32)
+        z = jnp.asarray(rng.randint(0, 16, (oc, ic // g)), jnp.float32)
+        gpp = ic // 8 // g
+        wp = tile_packed(pack_int4_planes(codes), nt, g)
+        sr = tile_scales(s, nt, gpp).astype(jnp.bfloat16)
+        zsr = tile_scales(z * s, nt, gpp).astype(jnp.bfloat16)
+        return wp, sr, zsr
+
+    wo, so, zso = mk(H, H, 256)
+    wg, sg, zsg = mk(2 * I, H, 512)
+    wd, sd, zsd = mk(H, I, 256)
+    wq, sq, zsq = mk(Nq, H, 256)
+    ctx = jnp.asarray(rng.randn(B, H), jnp.bfloat16)
+    x = jnp.asarray(rng.randn(B, H), jnp.bfloat16)
+
+    y, qkv = w4a8_layer_fused(ctx, x, wo, so, zso, wg, sg, zsg,
+                              wd, sd, zsd, wq, sq, zsq, group=g,
+                              interpret=True)
+
+    def ql(h, wp, sr, zsr, nt):
+        xq, xs = quantize_act_per_token(h)
+        return w4a8_matmul_planes(xq, xs, wp, sr, zsr, group=g, n_tile=nt,
+                                  interpret=True)
+
+    h = x.astype(jnp.float32) + ql(ctx, wo, so, zso, 256)
+    h2 = h * jax.lax.rsqrt(jnp.mean(h * h, -1, keepdims=True) + 1e-6)
+    gu = ql(h2.astype(jnp.float32), wg, sg, zsg, 512)
+    mid = jax.nn.silu(gu[:, :I]) * gu[:, I:]
+    yref = h + ql(mid, wd, sd, zsd, 256)
+    y2 = yref * jax.lax.rsqrt(jnp.mean(yref * yref, -1, keepdims=True)
+                              + 1e-6)
+    qref = ql(y2.astype(jnp.float32), wq, sq, zsq, 256)
+
+    rel = float(jnp.linalg.norm(y.astype(jnp.float32) - yref)
+                / jnp.linalg.norm(yref))
+    relq = float(jnp.linalg.norm(qkv.astype(jnp.float32) - qref)
+                 / jnp.linalg.norm(qref))
+    assert rel < 2e-2, rel
+    assert relq < 3e-2, relq
