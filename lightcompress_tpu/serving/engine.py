@@ -273,9 +273,12 @@ class LLMEngine:
         # fresh copy of the full (L,S,H,T,D) cache each step; generate()
         # reassigns self.cache from the output immediately, so the donated
         # buffer is never reused
-        self._decode_jit = jax.jit(self._decode_step, donate_argnums=(0,))
+        # sw rides as a TRACED argument (ServingWeights is a pytree):
+        # closing over it embeds GBs of constants in the executable and
+        # re-ships them per call through tunneled runtimes
+        self._decode_jit = jax.jit(self._decode_step, donate_argnums=(1,))
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",),
-                                    donate_argnums=(0,))
+                                    donate_argnums=(1,))
 
     def reset(self):
         a = self.arch
@@ -324,10 +327,10 @@ class LLMEngine:
         self.cache = dataclasses.replace(self.cache, block_table=table)
 
     # ------------------------------------------------------------------
-    def _prefill(self, cache, lengths, ids, slot, true_len, T: int):
+    def _prefill(self, sw, cache, lengths, ids, slot, true_len, T: int):
         """Run one padded prompt (1, T) through the model, writing KV into
         ``slot``; returns (cache, lengths, last-token logits)."""
-        sw, arch = self.sw, self.arch
+        arch = sw.arch
         x = sw.embed[ids]  # (1, T, H)
         if sw.embed_pos is not None:
             x = x + sw.embed_pos[jnp.arange(T) + 2]
@@ -352,10 +355,10 @@ class LLMEngine:
             else:
                 cache = _append_one_slot(cache, li, slot, k_new, v_new)
         xl = A.rmsnorm(
-            x, self.sw.norm.get("weight"), arch.rms_eps
+            x, sw.norm.get("weight"), arch.rms_eps
         ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
-            A.layernorm(x, self.sw.norm.get("weight"),
-                        self.sw.norm.get("bias"), 1e-5)
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
         )
         logits = jnp.einsum(
             "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
@@ -366,9 +369,9 @@ class LLMEngine:
         return cache, lengths, last
 
     # ------------------------------------------------------------------
-    def _decode_step(self, cache, lengths, cur_tokens, active_mask):
+    def _decode_step(self, sw, cache, lengths, cur_tokens, active_mask):
         """One token for every active slot (S batched)."""
-        sw, arch = self.sw, self.arch
+        arch = sw.arch
         S = self.max_slots
         x = sw.embed[cur_tokens][:, None, :]  # (S, 1, H)
         if sw.embed_pos is not None:
@@ -408,10 +411,10 @@ class LLMEngine:
             else:
                 cache = append_kv(cache, li, k_new, v_new, lengths)
         xl = A.rmsnorm(
-            x, self.sw.norm.get("weight"), arch.rms_eps
+            x, sw.norm.get("weight"), arch.rms_eps
         ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
-            A.layernorm(x, self.sw.norm.get("weight"),
-                        self.sw.norm.get("bias"), 1e-5)
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
         )
         logits = jnp.einsum(
             "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
@@ -452,7 +455,7 @@ class LLMEngine:
                     ids = np.zeros((1, T), np.int32)
                     ids[0, : len(req.prompt)] = req.prompt
                     self.cache, self.lengths, logits = self._prefill_jit(
-                        self.cache, self.lengths, jnp.asarray(ids),
+                        self.sw, self.cache, self.lengths, jnp.asarray(ids),
                         jnp.asarray(slot), jnp.asarray(len(req.prompt)), T=T,
                     )
                     self.key, sk = jax.random.split(self.key)
@@ -472,7 +475,8 @@ class LLMEngine:
                         self._map_pages(slot, int(self.lengths[slot]) + 1)
             active_mask = jnp.asarray(active)
             self.cache, self.lengths, logits = self._decode_jit(
-                self.cache, self.lengths, self.cur_tokens, active_mask
+                self.sw, self.cache, self.lengths, self.cur_tokens,
+                active_mask
             )
             self.key, sk = jax.random.split(self.key)
             toks = np.asarray(sample(logits, sampling, sk))

@@ -22,23 +22,31 @@ from ..quant import QParams, QuantSpec
 Array = jax.Array
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ServingWeights:
-    arch: A.ArchSpec
-    embed: Array  # bf16 (vocab, hidden)
-    embed_pos: Optional[Array]
-    norm: Dict[str, Array]
-    lm_head: Array
-    blocks: List[Dict[str, Any]]  # name -> QLinearParams | {'weight','bias'}
-    wbits: int
+    """Registered as a pytree so engines pass it as a TRACED jit argument
+    — closing over it embeds GBs of weight constants in the executable
+    (and re-ships them per call through tunneled runtimes, the r1
+    closure-capture bug class)."""
+
+    arch: A.ArchSpec = dataclasses.field(metadata=dict(static=True))
+    embed: Array = None  # bf16 (vocab, hidden)
+    embed_pos: Optional[Array] = None
+    norm: Dict[str, Array] = None
+    lm_head: Array = None
+    blocks: List[Dict[str, Any]] = None  # name -> QLinearParams | {...}
+    wbits: int = dataclasses.field(metadata=dict(static=True), default=4)
     # 16 = W4A16; 8 = W4A8 (per-token dynamic int8 acts on the MXU int8 path)
-    act_bits: int = 16
+    act_bits: int = dataclasses.field(metadata=dict(static=True),
+                                      default=16)
     # True = RMSNorm gammas were folded into the pre-norm linears' weights
     # at quantization time (W' = W * gamma[None, :], exact since the fold
     # happens before quantization) and the stored ln weights are ones.
     # The plain path stays correct (norm with ones + folded linear); the
     # fused decode kernel additionally runs the norm+act-quant in-kernel.
-    fused_rms: bool = False
+    fused_rms: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     def tree_blocks(self):
         return self.blocks

@@ -51,8 +51,8 @@ def _teacher_forced_corr(model, engine, tokens, n_steps):
     ids[0, : len(prompt)] = prompt
     engine.reset()
     cache, lengths, last = engine._prefill_jit(
-        engine.cache, engine.lengths, jnp.asarray(ids), jnp.asarray(0),
-        jnp.asarray(len(prompt)), T=T,
+        engine.sw, engine.cache, engine.lengths, jnp.asarray(ids),
+        jnp.asarray(0), jnp.asarray(len(prompt)), T=T,
     )
     corrs = []
     ref = model.forward(jnp.asarray([prompt]))[0, -1]
@@ -64,7 +64,8 @@ def _teacher_forced_corr(model, engine, tokens, n_steps):
         seq.append(tok)
         cur = cur.at[0].set(tok)
         active = jnp.asarray([True] + [False] * (engine.max_slots - 1))
-        cache, lengths, logits = engine._decode_jit(cache, lengths, cur, active)
+        cache, lengths, logits = engine._decode_jit(
+            engine.sw, cache, lengths, cur, active)
         ref = model.forward(jnp.asarray([seq]))[0, -1]
         corrs.append(float(jnp.corrcoef(logits[0], ref)[0, 1]))
     return corrs

@@ -42,13 +42,19 @@ def make_weights():
     blocks = []
     for k in jax.random.split(key, LAYERS):
         lw = make_layer_qweights(k)
-        blocks.append({
+        entry = {
             "ln1": {"weight": jnp.ones((HIDDEN,), jnp.bfloat16)},
             "ln2": {"weight": jnp.ones((HIDDEN,), jnp.bfloat16)},
-            "attn.q": lw["q"], "attn.k": lw["k"], "attn.v": lw["v"],
-            "attn.o": lw["o"], "mlp.gate": lw["gate"], "mlp.up": lw["up"],
-            "mlp.down": lw["down"],
-        })
+            "attn.o": lw["o"], "mlp.down": lw["down"],
+        }
+        if "qkv" in lw:  # bench BENCH_FUSED default: merged serving layout
+            entry["attn.qkv"] = lw["qkv"]
+            entry["mlp.gateup"] = lw["gateup"]
+        else:
+            entry.update({"attn.q": lw["q"], "attn.k": lw["k"],
+                          "attn.v": lw["v"], "mlp.gate": lw["gate"],
+                          "mlp.up": lw["up"]})
+        blocks.append(entry)
     emb = jax.random.normal(key, (VOCAB, HIDDEN), jnp.bfloat16) * 0.02
     return ServingWeights(
         arch=arch, embed=emb, embed_pos=None,
