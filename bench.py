@@ -1,12 +1,15 @@
-"""Benchmark: W4A16 decode throughput on Llama-3-8B-shaped weights.
+"""Benchmark: W4A8 + int8-KV decode throughput on Llama-3-8B-shaped
+weights (batch 32, 1024-token context), real TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-
-Measures tokens/s of a full 32-layer decode step (batch 32, 1024-token KV
-context) with grouped-INT4 weights dequantized on the fly, on the real TPU
-chip.  ``vs_baseline`` = fraction of the HBM-bandwidth roofline: a decode
-step must read every packed weight byte once, so
+``vs_baseline`` = fraction of the HBM-bandwidth roofline: a decode step
+must read every packed weight byte and KV-cache byte once, so
 roofline tokens/s = batch * HBM_BW / bytes_read.
+
+Default config (fastest measured, r2): qkv+gateup-fused Pallas planes
+kernels (4 launches/layer, 4MB tiles, pre-tiled bf16 scales) + the XLA
+int8-dequant+concat attention einsum.  Every alternative is an env knob
+with its measured number recorded below.
 """
 
 import json

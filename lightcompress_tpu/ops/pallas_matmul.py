@@ -46,9 +46,9 @@ def _vmem_limit_bytes() -> int:
 # packing
 # ---------------------------------------------------------------------------
 
-def _maybe_vmem_params(weight_block_bytes: int):
-    """CompilerParams with a raised scoped-VMEM cap ONLY when the block
-    working set exceeds Mosaic's 16MB default.  Measured: passing a 100MB
+def _maybe_vmem_params(est_bytes: int):
+    """CompilerParams with a raised scoped-VMEM cap ONLY when the
+    estimated working set exceeds Mosaic's 16MB default.  Measured: passing a 100MB
     vmem_limit_bytes unconditionally SLOWS the planes kernel ~19% (3333 ->
     2706 tok/s end-to-end) — the limit feeds Mosaic's buffering
     heuristics.  LCTPU_VMEM_LIMIT_MB forces the override for experiments."""
@@ -57,8 +57,7 @@ def _maybe_vmem_params(weight_block_bytes: int):
     from jax.experimental.pallas import tpu as pltpu
 
     forced = os.environ.get("LCTPU_VMEM_LIMIT_MB")
-    est = 2 * weight_block_bytes + (6 << 20)
-    if forced is None and est <= 15 << 20:
+    if forced is None and est_bytes <= 15 << 20:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
 
@@ -314,7 +313,9 @@ def w4a16_matmul_planes_masked(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + B * N * 4
+            + 2 * B * K + (2 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * K // 2 + B * K * 2 + B * N * 4,
@@ -437,7 +438,9 @@ def w4a16_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + B * N * 4
+            + 2 * B * K + (2 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K * 2,
@@ -540,7 +543,9 @@ def w4a8_matmul_planes(
         out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-        compiler_params=_maybe_vmem_params(gpp * n_tile * group * 4),
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + B * N * 4
+            + 2 * B * K + (2 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * K,
             bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K,
