@@ -234,6 +234,7 @@ class LLMEngine:
         n_pages: Optional[int] = None,
         mesh=None,
         attn_impl: str = "auto",
+        decode_chunk: int = 1,
     ):
         # decode attention: "pallas" = int8-MXU kernel over the slot cache
         # (contiguous multi-MB DMA slabs, fresh token in-register);
@@ -279,6 +280,16 @@ class LLMEngine:
         self._decode_jit = jax.jit(self._decode_step, donate_argnums=(1,))
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",),
                                     donate_argnums=(1,))
+        # multi-step on-device decode (JetStream-style chunked scheduling):
+        # n_steps decode iterations + on-device sampling in ONE dispatch —
+        # the host only sees tokens every chunk, which matters whenever
+        # host<->device latency is non-trivial (decode_chunk > 1 opts in;
+        # EOS/retirement are handled at chunk boundaries, late junk tokens
+        # are discarded host-side)
+        self.decode_chunk = max(1, int(decode_chunk))
+        self._decode_chunk_jit = jax.jit(
+            self._decode_chunk, static_argnames=("n_steps", "sp"),
+            donate_argnums=(1,))
 
     def reset(self):
         a = self.arch
@@ -424,6 +435,26 @@ class LLMEngine:
         return cache, lengths, logits
 
     # ------------------------------------------------------------------
+    def _decode_chunk(self, sw, cache, lengths, cur_tokens, active_mask,
+                      key, n_steps: int, sp: SamplingParams):
+        """n_steps decode iterations with ON-DEVICE sampling; returns the
+        (n_steps, S) token buffer.  The carried PRNG key keeps sampling
+        semantics identical to the per-step host loop."""
+        S = self.max_slots
+        buf0 = jnp.zeros((n_steps, S), jnp.int32)
+
+        def body(i, carry):
+            cache, lengths, cur, key, buf = carry
+            cache, lengths, logits = self._decode_step(
+                sw, cache, lengths, cur, active_mask)
+            key, sk = jax.random.split(key)
+            nxt = sample(logits, sp, sk)
+            return (cache, lengths, nxt, key, buf.at[i].set(nxt))
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (cache, lengths, cur_tokens, key, buf0))
+
+    # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
         for b in self.prefill_buckets:
             if n <= b:
@@ -474,26 +505,46 @@ class LLMEngine:
                     if req is not None:
                         self._map_pages(slot, int(self.lengths[slot]) + 1)
             active_mask = jnp.asarray(active)
-            self.cache, self.lengths, logits = self._decode_jit(
-                self.sw, self.cache, self.lengths, self.cur_tokens,
-                active_mask
-            )
-            self.key, sk = jax.random.split(self.key)
-            toks = np.asarray(sample(logits, sampling, sk))
-            for slot, req in enumerate(self.slot_req):
-                if req is None:
-                    continue
-                tok = int(toks[slot])
-                req.out_tokens.append(tok)
-                self.cur_tokens = self.cur_tokens.at[slot].set(tok)
-                hit_eos = eos_token_id is not None and tok == eos_token_id
-                full = int(self.lengths[slot]) >= self.max_len - 1
-                if len(req.out_tokens) >= req.max_new_tokens or hit_eos or full:
-                    results[req.req_id] = req.out_tokens
-                    self.slot_req[slot] = None
-                    self.lengths = self.lengths.at[slot].set(0)
-                    if self.paged:
-                        self._release_pages(slot)
+            if self.decode_chunk > 1 and not self.paged:
+                live = [r for r in self.slot_req if r is not None]
+                remaining = min(r.max_new_tokens - len(r.out_tokens)
+                                for r in live)
+                room = self.max_len - 1 - max(
+                    int(self.lengths[sl])
+                    for sl, r in enumerate(self.slot_req) if r is not None)
+                n = max(1, min(self.decode_chunk, remaining, room))
+                (self.cache, self.lengths, self.cur_tokens, self.key,
+                 buf) = self._decode_chunk_jit(
+                    self.sw, self.cache, self.lengths, self.cur_tokens,
+                    active_mask, self.key, n_steps=n, sp=sampling)
+                tok_rows = np.asarray(buf)  # (n, S)
+            else:
+                self.cache, self.lengths, logits = self._decode_jit(
+                    self.sw, self.cache, self.lengths, self.cur_tokens,
+                    active_mask
+                )
+                self.key, sk = jax.random.split(self.key)
+                tok_rows = np.asarray(sample(logits, sampling, sk))[None]
+            done_slots = set()
+            for row in tok_rows:
+                for slot, req in enumerate(self.slot_req):
+                    if req is None or slot in done_slots:
+                        continue
+                    tok = int(row[slot])
+                    req.out_tokens.append(tok)
+                    self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+                    hit_eos = (eos_token_id is not None
+                               and tok == eos_token_id)
+                    full = int(self.lengths[slot]) >= self.max_len - 1
+                    if (len(req.out_tokens) >= req.max_new_tokens or hit_eos
+                            or full):
+                        results[req.req_id] = req.out_tokens
+                        done_slots.add(slot)
+            for slot in done_slots:
+                self.slot_req[slot] = None
+                self.lengths = self.lengths.at[slot].set(0)
+                if self.paged:
+                    self._release_pages(slot)
         return [results[i] for i in range(n_total)]
 
 

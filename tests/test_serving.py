@@ -394,3 +394,19 @@ def test_engine_fused_qkv_weights(tiny_setup):
                                             temperature=0.0))
     agree = sum(a == b for a, b in zip(gfp[0], gs[0]))
     assert agree >= 4, (gfp, gs)
+
+
+def test_engine_chunked_decode_matches_per_step(tiny_setup):
+    """decode_chunk>1 runs multiple decode steps + sampling on-device per
+    dispatch (chunked scheduling); greedy output must equal the per-step
+    engine exactly."""
+    model, sw = tiny_setup
+    eng1 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,))
+    engc = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,), decode_chunk=4)
+    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=9, temperature=0.0)
+    g1 = eng1.generate(p, sp)
+    gc = engc.generate(p, sp)
+    assert g1 == gc, (g1, gc)

@@ -67,8 +67,10 @@ def main():
     from lightcompress_tpu.serving import LLMEngine, SamplingParams
 
     sw = make_weights()
+    chunk = int(os.environ.get("CHUNK", "16"))
     eng = LLMEngine(sw, max_slots=SLOTS, max_len=PROMPT + NEW + 8,
-                    kv_bits=8, prefill_buckets=(PROMPT,))
+                    kv_bits=8, prefill_buckets=(PROMPT,),
+                    decode_chunk=chunk)
     rng = np.random.RandomState(0)
     prompts = [rng.randint(1, VOCAB, size=(PROMPT,)).tolist()
                for _ in range(SLOTS)]
