@@ -501,16 +501,18 @@ class LLMEngine:
             if self.paged:
                 # map a fresh page for any slot whose next token crosses a
                 # page boundary (host-side allocator, table is a jit arg)
+                lengths_np = np.asarray(self.lengths)
                 for slot, req in enumerate(self.slot_req):
                     if req is not None:
-                        self._map_pages(slot, int(self.lengths[slot]) + 1)
+                        self._map_pages(slot, int(lengths_np[slot]) + 1)
             active_mask = jnp.asarray(active)
             if self.decode_chunk > 1 and not self.paged:
                 live = [r for r in self.slot_req if r is not None]
                 remaining = min(r.max_new_tokens - len(r.out_tokens)
                                 for r in live)
+                lens_np = np.asarray(self.lengths)
                 room = self.max_len - 1 - max(
-                    int(self.lengths[sl])
+                    int(lens_np[sl])
                     for sl, r in enumerate(self.slot_req) if r is not None)
                 n = max(1, min(self.decode_chunk, remaining, room))
                 (self.cache, self.lengths, self.cur_tokens, self.key,
@@ -525,6 +527,12 @@ class LLMEngine:
                 )
                 self.key, sk = jax.random.split(self.key)
                 tok_rows = np.asarray(sample(logits, sampling, sk))[None]
+            # host-side bookkeeping: ONE device->host read for lengths
+            # and ONE batched device update each for cur_tokens/lengths —
+            # a per-(step, slot) .at[].set here costs a full dispatch
+            # round-trip per token (measured 0.47 s/step through the
+            # tunnel; the decode itself is milliseconds)
+            lengths_np = np.asarray(self.lengths)
             done_slots = set()
             for row in tok_rows:
                 for slot, req in enumerate(self.slot_req):
@@ -532,19 +540,26 @@ class LLMEngine:
                         continue
                     tok = int(row[slot])
                     req.out_tokens.append(tok)
-                    self.cur_tokens = self.cur_tokens.at[slot].set(tok)
                     hit_eos = (eos_token_id is not None
                                and tok == eos_token_id)
-                    full = int(self.lengths[slot]) >= self.max_len - 1
+                    full = int(lengths_np[slot]) >= self.max_len - 1
                     if (len(req.out_tokens) >= req.max_new_tokens or hit_eos
                             or full):
                         results[req.req_id] = req.out_tokens
                         done_slots.add(slot)
-            for slot in done_slots:
-                self.slot_req[slot] = None
-                self.lengths = self.lengths.at[slot].set(0)
-                if self.paged:
-                    self._release_pages(slot)
+            # device cur_tokens already carries each slot's last sampled
+            # token (the chunk loop feeds it forward); per-step mode needs
+            # one batched correction for active slots
+            if tok_rows.shape[0] == 1:
+                self.cur_tokens = jnp.where(
+                    active_mask, jnp.asarray(tok_rows[-1]), self.cur_tokens)
+            if done_slots:
+                idx = jnp.asarray(sorted(done_slots))
+                self.lengths = self.lengths.at[idx].set(0)
+                for slot in done_slots:
+                    self.slot_req[slot] = None
+                    if self.paged:
+                        self._release_pages(slot)
         return [results[i] for i in range(n_total)]
 
 
