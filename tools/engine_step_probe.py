@@ -1,0 +1,73 @@
+"""Isolate the engine's per-decode-step cost: time _decode_chunk_jit at
+two chunk lengths and difference ((t_hi - t_lo) / (n_hi - n_lo)) to cancel
+dispatch latency.  Compares against the bare decode-stack floor
+(bench.py: ~9.6ms/step at B=32; here S slots)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+
+def main():
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_engine import make_weights
+    from lightcompress_tpu.serving import LLMEngine, SamplingParams
+
+    SLOTS = int(os.environ.get("SLOTS", "16"))
+    T = 256
+    sw = make_weights()
+    eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=8,
+                    prefill_buckets=(T,), decode_chunk=16)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(1, 32000, size=(T,)).tolist()
+               for _ in range(SLOTS)]
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0)
+    eng.generate(prompts, sp)  # prefill all slots + tiny decode (compiles)
+
+    # slots are retired now; re-prefill to refill
+    eng.reset()
+    eng.generate(prompts, SamplingParams(max_new_tokens=1, temperature=0.0))
+    eng.reset()
+
+    # manual: prefill via engine internals, then time raw chunk calls
+    for slot, p in enumerate(prompts):
+        ids = np.zeros((1, T), np.int32)
+        ids[0, :len(p)] = p
+        eng.cache, eng.lengths, logits = eng._prefill_jit(
+            eng.sw, eng.cache, eng.lengths, jnp.asarray(ids),
+            jnp.asarray(slot), jnp.asarray(len(p)), T=T)
+    active = jnp.ones((SLOTS,), bool)
+    cur = jnp.ones((SLOTS,), jnp.int32)
+
+    def run(n):
+        out = eng._decode_chunk_jit(eng.sw, eng.cache, eng.lengths, cur,
+                                    active, eng.key, n_steps=n, sp=sp)
+        eng.cache = out[0]  # keep donation chain valid
+        float(jnp.sum(out[4]))
+        return out
+
+    for n in (8, 48):
+        run(n)  # compile
+    t0 = time.perf_counter()
+    run(8)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(48)
+    t_hi = time.perf_counter() - t0
+    per = (t_hi - t_lo) / 40
+    print(json.dumps({"per_step_ms": round(per * 1e3, 2),
+                      "slots": SLOTS,
+                      "tok_per_s": round(SLOTS / per, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
