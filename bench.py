@@ -201,7 +201,33 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             k = lin(x, lw["k"], True).reshape(B, N_KV, 1, HEAD_DIM)
             v = lin(x, lw["v"], True).reshape(B, N_KV, 1, HEAD_DIM)
         G = N_HEADS // N_KV
-        if KV_BITS == 8:
+        if KV_BITS == 4:
+            # KIVI-class nibble-packed KV (serving kv_bits=4): halves the
+            # decode-dominant KV stream; XLA fuses unpack+dequant into the
+            # attention einsums like the int8 path
+            from lightcompress_tpu.serving.kv_cache import (
+                quantize_kv4, unpack_kv4,
+            )
+
+            ks_, vs_ = kv_scales[li]  # (B, N_KV, CTX) bf16
+            k4, ksn = quantize_kv4(k)
+            v4, vsn = quantize_kv4(v)
+            kc = jnp.concatenate([k_cache[li], k4], axis=2)
+            vc = jnp.concatenate([v_cache[li], v4], axis=2)
+            ksc = jnp.concatenate([ks_, ksn], axis=-1)
+            vsc = jnp.concatenate([vs_, vsn], axis=-1)
+            qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+            kf = unpack_kv4(kc).astype(jnp.bfloat16)
+            sc = jnp.einsum("bkgd,bksd->bkgs", qg, kf)
+            sc = sc * ksc[:, :, None, :].astype(jnp.float32) * \
+                (HEAD_DIM ** -0.5)
+            probs = jax.nn.softmax(sc.astype(jnp.float32), -1)
+            pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
+            vf = unpack_kv4(vc).astype(jnp.bfloat16)
+            ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vf)
+            ctx = ctx.reshape(B, -1).astype(x.dtype)
+        elif KV_BITS == 8:
             ks, vs = kv_scales[li]  # (B, N_KV, CTX) f32 each
             # quantize the new token like the serving cache, append int8
             def q8(t):
@@ -420,7 +446,9 @@ def main():
     key = jax.random.PRNGKey(0)
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
-    kv_dt = jnp.int8 if KV_BITS == 8 else jnp.bfloat16
+    kv_dt = jnp.int8 if KV_BITS in (4, 8) else jnp.bfloat16
+    if KV_BITS == 4:
+        assert ATTN_IMPL == "xla", "kv4 uses the XLA unpack path"
     if ATTN_IMPL == "bd":
         # feature-major K / time-major V slabs for the block-diagonal kernel
         k_cache = [
@@ -432,12 +460,13 @@ def main():
             for _ in range(LAYERS)
         ]
     else:
+        kdim = HEAD_DIM // 2 if KV_BITS == 4 else HEAD_DIM
         k_cache = [
-            jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt)
+            jnp.zeros((BATCH, N_KV, CTX, kdim), kv_dt)
             for _ in range(LAYERS)
         ]
         v_cache = [
-            jnp.zeros((BATCH, N_KV, CTX, HEAD_DIM), kv_dt)
+            jnp.zeros((BATCH, N_KV, CTX, kdim), kv_dt)
             for _ in range(LAYERS)
         ]
     # bf16 KV scales (serving kv_cache default): halves the scale stream
@@ -445,7 +474,7 @@ def main():
         (jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16),
          jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16))
         for _ in range(LAYERS)
-    ] if KV_BITS == 8 else [None] * LAYERS
+    ] if KV_BITS in (4, 8) else [None] * LAYERS
 
     # Measurement protocol for the tunneled runtime: iterations chained
     # ON-DEVICE in one fori_loop (each step feeds the next), ended with a
@@ -523,9 +552,10 @@ def main():
         for lw in layers
         for n in lw
     )
-    kv_elem = 1 if KV_BITS == 8 else 2
-    kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (HEAD_DIM * kv_elem
-                                                  + (2 if KV_BITS == 8
+    kv_code_bytes = {4: HEAD_DIM // 2, 8: HEAD_DIM,
+                     16: HEAD_DIM * 2}[KV_BITS]
+    kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (kv_code_bytes
+                                                  + (2 if KV_BITS in (4, 8)
                                                      else 0))
     roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
 

@@ -565,7 +565,23 @@ class LLMEngine:
 
 def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):
     """Write (1, H, T, D) new KV at position 0 of one slot (prefill)."""
-    from .kv_cache import quantize_kv
+    from .kv_cache import quantize_kv, quantize_kv4
+
+    if cache.bits == 4:
+        kq, ks = quantize_kv4(k_new)
+        vq, vs = quantize_kv4(v_new)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, kq.astype(cache.k.dtype)[None],
+            (layer, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, vq.astype(cache.v.dtype)[None],
+            (layer, slot, 0, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks[None], (layer, slot, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs[None], (layer, slot, 0, 0))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
 
     if cache.layout == "bd":
         import dataclasses as _dc

@@ -46,6 +46,17 @@ class KVCache:
                 jnp.zeros(sshape, jnp.bfloat16), 8, "bd",
             )
         shape = (n_layers, n_slots, n_kv_heads, max_len, head_dim)
+        if bits == 4:
+            # KIVI-class 4-bit KV (kvquant.py parity at serving time):
+            # two codes per byte along head_dim, per-(head, token) scale
+            assert head_dim % 2 == 0
+            p4 = shape[:-1] + (head_dim // 2,)
+            return KVCache(
+                jnp.zeros(p4, jnp.int8), jnp.zeros(p4, jnp.int8),
+                jnp.zeros(shape[:-1], jnp.bfloat16),
+                jnp.zeros(shape[:-1], jnp.bfloat16),
+                4,
+            )
         if bits == 8:
             return KVCache(
                 jnp.zeros(shape, jnp.int8),
@@ -77,6 +88,31 @@ def quantize_kv(x: Array, scale_dtype=jnp.bfloat16):
     return q, scale
 
 
+def quantize_kv4(x: Array, scale_dtype=jnp.bfloat16):
+    """Per-(..., token) symmetric int4 over head_dim, nibble-packed:
+    x (..., T, D) -> codes (..., T, D/2) int8 + scale.  amax/7 scaling,
+    codes in [-8, 7]; low nibble = even d, high nibble = odd d."""
+    amax = jnp.clip(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-6,
+                    None)
+    scale = (amax / 7.0).astype(scale_dtype)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32)
+                           / scale[..., None].astype(jnp.float32)),
+                 -8, 7).astype(jnp.int32)
+    lo = q[..., 0::2] & 0xF
+    hi = q[..., 1::2] & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8), scale
+
+
+def unpack_kv4(packed: Array) -> Array:
+    """(..., D/2) int8 nibble pairs -> (..., D) f32 codes in [-8, 7]."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 0x8) - 8          # sign-extend low nibble
+    hi = (((p >> 4) & 0xF) ^ 0x8) - 8
+    out = jnp.stack([lo, hi], axis=-1)  # (..., D/2, 2)
+    return out.reshape(*packed.shape[:-1],
+                       packed.shape[-1] * 2).astype(jnp.float32)
+
+
 def append_kv(
     cache: KVCache, layer: int, k_new: Array, v_new: Array, lengths: Array
 ) -> KVCache:
@@ -92,6 +128,19 @@ def append_kv(
     def upd_scale_slot(buf_s, new_s, pos):
         return jax.lax.dynamic_update_slice(buf_s, new_s, (0, pos))
 
+    if cache.bits == 4:
+        kq, ks = quantize_kv4(k_new)
+        vq, vs = quantize_kv4(v_new)
+        k = cache.k.at[layer].set(
+            jax.vmap(upd_slot)(cache.k[layer], kq, lengths))
+        v = cache.v.at[layer].set(
+            jax.vmap(upd_slot)(cache.v[layer], vq, lengths))
+        k_scale = cache.k_scale.at[layer].set(
+            jax.vmap(upd_scale_slot)(cache.k_scale[layer], ks, lengths))
+        v_scale = cache.v_scale.at[layer].set(
+            jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
     if cache.bits == 8:
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
@@ -119,6 +168,10 @@ def append_kv(
 
 def read_kv(cache: KVCache, layer: int) -> Tuple[Array, Array]:
     """Dequantized (S, H, T, D) bf16 views of one layer."""
+    if cache.bits == 4:
+        k = unpack_kv4(cache.k[layer]) * cache.k_scale[layer][..., None]
+        v = unpack_kv4(cache.v[layer]) * cache.v_scale[layer][..., None]
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
     if cache.bits == 8:
         k = cache.k[layer].astype(jnp.float32) * cache.k_scale[layer][..., None]
         v = cache.v[layer].astype(jnp.float32) * cache.v_scale[layer][..., None]

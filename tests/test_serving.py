@@ -410,3 +410,34 @@ def test_engine_chunked_decode_matches_per_step(tiny_setup):
     g1 = eng1.generate(p, sp)
     gc = engc.generate(p, sp)
     assert g1 == gc, (g1, gc)
+
+
+def test_engine_kv4_cache(tiny_setup):
+    """4-bit nibble-packed KV cache (KIVI-class serving): generation stays
+    consistent with the int8-KV engine on greedy decoding."""
+    model, sw = tiny_setup
+    eng4 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=4,
+                     prefill_buckets=(16,))
+    assert eng4.cache.bits == 4
+    assert eng4.cache.k.shape[-1] == sw.arch.head_dim // 2
+    eng8 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,))
+    p = [[3, 17, 9, 2, 100]]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    g4 = eng4.generate(p, sp)
+    g8 = eng8.generate(p, sp)
+    agree = sum(a == b for a, b in zip(g4[0], g8[0]))
+    assert agree >= 4, (g4, g8)
+
+
+def test_quantize_kv4_roundtrip():
+    import numpy as np
+    from lightcompress_tpu.serving.kv_cache import quantize_kv4, unpack_kv4
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 8, 16), jnp.float32)
+    q, s = quantize_kv4(x)
+    assert q.shape == (2, 3, 8, 8) and q.dtype == jnp.int8
+    deq = unpack_kv4(q) * s[..., None].astype(jnp.float32)
+    rel = float(jnp.linalg.norm(deq - x) / jnp.linalg.norm(x))
+    assert rel < 0.12, rel  # int4 symmetric quant noise
