@@ -209,6 +209,8 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                 quantize_kv4, unpack_kv4,
             )
 
+            from lightcompress_tpu.serving.kv_cache import kv4_planes
+
             ks_, vs_ = kv_scales[li]  # (B, N_KV, CTX) bf16
             k4, ksn = quantize_kv4(k)
             v4, vsn = quantize_kv4(v)
@@ -217,15 +219,26 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             ksc = jnp.concatenate([ks_, ksn], axis=-1)
             vsc = jnp.concatenate([vs_, vsn], axis=-1)
             qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
-            kf = unpack_kv4(kc).astype(jnp.bfloat16)
-            sc = jnp.einsum("bkgd,bksd->bkgs", qg, kf)
+            HD2 = HEAD_DIM // 2
+            # two-term attention over the half-planes: the nibble math is
+            # elementwise on each einsum operand, so XLA fuses it into the
+            # dot reads — no unpacked copy ever materializes
+            klo, khi = kv4_planes(kc)
+            sc = (jnp.einsum("bkgd,bksd->bkgs", qg[..., :HD2],
+                             klo.astype(jnp.bfloat16))
+                  + jnp.einsum("bkgd,bksd->bkgs", qg[..., HD2:],
+                               khi.astype(jnp.bfloat16)))
             sc = sc * ksc[:, :, None, :].astype(jnp.float32) * \
                 (HEAD_DIM ** -0.5)
             probs = jax.nn.softmax(sc.astype(jnp.float32), -1)
             pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
                   ).astype(jnp.bfloat16)
-            vf = unpack_kv4(vc).astype(jnp.bfloat16)
-            ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vf)
+            vlo, vhi = kv4_planes(vc)
+            ctx = jnp.concatenate(
+                [jnp.einsum("bkgs,bksd->bkgd", pv,
+                            vlo.astype(jnp.bfloat16)),
+                 jnp.einsum("bkgs,bksd->bkgd", pv,
+                            vhi.astype(jnp.bfloat16))], axis=-1)
             ctx = ctx.reshape(B, -1).astype(x.dtype)
         elif KV_BITS == 8:
             ks, vs = kv_scales[li]  # (B, N_KV, CTX) f32 each

@@ -89,28 +89,39 @@ def quantize_kv(x: Array, scale_dtype=jnp.bfloat16):
 
 
 def quantize_kv4(x: Array, scale_dtype=jnp.bfloat16):
-    """Per-(..., token) symmetric int4 over head_dim, nibble-packed:
+    """Per-(..., token) symmetric int4 over head_dim, HALF-PLANE packed:
     x (..., T, D) -> codes (..., T, D/2) int8 + scale.  amax/7 scaling,
-    codes in [-8, 7]; low nibble = even d, high nibble = odd d."""
+    codes in [-8, 7]; low nibble = feature d (d < D/2), high nibble =
+    feature d + D/2.  The plane layout lets attention run as TWO einsums
+    whose operands carry the nibble math elementwise (XLA fuses it into
+    the dot read) — an interleaved layout forces a materialized unpacked
+    copy (measured pathological, like s4 weight storage)."""
     amax = jnp.clip(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-6,
                     None)
     scale = (amax / 7.0).astype(scale_dtype)
     q = jnp.clip(jnp.round(x.astype(jnp.float32)
                            / scale[..., None].astype(jnp.float32)),
                  -8, 7).astype(jnp.int32)
-    lo = q[..., 0::2] & 0xF
-    hi = q[..., 1::2] & 0xF
+    half = q.shape[-1] // 2
+    lo = q[..., :half] & 0xF
+    hi = q[..., half:] & 0xF
     return (lo | (hi << 4)).astype(jnp.int8), scale
 
 
-def unpack_kv4(packed: Array) -> Array:
-    """(..., D/2) int8 nibble pairs -> (..., D) f32 codes in [-8, 7]."""
+def kv4_planes(packed: Array):
+    """(..., D/2) int8 nibble pairs -> (lo, hi) f32 code planes, each
+    (..., D/2): elementwise only, fuses into downstream dots."""
     p = packed.astype(jnp.int32)
     lo = ((p & 0xF) ^ 0x8) - 8          # sign-extend low nibble
     hi = (((p >> 4) & 0xF) ^ 0x8) - 8
-    out = jnp.stack([lo, hi], axis=-1)  # (..., D/2, 2)
-    return out.reshape(*packed.shape[:-1],
-                       packed.shape[-1] * 2).astype(jnp.float32)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def unpack_kv4(packed: Array) -> Array:
+    """(..., D/2) int8 nibble pairs -> (..., D) f32 codes (half-plane
+    order: [lo_plane | hi_plane])."""
+    lo, hi = kv4_planes(packed)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def append_kv(
