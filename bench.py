@@ -83,7 +83,7 @@ N_KV = 8
 HEAD_DIM = 128
 LAYERS = 32
 BATCH = 32
-CTX = 1024
+CTX = int(os.environ.get("BENCH_CTX", "1024"))
 GROUP = 128
 
 # v5e (TPU v5 lite) HBM bandwidth ~819 GB/s
