@@ -23,10 +23,12 @@ def main():
     from lightcompress_tpu.serving import LLMEngine, SamplingParams
 
     SLOTS = int(os.environ.get("SLOTS", "16"))
-    T = 256
+    ATTN = os.environ.get("ATTN", "auto")
+    T = int(os.environ.get("T", "256"))
     sw = make_weights()
     eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=8,
-                    prefill_buckets=(T,), decode_chunk=16)
+                    prefill_buckets=(T,), decode_chunk=16,
+                    attn_impl=ATTN)
     rng = np.random.RandomState(0)
     prompts = [rng.randint(1, 32000, size=(T,)).tolist()
                for _ in range(SLOTS)]
@@ -65,7 +67,7 @@ def main():
     t_hi = time.perf_counter() - t0
     per = (t_hi - t_lo) / 40
     print(json.dumps({"per_step_ms": round(per * 1e3, 2),
-                      "slots": SLOTS,
+                      "slots": SLOTS, "attn": ATTN, "T": T,
                       "tok_per_s": round(SLOTS / per, 1)}), flush=True)
 
 
