@@ -62,6 +62,13 @@ TAIL = int(os.environ.get("BENCH_TAIL", "0"))
 SCALES = os.environ.get("BENCH_SCALES", "bf16")
 if SCALES == "raw":
     SCALES = ""
+# comma list of fused-entry names ("qkv", "o", "gateup", "down") routed
+# through the mask-only-unpack W4A16 kernel (1 VPU op/plane, bf16 MXU
+# dots, scales pre-divided by 16^j): wins where the int8 kernel is
+# unpack/launch-bound (small mats — r2: kv 6.2us vs 17.3) and loses where
+# the bf16 dot dominates (gate 68.6 vs 63.2us) — so route ONLY the small
+# projections.
+MASKED = set(filter(None, os.environ.get("BENCH_MASKED", "").split(",")))
 # "planes" -> int32 plane-packed codes, VPU shift+mask unpack in-kernel;
 # "s4" -> byte-packed codes stored int8, nibbles bitcast to s4 IN-KERNEL
 # (w4a8_matmul_bytes: int8 HBM stream at the DMA floor, ~1 VPU op/elem
@@ -131,6 +138,26 @@ def make_layer_qweights(key):
             out[name] = QLinearParams(packed, sc, zs, None, 4, GROUP, False,
                                       "s4")
             continue
+        if name in MASKED:
+            from lightcompress_tpu.ops.pallas_matmul import (
+                masked_zero_scales, pack_int4_planes_masked, tile_scales,
+                tile_scales_masked,
+            )
+
+            codes_u = jax.random.randint(ks[i], (oc, ic), 0, 16, jnp.int32)
+            packed = pack_int4_planes_masked(codes_u)
+            nt = pick_n_tile(oc, ic // 8, GROUP)
+            packed = tile_packed(packed, nt, GROUP)
+            gpp = ic // 8 // GROUP
+            scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+            zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+            sd = jnp.bfloat16 if SCALES == "bf16" else jnp.float32
+            s_t = tile_scales_masked(scales, nt, gpp).astype(sd)
+            zs_t = tile_scales(masked_zero_scales(zeros, scales, gpp),
+                               nt, gpp).astype(sd)
+            out[name] = QLinearParams(packed, s_t, zs_t, None, 4, GROUP,
+                                      False, "masked")
+            continue
         codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
                                    dtype=jnp.int32)
         # library tile picker: largest output tile with a <=4MB full-K DMA
@@ -182,6 +209,14 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                 h, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
                 rms=with_rms)
         hh = rms(h) if with_rms else h
+        if qp.layout == "masked":
+            from lightcompress_tpu.ops.pallas_matmul import (
+                w4a16_matmul_planes_masked,
+            )
+
+            return w4a16_matmul_planes_masked(
+                hh.astype(jnp.bfloat16), qp.codes, qp.scales, qp.zeros,
+                group=qp.group_size).astype(x.dtype)
         return qlinear_apply(hh, qp)
 
     B = x.shape[0]
@@ -251,17 +286,26 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
                                  -127, 127).astype(jnp.int8), sc[..., 0])
             k8, ksn = q8(k)
             v8, vsn = q8(v)
-            if ATTN_IMPL == "bd":
+            if ATTN_IMPL in ("bd", "bds"):
                 # block-diagonal kernel: read-only feature-major caches,
-                # fresh token merged flash-decoding style in XLA
+                # fresh token merged flash-decoding style in XLA.
+                # "bds" = S-split flash grid (BENCH_SBLOCK columns/step):
+                # small per-step DMA blocks that interleave with the
+                # weight-kernel prefetches instead of one full-S slab.
                 from lightcompress_tpu.ops.pallas_attention import (
                     bd_merge_new_token, decode_attention_bd,
+                    decode_attention_bd_flash,
                 )
 
                 kt, vt = k_cache[li], v_cache[li]  # (B,HD,S), (B,S,HD)
                 ks_, vs_ = kv_scales[li]
                 qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
-                qctx = decode_attention_bd(qg, kt, ks_, vt, vs_)
+                if ATTN_IMPL == "bds":
+                    qctx = decode_attention_bd_flash(
+                        qg, kt, ks_, vt, vs_,
+                        s_block=int(os.environ.get("BENCH_SBLOCK", "256")))
+                else:
+                    qctx = decode_attention_bd(qg, kt, ks_, vt, vs_)
                 ctx = bd_merge_new_token(
                     qg, qctx, k8[:, :, 0, :], v8[:, :, 0, :],
                     ksn[..., 0], vsn[..., 0], HEAD_DIM ** -0.5)
@@ -462,7 +506,7 @@ def main():
     kv_dt = jnp.int8 if KV_BITS in (4, 8) else jnp.bfloat16
     if KV_BITS == 4:
         assert ATTN_IMPL == "xla", "kv4 uses the XLA unpack path"
-    if ATTN_IMPL == "bd":
+    if ATTN_IMPL in ("bd", "bds"):
         # feature-major K / time-major V slabs for the block-diagonal kernel
         k_cache = [
             jnp.zeros((BATCH, N_KV * HEAD_DIM, CTX), kv_dt)

@@ -80,10 +80,13 @@ def _attn_kernel_i8_append(q_ref, qs_ref, kn_ref, kns_ref, vn_ref, vns_ref,
     if masked:
         col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 2)
         scf = jnp.where(col < len_ref[:, 0][:, None, None], scf, -jnp.inf)
-    # fresh token: one extra score column, computed in-register
-    scn32 = jax.lax.dot_general(
-        q8, kn_ref[:], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)          # (hb, G)
+    # fresh token: one extra score column, computed in-register as an
+    # elementwise multiply-reduce — the batched (hb,G,D)x(hb,D) matrix-
+    # vector dot_general crashed Mosaic's lowering at hb=16 slab shapes
+    # (r2 REPORT), and the VPU reduce over a (hb,G,D) block is free
+    scn32 = jnp.sum(
+        q8.astype(jnp.int32) * kn_ref[:][:, None, :].astype(jnp.int32),
+        axis=-1)                                   # (hb, G)
     scnf = scn32.astype(jnp.float32) * (qsf * scale) * \
         kns_ref[:, 0].astype(jnp.float32)[:, None]
     m = jnp.maximum(jnp.max(scf, axis=-1), scnf)[..., None]  # (hb, G, 1)
@@ -340,6 +343,150 @@ def decode_attention_bd(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * G * S * H * D,
+            bytes_accessed=2 * B * S * H * D + 4 * B * H * S,
+            transcendentals=B * H * G * S,
+        ),
+    )(*args)
+    return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
+
+
+def _attn_kernel_bd_flash(q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref,
+                          *refs, n_heads: int, group: int, scale: float,
+                          masked: bool, s_block: int):
+    """S-split flash-decoding variant of ``_attn_kernel_bd``.
+
+    Grid = (B/bb, S/s_block) with the S axis innermost ("arbitrary"): each
+    step reads only an ``s_block`` column slab of the feature-major K cache
+    and row slab of V, so per-step DMA blocks shrink from the full-S
+    multi-ten-MB reads to ~1-2MB chunks that interleave with the
+    neighbouring weight-kernel prefetches (the full-S kernel wins
+    standalone but serializes behind the stack — CLAUDE.md r2
+    opaque-megakernel rule).  The (o, m, d) output blocks have an index
+    map independent of the S grid index, so they stay VMEM-resident across
+    S steps and carry the running flash state:
+
+        m' = max(m, rowmax(s_blk));  a = exp(m - m')
+        d' = d * a + sum(exp(s_blk - m'))
+        o' = o * a + requant8(exp(s_blk - m') * vs) @ v_blk
+
+    Output contract matches ``decode_attention_bd`` (unnormalized ctx +
+    m/denom) so ``bd_merge_new_token`` folds the fresh token identically.
+    """
+    if masked:
+        len_ref, o_ref, m_ref, d_ref = refs
+    else:
+        o_ref, m_ref, d_ref = refs
+    H, G = n_heads, group
+    bb = q_ref.shape[0]
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    for b in range(bb):
+        sc32 = jax.lax.dot_general(
+            q_ref[b], k_ref[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (HG, sb)
+        scf = sc32.astype(jnp.float32) * \
+            (qs_ref[b, :, 0].astype(jnp.float32)[:, None] * scale)
+        ksf = ks_ref[b].astype(jnp.float32)                # (H, sb)
+        scf = jnp.concatenate(
+            [scf[h * G:(h + 1) * G] * ksf[h][None, :] for h in range(H)], 0)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 1) \
+                + si * s_block
+            scf = jnp.where(col < len_ref[b, 0, 0], scf, -jnp.inf)
+        m_old = m_ref[b]                                   # (HG, 1)
+        blk_max = jnp.maximum(jnp.max(scf, axis=-1, keepdims=True), -1e30)
+        m_new = jnp.maximum(m_old, blk_max)
+        alpha = jnp.exp(m_old - m_new)                     # (HG, 1)
+        e = jnp.exp(scf - m_new)
+        vsf = vs_ref[b].astype(jnp.float32)                # (H, sb)
+        pv = jnp.concatenate(
+            [e[h * G:(h + 1) * G] * vsf[h][None, :] for h in range(H)], 0)
+        ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+        p8 = jnp.round(pv / ps).astype(jnp.int8)
+        ctx32 = jax.lax.dot_general(
+            p8, v_ref[b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (HG, H*D)
+        ctx = ctx32.astype(jnp.float32) * ps
+        D = v_ref.shape[2] // H
+        ctx_own = jnp.concatenate(
+            [ctx[h * G:(h + 1) * G, h * D:(h + 1) * D] for h in range(H)], 0)
+        o_ref[b] = o_ref[b] * alpha + ctx_own
+        d_ref[b] = d_ref[b] * alpha[:, 0:1] + \
+            jnp.sum(e, axis=-1, keepdims=True)
+        m_ref[b] = m_new
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b_block", "s_block", "interpret"))
+def decode_attention_bd_flash(
+    q: Array,            # (B, H, G, D) bf16/f32
+    kt: Array,           # (B, H*D, S) int8 — K cache, feature-major
+    ks: Array,           # (B, H, S) f32/bf16
+    vt: Array,           # (B, S, H*D) int8 — V cache, time-major
+    vs: Array,           # (B, H, S) f32/bf16
+    lengths: Optional[Array] = None,
+    b_block: int = 1,
+    s_block: int = 256,
+    interpret: bool = False,
+):
+    """S-split flash decode over the block-diagonal layout; same returns
+    as ``decode_attention_bd`` — (ctx unnormalized, m, denom)."""
+    B, H, G, D = q.shape
+    S = kt.shape[2]
+    b_block = min(b_block, B)
+    while B % b_block:
+        b_block -= 1
+    s_block = min(s_block, S)
+    while S % s_block:
+        s_block //= 2
+    q8, qs = _quantize_q(q)
+    q_bd = make_q_blockdiag(q8, H)
+    qs2 = qs.reshape(B, H * G, 1)
+    masked = lengths is not None
+    kernel = functools.partial(_attn_kernel_bd_flash, n_heads=H, group=G,
+                               scale=D ** -0.5, masked=masked,
+                               s_block=s_block)
+    grid = (B // b_block, S // s_block)
+
+    def fixed(a, b_):
+        return pl.BlockSpec((b_block, a, b_), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    args = [q_bd, qs2, kt, ks, vt, vs]
+    in_specs = [
+        fixed(H * G, H * D), fixed(H * G, 1),
+        pl.BlockSpec((b_block, H * D, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, H, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, s_block, H * D), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, H, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked:
+        args.append(lengths.astype(jnp.int32).reshape(B, 1, 1))
+        in_specs.append(fixed(1, 1))
+    ctx, m, d = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(fixed(H * G, D), fixed(H * G, 1), fixed(H * G, 1)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(),
+            dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * G * S * H * D,
             bytes_accessed=2 * B * S * H * D + 4 * B * H * S,

@@ -515,6 +515,14 @@ class LLMEngine:
                     int(lens_np[sl])
                     for sl, r in enumerate(self.slot_req) if r is not None)
                 n = max(1, min(self.decode_chunk, remaining, room))
+                # bucket the (static) chunk length to powers of two so
+                # tail chunks / heterogeneous max_new_tokens don't each
+                # trigger a 10-25 min remote recompile of the n-step loop
+                # (ADVICE r2): largest power-of-two <= n, capped by
+                # decode_chunk — never overshoots, so semantics and the
+                # room guarantee are unchanged
+                if n not in (1, self.decode_chunk):
+                    n = 1 << (n.bit_length() - 1)
                 (self.cache, self.lengths, self.cur_tokens, self.key,
                  buf) = self._decode_chunk_jit(
                     self.sw, self.cache, self.lengths, self.cur_tokens,
@@ -534,7 +542,8 @@ class LLMEngine:
             # tunnel; the decode itself is milliseconds)
             lengths_np = np.asarray(self.lengths)
             done_slots = set()
-            for row in tok_rows:
+            n_rows = tok_rows.shape[0]
+            for ri, row in enumerate(tok_rows):
                 for slot, req in enumerate(self.slot_req):
                     if req is None or slot in done_slots:
                         continue
@@ -542,7 +551,14 @@ class LLMEngine:
                     req.out_tokens.append(tok)
                     hit_eos = (eos_token_id is not None
                                and tok == eos_token_id)
-                    full = int(lengths_np[slot]) >= self.max_len - 1
+                    # lengths_np is the POST-chunk value; only the final
+                    # row can actually be at the cap (the chunk length is
+                    # clamped by ``room`` so no slot overflows mid-chunk)
+                    # — checking every row against the post-chunk value
+                    # retired slots at row 0 and dropped up to n-1 valid
+                    # tokens (ADVICE r2)
+                    full = (ri == n_rows - 1
+                            and int(lengths_np[slot]) >= self.max_len - 1)
                     if (len(req.out_tokens) >= req.max_new_tokens or hit_eos
                             or full):
                         results[req.req_id] = req.out_tokens

@@ -220,6 +220,12 @@ class PagedKVCache:
                bits: int = 8) -> "PagedKVCache":
         shape = (n_layers, n_blocks, n_kv_heads, page, head_dim)
         table = jnp.full((n_slots, max_blocks), -1, jnp.int32)
+        if bits not in (8, 16):
+            # kv4 has no paged layout — failing loudly beats silently
+            # allocating a bf16 cache under a kv_bits=4 request (ADVICE r2)
+            raise ValueError(
+                f"PagedKVCache supports bits 8/16, got {bits}; "
+                "use the slot cache (paged=False) for kv4")
         if bits == 8:
             return PagedKVCache(
                 jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),

@@ -412,6 +412,32 @@ def test_engine_chunked_decode_matches_per_step(tiny_setup):
     assert g1 == gc, (g1, gc)
 
 
+def test_engine_chunked_decode_max_len_cap(tiny_setup):
+    """A slot that reaches max_len-1 by chunk end must keep every token
+    sampled earlier in the chunk (ADVICE r2: the post-chunk length was
+    applied to every row, retiring the slot at row 0 and discarding up to
+    n-1 valid tokens)."""
+    model, sw = tiny_setup
+    eng1 = LLMEngine(sw, max_slots=1, max_len=24, kv_bits=8,
+                     prefill_buckets=(16,))
+    engc = LLMEngine(sw, max_slots=1, max_len=24, kv_bits=8,
+                     prefill_buckets=(16,), decode_chunk=6)
+    p = [[3, 17, 9, 2, 100]]
+    sp = SamplingParams(max_new_tokens=50, temperature=0.0)
+    g1 = eng1.generate(p, sp)
+    gc = engc.generate(p, sp)
+    assert g1 == gc, (g1, gc)
+
+
+def test_paged_kv4_raises():
+    """paged + kv_bits=4 has no layout — must fail loudly, not silently
+    allocate bf16 (ADVICE r2)."""
+    from lightcompress_tpu.serving.kv_cache import PagedKVCache
+
+    with pytest.raises(ValueError, match="bits 8/16"):
+        PagedKVCache.create(1, 4, 2, 2, 2, 16, 8, bits=4)
+
+
 def test_engine_kv4_cache(tiny_setup):
     """4-bit nibble-packed KV cache (KIVI-class serving): generation stays
     consistent with the int8-KV engine on greedy decoding."""
