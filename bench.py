@@ -497,15 +497,14 @@ def decode_step_dus(layers, x, k_cache, v_cache, k_scales, v_scales, pos):
             jnp.stack(new_vs))
 
 
-def main():
-    if TAIL:
-        assert FUSED and SCALES, "TAIL needs fused gateup + pre-tiled scales"
+def build_inputs():
+    """All bench arrays; called under jax.eval_shape for the AOT compile
+    (no HBM held during the 10-25 min remote compile) and for real under
+    the measurement lock."""
     key = jax.random.PRNGKey(0)
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
     kv_dt = jnp.int8 if KV_BITS in (4, 8) else jnp.bfloat16
-    if KV_BITS == 4:
-        assert ATTN_IMPL == "xla", "kv4 uses the XLA unpack path"
     if ATTN_IMPL in ("bd", "bds"):
         # feature-major K / time-major V slabs for the block-diagonal kernel
         k_cache = [
@@ -532,6 +531,16 @@ def main():
          jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16))
         for _ in range(LAYERS)
     ] if KV_BITS in (4, 8) else [None] * LAYERS
+    return layers, x, k_cache, v_cache, kv_scales
+
+
+def main():
+    if TAIL:
+        assert FUSED and SCALES, "TAIL needs fused gateup + pre-tiled scales"
+    if KV_BITS == 4:
+        assert ATTN_IMPL == "xla", "kv4 uses the XLA unpack path"
+    if KV_APPEND == "dus":
+        layers, x, k_cache, v_cache, kv_scales = build_inputs()
 
     # Measurement protocol for the tunneled runtime: iterations chained
     # ON-DEVICE in one fori_loop (each step feeds the next), ended with a
@@ -585,18 +594,36 @@ def main():
         # which would tax a single 20-iter run ~10%; marginal per-step
         # time = (t_100 - t_20) / 80 cancels it exactly.
         n_hi = 5 * n_iters
-        out = step(layers, x, k_cache, v_cache, kv_scales, iters=n_iters)
-        _ = float(jnp.sum(out))  # compile lo
-        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_hi)
-        _ = float(jnp.sum(out))  # compile hi + drain
-        t0 = time.time()
-        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_iters)
-        _ = float(jnp.sum(out))
-        t_lo = time.time() - t0
-        t0 = time.time()
-        out = step(layers, out, k_cache, v_cache, kv_scales, iters=n_hi)
-        _ = float(jnp.sum(out))
-        t_hi = time.time() - t0
+        # AOT-compile against abstract shapes FIRST: compiles hold no HBM,
+        # so parallel bench processes (tools/r3_bench_batch*.sh) overlap
+        # their 10-25 min remote compiles and only serialize the short
+        # measurement phase behind the file lock below.  6 concurrent
+        # processes that each allocated their 5.7GB of weights+KV up
+        # front OOMed the 16GB chip (r3 batch-1).
+        args_abs = jax.eval_shape(build_inputs)
+        step_lo = step.lower(*args_abs, iters=n_iters).compile()
+        step_hi = step.lower(*args_abs, iters=n_hi).compile()
+
+        import fcntl
+
+        lock = open("/tmp/lctpu_bench.lock", "w")
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            layers, x, k_cache, v_cache, kv_scales = build_inputs()
+            out = step_lo(layers, x, k_cache, v_cache, kv_scales)
+            _ = float(jnp.sum(out))  # warm lo + drain
+            out = step_hi(layers, out, k_cache, v_cache, kv_scales)
+            _ = float(jnp.sum(out))  # warm hi + drain
+            t0 = time.time()
+            out = step_lo(layers, out, k_cache, v_cache, kv_scales)
+            _ = float(jnp.sum(out))
+            t_lo = time.time() - t0
+            t0 = time.time()
+            out = step_hi(layers, out, k_cache, v_cache, kv_scales)
+            _ = float(jnp.sum(out))
+            t_hi = time.time() - t0
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
         dt = (t_hi - t_lo) / (n_hi - n_iters)
     tokens_per_s = BATCH / dt
 
