@@ -800,20 +800,15 @@ def attn_inspect(
     return linear_fn("attn.o", ap["o"]["weight"], ap["o"].get("bias"), ctx)
 
 
-def moe_mlp_forward(
-    arch: ArchSpec,
-    mp: Dict,
-    x: Array,
-    linear_fn: LinearFn = default_linear,
-    feats: Optional[Dict[str, Array]] = None,
-) -> Array:
-    """Mixture-of-experts MLP: dense-compute all experts (one stacked einsum
-    per projection — MXU-friendly; EP shards the leading expert dim), then
-    combine by the router's top-k weights."""
-    m = arch.moe
-    B, T, H = x.shape
-    logits = linear_fn("mlp.router", mp["router"]["weight"], None, x)
-    lf = logits.reshape(-1, m.num_experts).astype(jnp.float32)
+def moe_route(m: MoESpec, lf: Array,
+              router_bias: Optional[Array] = None):
+    """Router selection from (n, E) f32 logits -> (topi (n, k) int32,
+    topw (n, k) f32).  DeepseekV3TopkRouter / MixtralSparseMoeBlock
+    semantics: sigmoid|softmax scoring, + e_score_correction_bias on the
+    SELECTION scores only, optional group-limited top-k, norm_topk_prob,
+    routed_scaling_factor.  Shared by the calibration forward
+    (``moe_mlp_forward``) and the serving decode step (serving/engine.py)
+    so routing can never diverge between the two."""
     if m.gating == "sigmoid":
         scores = jax.nn.sigmoid(lf)
     else:
@@ -821,8 +816,8 @@ def moe_mlp_forward(
     # selection scores: + e_score_correction_bias, optionally group-limited
     # (DeepseekV3TopkRouter); combination WEIGHTS use the raw scores
     sel = scores
-    if "router_bias" in mp:
-        sel = sel + mp["router_bias"].astype(jnp.float32)[None, :]
+    if router_bias is not None:
+        sel = sel + router_bias.astype(jnp.float32)[None, :]
     if m.n_group > 1:
         n = sel.shape[0]
         gsize = m.num_experts // m.n_group
@@ -839,7 +834,24 @@ def moe_mlp_forward(
     if m.norm_topk_prob:
         topw = topw / jnp.clip(jnp.sum(topw, axis=-1, keepdims=True), 1e-9,
                                None)
-    topw = topw * m.routed_scaling_factor
+    return topi, topw * m.routed_scaling_factor
+
+
+def moe_mlp_forward(
+    arch: ArchSpec,
+    mp: Dict,
+    x: Array,
+    linear_fn: LinearFn = default_linear,
+    feats: Optional[Dict[str, Array]] = None,
+) -> Array:
+    """Mixture-of-experts MLP: dense-compute all experts (one stacked einsum
+    per projection — MXU-friendly; EP shards the leading expert dim), then
+    combine by the router's top-k weights."""
+    m = arch.moe
+    B, T, H = x.shape
+    logits = linear_fn("mlp.router", mp["router"]["weight"], None, x)
+    lf = logits.reshape(-1, m.num_experts).astype(jnp.float32)
+    topi, topw = moe_route(m, lf, mp.get("router_bias"))
 
     g = linear_fn("mlp.gate", mp["gate"]["weight"], None, x)  # (E,B,T,I)
     u = linear_fn("mlp.up", mp["up"]["weight"], None, x)

@@ -24,10 +24,11 @@ import numpy as np
 
 from ..models import arch as A
 from .kv_cache import (KVCache, PagedKVCache, PageAllocator, append_kv,
-                       append_kv_quantized, paged_append_decode,
+                       append_kv_quantized, append_mla, paged_append_decode,
                        paged_append_prefill, paged_read, quantize_kv,
-                       read_kv)
-from .quantized_model import ServingWeights, apply_qlinear
+                       read_kv, read_mla)
+from .quantized_model import (ServingWeights, apply_qlinear,
+                              apply_qlinear_stacked)
 from .sampler import SamplingParams, sample
 
 Array = jax.Array
@@ -52,6 +53,178 @@ def _gateup_proj(entry, h2, ab):
         return gu[..., :inter], gu[..., inter:]
     return (apply_qlinear(entry["mlp.gate"], h2, act_bits=ab),
             apply_qlinear(entry["mlp.up"], h2, act_bits=ab))
+
+
+def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
+    """Serving MoE MLP on (S, T, H): dense-compute over stacked quantized
+    experts + router-weighted combine.  At serving batch sizes nearly every
+    expert is touched per step (S*top_k selections over E experts), so the
+    dense all-expert weight read is the roofline-honest layout; EP shards
+    the stacked dim 0 (serving/sharding.py) and GSPMD turns the combine
+    into a psum over ``ep``.  Routing math is the shared ``A.moe_route``
+    (identical to calibration — deepseekv3.py:380-420 router parity)."""
+    arch = sw.arch
+    m = arch.moe
+    Bs, T, H = h2.shape
+    x2 = h2.reshape(-1, H)
+    logits = jnp.einsum(
+        "nh,eh->ne", x2.astype(jnp.bfloat16),
+        entry["mlp.router"]["weight"].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    topi, topw = A.moe_route(m, logits.astype(jnp.float32),
+                             entry.get("mlp.router_bias"))
+    g = apply_qlinear_stacked(entry["mlp.gate"], x2)       # (E, n, I) f32
+    u = apply_qlinear_stacked(entry["mlp.up"], x2)
+    mid = A._act(g, arch.act_fn) * u
+    d = apply_qlinear_stacked(entry["mlp.down"], mid.astype(jnp.bfloat16),
+                              pair=True)                   # (E, n, H) f32
+    n = x2.shape[0]
+    w_full = jnp.zeros((n, m.num_experts), jnp.float32)
+    w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
+    y = jnp.einsum("enh,ne->nh", d, w_full)
+    if "mlp.shared_gate" in entry:
+        sg = apply_qlinear(entry["mlp.shared_gate"], x2, act_bits=ab)
+        su = apply_qlinear(entry["mlp.shared_up"], x2, act_bits=ab)
+        smid = A._act(sg, arch.act_fn) * su
+        y = y + apply_qlinear(entry["mlp.shared_down"],
+                              smid.astype(h2.dtype), act_bits=ab)
+    return y.reshape(Bs, T, H).astype(h2.dtype)
+
+
+def _mlp_tail_serving(sw: "ServingWeights", entry, h: Array,
+                      ab: int) -> Array:
+    """Post-attention MLP tail with MoE dispatch (norm + residual)."""
+    arch = sw.arch
+    h2 = A.apply_norm(h, entry["ln2"], arch)
+    if "mlp.router" in entry:
+        return h + _moe_mlp(sw, entry, h2, ab)
+    if arch.family == "llama":
+        g, u = _gateup_proj(entry, h2, ab)
+        mid = A._act(g, arch.act_fn) * u
+        return h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
+    f1 = apply_qlinear(entry["mlp.fc1"], h2, act_bits=ab)
+    return h + apply_qlinear(entry["mlp.fc2"], A._act(f1, arch.act_fn),
+                             act_bits=ab)
+
+
+def _mla_qc(sw: "ServingWeights", entry, h1: Array, ab: int):
+    """MLA q + compressed-latent projections shared by prefill/decode:
+    returns (q_states (.., nh*qk_d), c_n normalized latent (.., r),
+    k_rot raw rope sub-vector (.., rope_d))."""
+    arch = sw.arch
+    mla = arch.mla
+    if "attn.q_a" in entry:
+        qa = apply_qlinear(entry["attn.q_a"], h1, act_bits=ab)
+        qa = A.rmsnorm(qa, entry["q_a_norm"]["weight"], arch.rms_eps)
+        q = apply_qlinear(entry["attn.q_b"], qa, act_bits=ab)
+    else:
+        q = apply_qlinear(entry["attn.q"], h1, act_bits=ab)
+    ckv = apply_qlinear(entry["attn.kv_a"], h1, act_bits=ab)
+    c = ckv[..., :mla.kv_lora_rank]
+    k_rot = ckv[..., mla.kv_lora_rank:]
+    c_n = A.rmsnorm(c, entry["kv_a_norm"]["weight"], arch.rms_eps)
+    return q, c_n, k_rot
+
+
+def _block_apply_mla_prefill(sw: "ServingWeights", entry, x: Array,
+                             cos, sin, mask):
+    """MLA prefill block on (1, T, H): exact full attention (materialized
+    per-head k/v via kv_b — prefill is compute-bound, absorption buys
+    nothing there), returns (y, c_n (1,T,r), k_rot_roped (1,T,rope_d)) so
+    the caller writes the compressed latents into the cache."""
+    arch = sw.arch
+    mla = arch.mla
+    ab = getattr(sw, "act_bits", 16)
+    B, T, _ = x.shape
+    nh = arch.num_heads
+    nope, rope_d = mla.qk_nope_head_dim, mla.qk_rope_head_dim
+    h1 = A.apply_norm(x, entry["ln1"], arch)
+    q, c_n, k_rot = _mla_qc(sw, entry, h1, ab)
+    q = q.reshape(B, T, nh, mla.qk_head_dim).transpose(0, 2, 1, 3)
+    q_pass, q_rot = q[..., :nope], q[..., nope:]
+    k_rot = k_rot.reshape(B, 1, T, rope_d)
+    ropefn = (A.apply_rope_interleave if mla.rope_interleave
+              else A.apply_rope)
+    q_rot, k_rot = ropefn(q_rot, k_rot, cos, sin)
+    kv = apply_qlinear(entry["attn.kv_b"], c_n, act_bits=ab)
+    kv = kv.reshape(B, T, nh, nope + mla.v_head_dim).transpose(0, 2, 1, 3)
+    k_pass, v = kv[..., :nope], kv[..., nope:]
+    qq = jnp.concatenate([q_pass, q_rot], axis=-1)
+    kk = jnp.concatenate(
+        [k_pass, jnp.broadcast_to(k_rot, (B, nh, T, rope_d))], axis=-1)
+    ctx = A.sdpa(qq.astype(x.dtype), kk.astype(x.dtype), v.astype(x.dtype),
+                 mask, kv_groups=1, query_scale=mla.qk_head_dim ** -0.5)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, nh * mla.v_head_dim)
+    h = x + apply_qlinear(entry["attn.o"], ctx.astype(x.dtype), act_bits=ab)
+    y = _mlp_tail_serving(sw, entry, h, ab)
+    return y, c_n, k_rot[:, 0]
+
+
+def _block_apply_mla_decode(sw: "ServingWeights", entry, x: Array,
+                            cos, sin, cache: KVCache, li: int,
+                            lengths: Array):
+    """MLA decode block over the compressed latent cache, absorbed form:
+
+        scores[h,t] = (q_pass[h] W_kc[h]) . c_t  +  q_rot[h] . k_rot_t
+        ctx[h]      = W_vc[h] (sum_t p[h,t] c_t)
+
+    Per-token cache traffic is r + rope_d values (int8) instead of
+    nh*(nope+v_dim) — the MLA serving win.  The fresh token participates
+    through its QUANTIZED latent so live numerics match the cache."""
+    arch = sw.arch
+    mla = arch.mla
+    ab = getattr(sw, "act_bits", 16)
+    S = x.shape[0]
+    nh = arch.num_heads
+    nope, rope_d = mla.qk_nope_head_dim, mla.qk_rope_head_dim
+    vd = mla.v_head_dim
+    h1 = A.apply_norm(x, entry["ln1"], arch)
+    q, c_n, k_rot = _mla_qc(sw, entry, h1, ab)
+    q = q.reshape(S, 1, nh, mla.qk_head_dim).transpose(0, 2, 1, 3)
+    q_pass, q_rot = q[..., :nope], q[..., nope:]          # (S, nh, 1, .)
+    k_rot4 = k_rot.reshape(S, 1, 1, rope_d)
+    ropefn = (A.apply_rope_interleave if mla.rope_interleave
+              else A.apply_rope)
+    q_rot, k_rot4 = ropefn(q_rot, k_rot4, cos, sin)
+    r_new = k_rot4[:, 0]                                  # (S, 1, rope_d)
+    # fresh-token latents at cache numerics
+    if cache.bits == 8:
+        cq_n, cs_n = quantize_kv(c_n)
+        c_f = cq_n.astype(jnp.float32) * \
+            cs_n[..., None].astype(jnp.float32)           # (S, 1, r)
+        rq_n, rs_n = quantize_kv(r_new)
+        r_f = rq_n.astype(jnp.float32) * \
+            rs_n[..., None].astype(jnp.float32)
+    else:
+        c_f, r_f = c_n.astype(jnp.float32), r_new.astype(jnp.float32)
+    w_kc = entry["attn.w_kc"].astype(jnp.float32)         # (nh, nope, r)
+    w_vc = entry["attn.w_vc"].astype(jnp.float32)         # (nh, r, vd)
+    q_eff = jnp.einsum("shd,hdr->shr",
+                       q_pass[:, :, 0, :].astype(jnp.float32), w_kc)
+    cC, rR = read_mla(cache, li)                          # (S,T,r),(S,T,d)
+    Tmax = cC.shape[1]
+    scale = mla.qk_head_dim ** -0.5
+    sc = jnp.einsum("shr,str->sht", q_eff, cC.astype(jnp.float32))
+    sc = sc + jnp.einsum("shd,std->sht",
+                         q_rot[:, :, 0, :].astype(jnp.float32),
+                         rR.astype(jnp.float32))
+    sc = sc * scale
+    valid = jnp.arange(Tmax)[None, None, :] < lengths[:, None, None]
+    sc = jnp.where(valid, sc, -jnp.inf)
+    sc_new = (jnp.einsum("shr,sr->sh", q_eff, c_f[:, 0])
+              + jnp.einsum("shd,sd->sh",
+                           q_rot[:, :, 0, :].astype(jnp.float32),
+                           r_f[:, 0])) * scale
+    allsc = jnp.concatenate([sc, sc_new[..., None]], axis=-1)
+    probs = jax.nn.softmax(allsc, axis=-1)                # (S, nh, T+1)
+    ctx_lat = jnp.einsum("sht,str->shr", probs[..., :Tmax],
+                         cC.astype(jnp.float32))
+    ctx_lat = ctx_lat + probs[..., Tmax][..., None] * c_f[:, None, 0, :]
+    ctx = jnp.einsum("shr,hrv->shv", ctx_lat, w_vc)
+    ctx = ctx.reshape(S, 1, nh * vd)
+    h = x + apply_qlinear(entry["attn.o"], ctx.astype(x.dtype), act_bits=ab)
+    y = _mlp_tail_serving(sw, entry, h, ab)
+    return y, c_n, r_new
 
 
 def _block_apply_decode_i8(
@@ -209,14 +382,7 @@ def _block_apply(
     ctx = ctx.transpose(0, 2, 1, 3).reshape(S, T, nh * hd)
     attn_out = apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
     h = x + attn_out
-    h2 = A.apply_norm(h, entry["ln2"], arch)
-    if arch.family == "llama":
-        g, u = _gateup_proj(entry, h2, ab)
-        mid = jax.nn.silu(g) * u
-        y = h + apply_qlinear(entry["mlp.down"], mid, act_bits=ab)
-    else:
-        f1 = apply_qlinear(entry["mlp.fc1"], h2, act_bits=ab)
-        y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1), act_bits=ab)
+    y = _mlp_tail_serving(sw, entry, h, ab)
     return y, k, v
 
 
@@ -245,6 +411,11 @@ class LLMEngine:
         # fused dequant+concat (tools/attn_i8_kernel_experiments.py) —
         # the kernel stays as an opt-in for future Mosaic generations.
         if attn_impl == "auto":
+            attn_impl = "xla"
+        if weights.arch.mla is not None or weights.arch.moe is not None:
+            # MLA decode has its own absorbed-latent path; MoE blocks
+            # carry stacked experts the fused i8/bd block functions don't
+            # understand — both route through the XLA block path
             attn_impl = "xla"
         self.attn_impl = attn_impl
         self.mesh = mesh
@@ -293,6 +464,21 @@ class LLMEngine:
 
     def reset(self):
         a = self.arch
+        if a.mla is not None:
+            assert not self.paged, "MLA serving uses the slot latent cache"
+            self.cache = KVCache.create_mla(
+                a.num_layers, self.max_slots, self.max_len,
+                a.mla.kv_lora_rank, a.mla.qk_rope_head_dim,
+                bits=8 if self.kv_bits == 8 else 16,
+            )
+            if self.mesh is not None:
+                from .sharding import shard_kv_cache
+
+                self.cache = shard_kv_cache(self.cache, self.mesh)
+            self.lengths = jnp.zeros((self.max_slots,), jnp.int32)
+            self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
+            self.slot_req = [None] * self.max_slots
+            return
         if self.paged:
             self.cache = PagedKVCache.create(
                 a.num_layers, self.n_pages + 1, self.max_slots,
@@ -358,6 +544,11 @@ class LLMEngine:
             (1, arch.num_kv_heads, 0, arch.head_dim), jnp.bfloat16
         )
         for li, entry in enumerate(sw.blocks):
+            if arch.mla is not None:
+                x, c_n, r_n = _block_apply_mla_prefill(
+                    sw, entry, x, cos, sin, mask)
+                cache = _append_one_slot_mla(cache, li, slot, c_n, r_n)
+                continue
             x, k_new, v_new = _block_apply(
                 sw, entry, x, cos, sin, zero_kv, zero_kv, mask
             )
@@ -399,6 +590,11 @@ class LLMEngine:
         visible = (j < lengths[:, None, None, None]) | (j == T)
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
         for li, entry in enumerate(sw.blocks):
+            if arch.mla is not None:
+                x, c_n, r_n = _block_apply_mla_decode(
+                    sw, entry, x, cos, sin, cache, li, lengths)
+                cache = append_mla(cache, li, c_n, r_n, lengths)
+                continue
             if (self.attn_impl.startswith("pallas")
                     or self.attn_impl.startswith("bd")) and not self.paged \
                     and cache.bits == 8:
@@ -577,6 +773,29 @@ class LLMEngine:
                     if self.paged:
                         self._release_pages(slot)
         return [results[i] for i in range(n_total)]
+
+
+def _append_one_slot_mla(cache: KVCache, layer: int, slot, c_n, r_n):
+    """Write one prompt's MLA latents (1, T, r)/(1, T, rope_d) at position
+    0 of ``slot``."""
+    if cache.bits == 8:
+        cq, cs = quantize_kv(c_n)
+        rq, rs = quantize_kv(r_n)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, cq[None].astype(cache.k.dtype), (layer, slot, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, rq[None].astype(cache.v.dtype), (layer, slot, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, cs[None], (layer, slot, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, rs[None], (layer, slot, 0))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = jax.lax.dynamic_update_slice(
+        cache.k, c_n[None].astype(cache.k.dtype), (layer, slot, 0, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, r_n[None].astype(cache.v.dtype), (layer, slot, 0, 0))
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):

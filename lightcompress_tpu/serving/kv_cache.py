@@ -27,9 +27,33 @@ class KVCache:
     v_scale: Optional[Array]
     bits: int = dataclasses.field(metadata=dict(static=True), default=8)
     # "hhd" = (H, T, D) per slot; "bd" = feature-major K / time-major V
-    # slabs for ops.pallas_attention.decode_attention_bd
+    # slabs for ops.pallas_attention.decode_attention_bd; "mla" = the
+    # DeepSeek compressed-latent cache: k holds the rmsnorm'd c_kv latent
+    # (L, S, T, kv_lora_rank), v holds the shared post-rope k_rot
+    # (L, S, T, qk_rope_head_dim) — per token only r + rope_d values
+    # instead of nh * (nope + v_dim), the MLA memory win
+    # (/root/reference/llmc/models/deepseekv3.py:69-192 topology; decode
+    # consumes it via the absorbed-matmul form, serving/engine.py)
     layout: str = dataclasses.field(metadata=dict(static=True),
                                     default="hhd")
+
+    @staticmethod
+    def create_mla(n_layers: int, n_slots: int, max_len: int,
+                   kv_lora_rank: int, rope_dim: int,
+                   bits: int = 8) -> "KVCache":
+        cshape = (n_layers, n_slots, max_len, kv_lora_rank)
+        rshape = (n_layers, n_slots, max_len, rope_dim)
+        if bits == 8:
+            return KVCache(
+                jnp.zeros(cshape, jnp.int8), jnp.zeros(rshape, jnp.int8),
+                jnp.zeros(cshape[:-1], jnp.bfloat16),
+                jnp.zeros(rshape[:-1], jnp.bfloat16), 8, "mla",
+            )
+        assert bits == 16, "mla cache supports int8 or bf16"
+        return KVCache(
+            jnp.zeros(cshape, jnp.bfloat16), jnp.zeros(rshape, jnp.bfloat16),
+            None, None, 16, "mla",
+        )
 
     @staticmethod
     def create(n_layers: int, n_slots: int, n_kv_heads: int, max_len: int,
@@ -175,6 +199,47 @@ def append_kv(
         jax.vmap(upd_slot)(cache.v[layer], v_new, lengths)
     )
     return KVCache(k, v, None, None, 16)
+
+
+def append_mla(cache: KVCache, layer: int, c_new: Array, r_new: Array,
+               lengths: Array) -> KVCache:
+    """Append per-slot MLA latents at each slot's position.
+
+    c_new: (S, T_new, kv_lora_rank) rmsnorm'd compressed latent;
+    r_new: (S, T_new, rope_dim) post-rope shared k_rot; lengths (S,)."""
+
+    def upd(buf_s, new_s, pos):
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.astype(buf_s.dtype), (pos, 0))
+
+    def upd_scale(buf_s, new_s, pos):
+        return jax.lax.dynamic_update_slice(buf_s, new_s, (pos,))
+
+    if cache.bits == 8:
+        cq, cs = quantize_kv(c_new)   # per-token over the latent dim
+        rq, rs = quantize_kv(r_new)
+        k = cache.k.at[layer].set(jax.vmap(upd)(cache.k[layer], cq, lengths))
+        v = cache.v.at[layer].set(jax.vmap(upd)(cache.v[layer], rq, lengths))
+        k_scale = cache.k_scale.at[layer].set(
+            jax.vmap(upd_scale)(cache.k_scale[layer], cs, lengths))
+        v_scale = cache.v_scale.at[layer].set(
+            jax.vmap(upd_scale)(cache.v_scale[layer], rs, lengths))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer].set(jax.vmap(upd)(cache.k[layer], c_new, lengths))
+    v = cache.v.at[layer].set(jax.vmap(upd)(cache.v[layer], r_new, lengths))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def read_mla(cache: KVCache, layer: int) -> Tuple[Array, Array]:
+    """Dequantized (S, T, r) latent + (S, T, rope_d) k_rot bf16 views."""
+    if cache.bits == 8:
+        c = cache.k[layer].astype(jnp.float32) * \
+            cache.k_scale[layer][..., None].astype(jnp.float32)
+        r = cache.v[layer].astype(jnp.float32) * \
+            cache.v_scale[layer][..., None].astype(jnp.float32)
+        return c.astype(jnp.bfloat16), r.astype(jnp.bfloat16)
+    return cache.k[layer], cache.v[layer]
 
 
 def read_kv(cache: KVCache, layer: int) -> Tuple[Array, Array]:

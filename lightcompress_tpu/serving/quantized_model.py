@@ -56,6 +56,60 @@ _LN1_LINEARS = ("attn.q", "attn.k", "attn.v", "attn.qkv")
 _LN2_LINEARS = ("mlp.gate", "mlp.up", "mlp.fc1", "mlp.gate_up")
 
 
+def quantize_linear_stacked(w3: Array, wspec: QuantSpec) -> QLinearParams:
+    """Per-expert quantization of a stacked (E, oc, ic) MoE weight.
+
+    Serving analogue of the calibration side's per-expert loops: every
+    expert gets its own scales/zeros (per-group quant is per output row, so
+    stacking cannot share statistics).  Codes keep the leading expert dim —
+    the EP NamedSharding over axis 0 (serving/sharding.py) is then a pure
+    data layout, no re-pack (reference topology:
+    /root/reference/llmc/models/deepseekv3.py:69-192)."""
+    parts = [quantize_linear(w3[e].astype(jnp.float32), wspec,
+                             layout="rows")
+             for e in range(w3.shape[0])]
+    codes = jnp.stack([p.codes for p in parts])
+    scales = jnp.stack([p.scales for p in parts])
+    zeros = (jnp.stack([p.zeros for p in parts])
+             if parts[0].zeros is not None else None)
+    p0 = parts[0]
+    return QLinearParams(codes, scales, zeros, None, p0.bits,
+                         p0.group_size, p0.is_float, "stacked")
+
+
+def dequant_weight_stacked(qp: QLinearParams,
+                           dtype=jnp.bfloat16) -> Array:
+    """(E, oc, ic) bf16 view of a stacked quantized expert weight.  At
+    decode XLA fuses the dequant into the einsum's weight read, so HBM
+    traffic stays at the packed size (same property as qlinear_xla)."""
+    from ..ops.qlinear import _unpack_int4_u
+
+    E = qp.codes.shape[0]
+    if qp.bits == 4:
+        u = jax.vmap(_unpack_int4_u)(qp.codes).astype(jnp.float32)
+    else:
+        u = qp.codes.astype(jnp.float32)
+    oc, ic = u.shape[1], u.shape[2]
+    g = qp.group_size or ic
+    u = u.reshape(E, oc, ic // g, g)
+    s = qp.scales.reshape(E, oc, -1, 1)
+    z = (qp.zeros.reshape(E, oc, -1, 1)
+         if qp.zeros is not None else 0.0)
+    return ((u - z) * s).reshape(E, oc, ic).astype(dtype)
+
+
+def apply_qlinear_stacked(qp, x: Array, pair: bool = False) -> Array:
+    """Stacked-expert linear: x (n, ic) -> (E, n, oc); ``pair`` means x
+    already carries the expert dim ((E, n, ic), the down-proj input)."""
+    if isinstance(qp, QLinearParams):
+        w = dequant_weight_stacked(qp)
+    else:
+        w = qp["weight"].astype(jnp.bfloat16)
+    eq = "eni,eoi->eno" if pair else "ni,eoi->eno"
+    return jnp.einsum(eq, x.astype(jnp.bfloat16), w,
+                      preferred_element_type=jnp.float32)
+
+
 def build_serving_weights(
     model: BaseModel,
     wspec: QuantSpec,
@@ -84,8 +138,12 @@ def build_serving_weights(
     arch = model.arch
     params = model.params
     # rmsnorm-family check mirrors arch.apply_norm's dispatch (arch.py:338)
+    # MLA/MoE blocks hang extra consumers off ln1/ln2 (q_a/kv_a; router +
+    # every expert) that the fold tables don't cover — folding there would
+    # zero the gamma for consumers that never absorbed it
     fold = fused_rms and (arch.family == "llama"
-                          or getattr(arch, "norm_type", "") == "rmsnorm")
+                          or getattr(arch, "norm_type", "") == "rmsnorm") \
+        and arch.mla is None and arch.moe is None
     blocks_out = []
     for idx in range(model.num_blocks):
         bp = params["blocks"][idx]
@@ -94,6 +152,10 @@ def build_serving_weights(
         g2 = resolve(bp, "ln2").get("weight") if fold else None
         pend: Dict[str, Any] = {}
         for name in model.get_block_linear_names(idx):
+            if name == "mlp.router":
+                # the router gate stays bf16 (the reference never
+                # quantizes gate/e_score bias either)
+                continue
             node = resolve(bp, name)
             w = node["weight"]
             if algo is not None:
@@ -105,6 +167,9 @@ def build_serving_weights(
             pend[name] = (w, node.get("bias"))
 
         def _emit(name, w, bias):
+            if w.ndim == 3:  # stacked MoE experts
+                entry[name] = quantize_linear_stacked(w, wspec)
+                return
             entry[name] = quantize_linear(
                 w.astype(jnp.float32), wspec, bias=bias,
                 layout=layout or ("planes" if wspec.bit == 4 else "rows"),
@@ -123,7 +188,8 @@ def build_serving_weights(
 
         if fuse_qkv and all(f"attn.{n}" in pend for n in ("q", "k", "v")):
             _fuse("attn.qkv", ("attn.q", "attn.k", "attn.v"))
-        if fuse_qkv and "mlp.gate" in pend and "mlp.up" in pend:
+        if fuse_qkv and "mlp.gate" in pend and "mlp.up" in pend \
+                and pend["mlp.gate"][0].ndim == 2:
             _fuse("mlp.gateup", ("mlp.gate", "mlp.up"))
         for name, (w, bias) in pend.items():
             _emit(name, w, bias)
@@ -135,6 +201,32 @@ def build_serving_weights(
         if arch.qk_norm:
             entry["q_norm"] = dict(bp["attn"]["q_norm"])
             entry["k_norm"] = dict(bp["attn"]["k_norm"])
+        if arch.mla is not None:
+            mla = arch.mla
+            ap = bp["attn"]
+            if "q_a_norm" in ap:
+                entry["q_a_norm"] = dict(ap["q_a_norm"])
+            entry["kv_a_norm"] = dict(ap["kv_a_norm"])
+            # absorbed decode weights, materialized from the QUANTIZED
+            # kv_b so decode numerics == prefill numerics:
+            #   scores: q_pass·(W_kc c) == (q_pass W_kc)·c
+            #   values: ctx = W_vc (sum_t p_t c_t)
+            # cache then holds only the (r + rope_d)-dim latent per token
+            from ..ops.qlinear import dequant_weight
+
+            nh = arch.num_heads
+            kvb = dequant_weight(entry["attn.kv_b"]).reshape(
+                nh, mla.qk_nope_head_dim + mla.v_head_dim,
+                mla.kv_lora_rank)
+            entry["attn.w_kc"] = kvb[:, :mla.qk_nope_head_dim, :]
+            entry["attn.w_vc"] = kvb[:, mla.qk_nope_head_dim:, :] \
+                .transpose(0, 2, 1)  # (nh, r, v_dim)
+        if arch.moe is not None and "router" in bp.get("mlp", {}):
+            mp = bp["mlp"]
+            entry["mlp.router"] = {
+                "weight": mp["router"]["weight"].astype(jnp.bfloat16)}
+            if "router_bias" in mp:
+                entry["mlp.router_bias"] = mp["router_bias"]
         blocks_out.append(entry)
     return ServingWeights(
         arch=arch,

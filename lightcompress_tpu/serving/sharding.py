@@ -28,8 +28,33 @@ from .quantized_model import ServingWeights
 
 # block-linear roles: which dim of the (out, in) weight is sharded
 _COL_PARALLEL = ("attn.q", "attn.k", "attn.v", "mlp.gate", "mlp.up",
-                 "mlp.fc1", "attn.qkv", "mlp.gateup")
-_ROW_PARALLEL = ("attn.o", "mlp.down", "mlp.fc2")
+                 "mlp.fc1", "attn.qkv", "mlp.gateup",
+                 # MLA: q_b / kv_b outputs are per-head — head-parallel
+                 "attn.q_b", "attn.kv_b",
+                 "mlp.shared_gate", "mlp.shared_up")
+_ROW_PARALLEL = ("attn.o", "mlp.down", "mlp.fc2", "mlp.shared_down")
+# replicated by design: the MLA low-rank input projections produce the
+# shared latent (MQA-style, every head consumes all of it) and the router
+# gate is tiny — replicating them avoids an all-gather on the hot path
+_REPLICATED = ("attn.q_a", "attn.kv_a")
+
+
+def _stacked_sharding(qp: QLinearParams, mesh: Mesh):
+    """Stacked MoE experts: shard the leading expert dim over ``ep`` (or
+    ``tp`` when the mesh has no ep axis) — expert-parallel is a pure data
+    layout over axis 0; GSPMD inserts the psum for the weighted combine."""
+    axis = "ep" if "ep" in mesh.shape else "tp"
+    if qp.codes.shape[0] % mesh.shape[axis]:
+        axis = None  # E not divisible: replicate
+    spec = P(axis, *([None] * (qp.codes.ndim - 1)))
+    sspec = P(axis, *([None] * (qp.scales.ndim - 1)))
+    return QLinearParams(
+        jax.device_put(qp.codes, NamedSharding(mesh, spec)),
+        jax.device_put(qp.scales, NamedSharding(mesh, sspec)),
+        jax.device_put(qp.zeros, NamedSharding(mesh, sspec))
+        if qp.zeros is not None else None,
+        None, qp.bits, qp.group_size, qp.is_float, qp.layout,
+    )
 
 
 def _qp_sharding(name: str, qp: QLinearParams, mesh: Mesh):
@@ -37,6 +62,10 @@ def _qp_sharding(name: str, qp: QLinearParams, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     rep = ns(P())
+    if qp.layout == "stacked":
+        return _stacked_sharding(qp, mesh)
+    if name in _REPLICATED:
+        return jax.device_put(qp, rep)
     if name in _COL_PARALLEL:
         codes = ns(P("tp", None)) if qp.codes.ndim == 2 else \
             ns(P("tp", None, None, None))
@@ -79,6 +108,13 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
         for name, v in entry.items():
             if isinstance(v, QLinearParams):
                 out[name] = _qp_sharding(name, v, mesh)
+            elif name in ("attn.w_kc", "attn.w_vc") and \
+                    v.shape[0] % mesh.shape["tp"] == 0:
+                # absorbed MLA decode weights are per-head (nh, ., .):
+                # head-parallel like q_b, so the absorbed attention stays
+                # embarrassingly parallel over tp
+                out[name] = jax.device_put(
+                    v, NamedSharding(mesh, P("tp", None, None)))
             else:
                 out[name] = jax.device_put(v, rep)
         blocks.append(out)
@@ -88,15 +124,14 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
     vocab_ok = sw.lm_head.ndim == 2 and \
         sw.lm_head.shape[0] % mesh.shape["tp"] == 0
     head_spec = NamedSharding(mesh, P("tp", None)) if vocab_ok else rep
-    return ServingWeights(
-        arch=sw.arch,
+    return dataclasses.replace(
+        sw,
         embed=jax.device_put(sw.embed, rep),
         embed_pos=jax.device_put(sw.embed_pos, rep)
         if sw.embed_pos is not None else None,
         norm=jax.device_put(sw.norm, rep),
         lm_head=jax.device_put(sw.lm_head, head_spec),
         blocks=blocks,
-        wbits=sw.wbits,
     )
 
 
@@ -105,6 +140,19 @@ def shard_kv_cache(cache, mesh: Mesh):
     layout's K slab (L, S, H*D, T) shards its feature axis, the V slab
     (L, S, T, H*D) its last axis — both are head-major so a tp split of
     H*D is a split over heads."""
+    if getattr(cache, "layout", "hhd") == "mla":
+        # the compressed latent is shared by every head (MQA-style):
+        # replicate — per-token traffic is r + rope_d, already tiny
+        rep = NamedSharding(mesh, P())
+        return dataclasses.replace(
+            cache,
+            k=jax.device_put(cache.k, rep),
+            v=jax.device_put(cache.v, rep),
+            k_scale=jax.device_put(cache.k_scale, rep)
+            if cache.k_scale is not None else None,
+            v_scale=jax.device_put(cache.v_scale, rep)
+            if cache.v_scale is not None else None,
+        )
     if getattr(cache, "layout", "hhd") == "bd":
         k_spec = NamedSharding(mesh, P(None, None, "tp", None))
         v_spec = NamedSharding(mesh, P(None, None, None, "tp"))

@@ -1,0 +1,241 @@
+"""MoE + MLA serving decode (VERDICT r2 #2): quantized stacked experts,
+compressed-latent MLA cache, EP-sharded serving.
+
+Reference topology: /root/reference/llmc/models/deepseekv3.py:69-192 (the
+reference delegates *serving* to vLLM; this engine is the in-repo
+replacement, so parity is checked against our own calibration forward,
+which is itself HF-parity tested in test_mla.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightcompress_tpu.models import Llama, init_params
+from lightcompress_tpu.models.arch import ArchSpec, MLASpec, MoESpec
+from lightcompress_tpu.quant import QuantSpec
+from lightcompress_tpu.serving import (LLMEngine, SamplingParams,
+                                       build_serving_weights)
+
+
+def _tiny_mla_moe(seed=7, dtype=jnp.bfloat16):
+    arch = ArchSpec(
+        family="llama", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=8,  # == qk_rope_head_dim so rope tables match MLA
+        act_fn="silu", tie_word_embeddings=False,
+        mla=MLASpec(kv_lora_rank=16, qk_rope_head_dim=8,
+                    qk_nope_head_dim=16, v_head_dim=16, q_lora_rank=32),
+        moe=MoESpec(num_experts=4, top_k=2, moe_intermediate_size=32,
+                    num_shared_experts=1, gating="sigmoid",
+                    norm_topk_prob=True, routed_scaling_factor=1.0,
+                    n_group=2, topk_group=1),
+        dtype=dtype,
+    )
+    params = init_params(jax.random.PRNGKey(seed), arch)
+    _sharpen_router(params)
+    return Llama(arch, params)
+
+
+def _sharpen_router(params):
+    """Random tiny models have near-tied router logits; sharpening plus
+    matching bf16 precision on both sides (the engine computes in bf16;
+    f32-vs-HF parity of the calibration forward is covered by
+    test_mla/test_moe) keeps top-k selection deterministic across the two
+    implementations."""
+    for bp in params["blocks"]:
+        if "router" in bp.get("mlp", {}):
+            bp["mlp"]["router"]["weight"] = \
+                bp["mlp"]["router"]["weight"] * 8.0
+
+
+def _tiny_moe(seed=3, dtype=jnp.bfloat16):
+    """Mixtral-style: softmax routing, GQA attention, no MLA."""
+    arch = ArchSpec(
+        family="llama", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, act_fn="silu",
+        moe=MoESpec(num_experts=4, top_k=2, moe_intermediate_size=32,
+                    gating="softmax", norm_topk_prob=True),
+        dtype=dtype,
+    )
+    params = init_params(jax.random.PRNGKey(seed), arch)
+    _sharpen_router(params)
+    return Llama(arch, params)
+
+
+@pytest.fixture(scope="module")
+def mla_moe_setup():
+    model = _tiny_mla_moe()
+    wspec = QuantSpec(bit=8, symmetric=True, granularity="per_channel")
+    sw = build_serving_weights(model, wspec)
+    return model, sw
+
+
+@pytest.fixture(scope="module")
+def moe_setup():
+    model = _tiny_moe()
+    wspec = QuantSpec(bit=8, symmetric=True, granularity="per_channel")
+    sw = build_serving_weights(model, wspec)
+    return model, sw
+
+
+def _copy_tree(d):
+    if isinstance(d, dict):
+        return {k: _copy_tree(v) for k, v in d.items()}
+    if isinstance(d, list):
+        return [_copy_tree(v) for v in d]
+    return d
+
+
+def _dequantized_model(model, sw):
+    """Calibration model carrying the ENGINE's dequantized weights: the
+    right parity oracle for MoE — weight-quantization noise shifts router
+    top-k discontinuously, so engine-vs-FP-model correlation conflates
+    quant error with engine bugs.  Same weights => same routing; any
+    residual gap is engine math."""
+    from lightcompress_tpu.models.base import resolve
+    from lightcompress_tpu.ops.qlinear import QLinearParams, dequant_weight
+    from lightcompress_tpu.serving.quantized_model import (
+        dequant_weight_stacked)
+
+    params = _copy_tree(model.params)
+    dt = model.arch.dtype
+    for i in range(model.num_blocks):
+        for name in model.get_block_linear_names(i):
+            if name not in sw.blocks[i]:
+                continue
+            qp = sw.blocks[i][name]
+            if not isinstance(qp, QLinearParams):
+                continue
+            node = resolve(params["blocks"][i], name)
+            if qp.layout == "stacked":
+                node["weight"] = dequant_weight_stacked(qp, dtype=dt)
+            else:
+                node["weight"] = dequant_weight(qp, dtype=dt)
+    return type(model)(model.arch, params)
+
+
+def _teacher_forced_corr(model, engine, tokens, n_steps):
+    """Prefill + teacher-forced decode; per-step logits correlation vs the
+    calibration full-forward (tiny random models have near-flat logits, so
+    correlation is the correctness metric — same protocol as
+    test_serving._teacher_forced_corr)."""
+    prompt = tokens[:4]
+    T = engine.prefill_buckets[0]
+    ids = np.zeros((1, T), np.int32)
+    ids[0, : len(prompt)] = prompt
+    engine.reset()
+    cache, lengths, last = engine._prefill_jit(
+        engine.sw, engine.cache, engine.lengths, jnp.asarray(ids),
+        jnp.asarray(0), jnp.asarray(len(prompt)), T=T,
+    )
+    corrs = []
+    ref = model.forward(jnp.asarray([prompt]))[0, -1]
+    corrs.append(float(jnp.corrcoef(last, ref)[0, 1]))
+    cur = engine.cur_tokens
+    seq = list(prompt)
+    for i in range(n_steps):
+        tok = tokens[4 + i]
+        seq.append(tok)
+        cur = cur.at[0].set(tok)
+        active = jnp.asarray([True] + [False] * (engine.max_slots - 1))
+        cache, lengths, logits = engine._decode_jit(
+            engine.sw, cache, lengths, cur, active)
+        ref = model.forward(jnp.asarray([seq]))[0, -1]
+        corrs.append(float(jnp.corrcoef(logits[0], ref)[0, 1]))
+    return corrs
+
+
+def test_moe_serving_matches_reference(moe_setup):
+    model, sw = moe_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,))
+    corrs = _teacher_forced_corr(_dequantized_model(model, sw), eng, [3, 17, 9, 2, 100, 5, 1, 7, 9],
+                                 n_steps=5)
+    assert min(corrs) > 0.98, corrs
+
+
+def test_mla_serving_matches_reference(mla_moe_setup):
+    """MLA decode runs the absorbed-matmul form over the int8 compressed
+    latent cache; must track the calibration forward's (materialized,
+    unquantized) attention."""
+    model, sw = mla_moe_setup
+    assert "attn.w_kc" in sw.blocks[0] and "attn.w_vc" in sw.blocks[0]
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,))
+    # compressed latent cache: per token r + rope_d values, not nh*(nope+v)
+    assert eng.cache.layout == "mla"
+    assert eng.cache.k.shape[-1] == 16 and eng.cache.v.shape[-1] == 8
+    corrs = _teacher_forced_corr(_dequantized_model(model, sw), eng, [3, 17, 9, 2, 100, 5, 1, 7, 9],
+                                 n_steps=5)
+    assert min(corrs) > 0.98, corrs
+
+
+def test_mla_serving_bf16_cache(mla_moe_setup):
+    model, sw = mla_moe_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=16,
+                    prefill_buckets=(16,))
+    assert eng.cache.bits == 16
+    corrs = _teacher_forced_corr(_dequantized_model(model, sw), eng, [3, 17, 9, 2, 100, 5, 1, 7, 9],
+                                 n_steps=3)
+    assert min(corrs) > 0.99, corrs
+
+
+def test_mla_chunked_decode_consistency(mla_moe_setup):
+    """decode_chunk>1 must reproduce the per-step engine exactly on the
+    MLA+MoE path too (greedy)."""
+    model, sw = mla_moe_setup
+    eng1 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,))
+    engc = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,), decode_chunk=4)
+    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    assert eng1.generate(p, sp) == engc.generate(p, sp)
+
+
+def test_stacked_expert_quantization_roundtrip():
+    from lightcompress_tpu.serving.quantized_model import (
+        apply_qlinear_stacked, dequant_weight_stacked,
+        quantize_linear_stacked)
+
+    rng = np.random.RandomState(0)
+    w3 = jnp.asarray(rng.randn(4, 32, 64).astype(np.float32)) * 0.1
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=16)
+    qp = quantize_linear_stacked(w3, spec)
+    assert qp.layout == "stacked" and qp.codes.shape[0] == 4
+    wd = dequant_weight_stacked(qp, dtype=jnp.float32)
+    rel = float(jnp.abs(wd - w3).max() / jnp.abs(w3).max())
+    assert rel < 0.15, rel
+    x = jnp.asarray(rng.randn(8, 64).astype(np.float32))
+    y = apply_qlinear_stacked(qp, x)
+    ref = jnp.einsum("ni,eoi->eno", x, w3)
+    corr = float(jnp.corrcoef(np.asarray(y).ravel(),
+                              np.asarray(ref).ravel())[0, 1])
+    assert corr > 0.99, corr
+
+
+def test_ep_sharded_moe_serving(mla_moe_setup):
+    """Quantized stacked experts shard over the ``ep`` mesh axis; the MLA
+    absorbed weights shard per-head over ``tp``; generation still runs
+    (GSPMD inserts the collectives) and matches the unsharded engine."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    model, sw = mla_moe_setup
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dp", "ep", "tp"))
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,), mesh=mesh)
+    ent = eng.sw.blocks[0]
+    gate_spec = ent["mlp.gate"].codes.sharding.spec
+    assert gate_spec[0] == "ep", gate_spec
+    assert ent["attn.w_kc"].sharding.spec[0] == "tp"
+    eng0 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,))
+    p = [[3, 17, 9, 2, 100]]
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0)
+    assert eng.generate(p, sp) == eng0.generate(p, sp)
