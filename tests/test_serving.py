@@ -106,6 +106,22 @@ def test_continuous_batching_many_prompts(tiny_setup):
     assert outs[2] == solo[0]
 
 
+def test_batched_prefill_padded_bucket(tiny_setup):
+    """3 same-bucket prompts admitted together -> ONE (4, T) batched
+    prefill dispatch (N padded by repeating row 0); outputs must equal
+    solo runs exactly."""
+    model, sw = tiny_setup
+    engine = LLMEngine(sw, max_slots=4, max_len=64, kv_bits=16,
+                       prefill_buckets=(16,))
+    prompts = [[3, 17, 9, 2], [5, 1, 7, 8, 11], [100, 42]]
+    outs = engine.generate(prompts, SamplingParams(max_new_tokens=4))
+    for i, p in enumerate(prompts):
+        solo = LLMEngine(sw, max_slots=1, max_len=64, kv_bits=16,
+                         prefill_buckets=(16,))
+        assert outs[i] == solo.generate([p],
+                                        SamplingParams(max_new_tokens=4))[0]
+
+
 def test_sampling_params(tiny_setup):
     model, sw = tiny_setup
     engine = LLMEngine(sw, max_slots=1, max_len=32, kv_bits=16,
