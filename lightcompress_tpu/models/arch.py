@@ -690,6 +690,7 @@ def block_forward(
     if arch.qk_norm:
         q = rmsnorm(q, ap["q_norm"]["weight"], arch.rms_eps)
         k = rmsnorm(k, ap["k_norm"]["weight"], arch.rms_eps)
+    k_pre = k  # pre-rope view (ShadowKV's SVD runs pre-rope, get_svd)
     if cos is not None:
         q, k = rope_apply_arch(arch, q, k, cos, sin)
     if kv_cache is not None:
@@ -698,7 +699,12 @@ def block_forward(
         v = jnp.concatenate([pv, v], axis=2)
     new_kv = (k, v)
     if kv_hook is not None:
-        out = kv_hook(k, v)
+        if getattr(kv_hook, "needs_query", False):
+            # query-aware sparse-KV hooks (ShadowKV retrieval): live query
+            # + pre-rope K + rope tables for low-rank re-roping
+            out = kv_hook(k, v, q=q, k_pre=k_pre, cos=cos, sin=sin)
+        else:
+            out = kv_hook(k, v)
         if len(out) == 3:  # sparse-KV hooks also modify the attention mask
             k, v, extra_mask = out
             if extra_mask is not None:

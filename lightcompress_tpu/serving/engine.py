@@ -346,6 +346,90 @@ def _block_apply_decode_i8(
     return y, kq, ks, vq, vs
 
 
+def _shadow_prefill_layer(skv, arch, k_roped, k_pre, cos, sin, true_lens,
+                          c_max: int):
+    """ShadowKV prefill for one layer over a batch of admitted prompts.
+
+    k_roped/k_pre: (N, H, T, D); true_lens (N,) traced.  Returns
+    (k_eff, landmarks (N, H, c_max, D), selectable (N, H, c_max)):
+    k_eff is the "shadow K" — rank-r pre-rope SVD reconstruction re-roped
+    in place of K on retrievable non-outlier chunks, exact elsewhere
+    (reference get_svd + prefill_kv_cache, kvsparse.py:177-375).  Chunk
+    grid is static over the padded bucket; the traced prompt length gates
+    which chunks are retrievable (reference: chunks = len//cs - local)."""
+    from ..compression.sparsification.kvsparse import shadowkv_svd_recon
+
+    N, H, T, D = k_roped.shape
+    cs, local = skv.chunk_size, skv.local_chunk
+    C = T // cs
+    valid_tok = jnp.arange(T)[None, :] < true_lens[:, None]      # (N, T)
+    # zero rows beyond the prompt: zero rows are exactly absent from the
+    # SVD basis, so bucket padding cannot pollute the reconstruction
+    k_pre_m = jnp.where(valid_tok[:, None, :, None], k_pre, 0)
+    recon = shadowkv_svd_recon(k_pre_m, skv.rank).astype(k_roped.dtype)
+    recon = A.rope_apply_arch(arch, recon, recon, cos, sin)[0]
+    kc = k_roped[:, :, :C * cs].astype(jnp.float32).reshape(
+        N, H, C, cs, D)
+    landmarks = kc.mean(axis=3)                                  # (N,H,C,D)
+    # retrievable chunks: fully inside [0, true_len - local*cs)
+    n_ret = jnp.maximum(true_lens // cs - local, 0)              # (N,)
+    retr = jnp.arange(C)[None, :] < n_ret[:, None]               # (N, C)
+    retr = jnp.broadcast_to(retr[:, None, :], (N, H, C))
+    # outliers: worst min in-chunk cosine vs landmark, retrievable only
+    ln = landmarks / jnp.clip(
+        jnp.linalg.norm(landmarks, axis=-1, keepdims=True), 1e-6, None)
+    kn = kc / jnp.clip(jnp.linalg.norm(kc, axis=-1, keepdims=True),
+                       1e-6, None)
+    worst = jnp.min(jnp.einsum("nhcd,nhcsd->nhcs", ln, kn), axis=-1)
+    worst = jnp.where(retr, worst, 2.0)  # never pick non-retrievable
+    n_out = max(min(skv.outlier_chunk, C - 1), 0)
+    outlier = jnp.zeros((N, H, C), bool)
+    if n_out:
+        oidx = jax.lax.top_k(-worst, n_out)[1]
+        outlier = outlier.at[
+            jnp.arange(N)[:, None, None], jnp.arange(H)[None, :, None],
+            oidx].set(True)
+        outlier = outlier & retr
+    selectable = retr & ~outlier
+    tok_recon = jnp.repeat(selectable, cs, axis=2)               # (N,H,Ccs)
+    if C * cs < T:
+        tok_recon = jnp.concatenate(
+            [tok_recon, jnp.zeros((N, H, T - C * cs), bool)], axis=2)
+    k_eff = jnp.where(tok_recon[..., None], recon, k_roped)
+    pad = c_max - C
+    if pad > 0:
+        landmarks = jnp.concatenate(
+            [landmarks, jnp.zeros((N, H, pad, D), landmarks.dtype)], 2)
+        selectable = jnp.concatenate(
+            [selectable, jnp.zeros((N, H, pad), bool)], 2)
+    return k_eff, landmarks, selectable
+
+
+def _shadow_extra_mask(skv, extra, li: int, q: Array) -> Array:
+    """Per-query ShadowKV visibility at decode: the LIVE query scores the
+    layer's landmarks, top sparse_budget/cs chunks are retrieved
+    (get_retrieval_position_ids semantics); non-selectable chunks (outlier
+    / local / generated region) are always visible.  q (S, nh, Tq, D) ->
+    additive mask (S, nh, Tq, T_max + 1) incl. the fresh-token column."""
+    from ..compression.sparsification.kvsparse import (
+        NEG, shadowkv_chunk_scores, shadowkv_keep_mask)
+
+    S, nh, Tq, D = q.shape
+    lm = extra["landmarks"][li].astype(jnp.float32)   # (S, H, C, D)
+    sel = extra["selectable"][li]
+    H = lm.shape[1]
+    G = nh // H
+    qg = q.reshape(S, H, G, Tq, D)
+    scores = shadowkv_chunk_scores(qg, lm, sel, D ** -0.5)
+    keep = shadowkv_keep_mask(
+        scores, sel, max(skv.sparse_budget // skv.chunk_size, 1))
+    vis = keep | ~sel[:, :, None, :]
+    tok = jnp.repeat(vis, skv.chunk_size, axis=3)     # (S, H, Tq, C*cs)
+    tok = jnp.concatenate(
+        [tok, jnp.ones((S, H, Tq, 1), bool)], axis=3)  # fresh token
+    return jnp.repeat(jnp.where(tok, 0.0, NEG), G, axis=1)
+
+
 @dataclasses.dataclass
 class Request:
     req_id: int
@@ -358,10 +442,14 @@ class Request:
 def _block_apply(
     sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
     k_full: Array, v_full: Array, mask: Array,
-) -> Tuple[Array, Array, Array]:
+    return_pre_rope: bool = False, q_mask_hook=None,
+):
     """One block on (S, T, H) with externally-managed KV.
 
-    Returns (y, k_new, v_new); attention runs over (cache ++ new)."""
+    Returns (y, k_new, v_new); attention runs over (cache ++ new).
+    ``return_pre_rope`` appends the pre-rope K (ShadowKV prefill needs it
+    for the SVD); ``q_mask_hook(q)`` adds a query-dependent attention mask
+    (ShadowKV per-query retrieval at decode)."""
     arch = sw.arch
     ab = getattr(sw, "act_bits", 16)
     S, T, _ = x.shape
@@ -374,8 +462,11 @@ def _block_apply(
     if arch.qk_norm:
         q = A.rmsnorm(q, entry["q_norm"]["weight"], arch.rms_eps)
         k = A.rmsnorm(k, entry["k_norm"]["weight"], arch.rms_eps)
+    k_pre = k
     if cos is not None:
         q, k = A.apply_rope(q, k, cos, sin)
+    if q_mask_hook is not None:
+        mask = mask + q_mask_hook(q)
     k_all = jnp.concatenate([k_full, k.astype(k_full.dtype)], axis=2)
     v_all = jnp.concatenate([v_full, v.astype(v_full.dtype)], axis=2)
     ctx = A.sdpa(q, k_all, v_all, mask, kv_groups=nh // nkv)
@@ -383,6 +474,8 @@ def _block_apply(
     attn_out = apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
     h = x + attn_out
     y = _mlp_tail_serving(sw, entry, h, ab)
+    if return_pre_rope:
+        return y, k, v, k_pre
     return y, k, v
 
 
@@ -401,6 +494,7 @@ class LLMEngine:
         mesh=None,
         attn_impl: str = "auto",
         decode_chunk: int = 1,
+        sparse_kv: Optional[Dict] = None,
     ):
         # decode attention: "pallas" = int8-MXU kernel over the slot cache
         # (contiguous multi-MB DMA slabs, fresh token in-register);
@@ -411,6 +505,18 @@ class LLMEngine:
         # fused dequant+concat (tools/attn_i8_kernel_experiments.py) —
         # the kernel stays as an opt-in for future Mosaic generations.
         if attn_impl == "auto":
+            attn_impl = "xla"
+        # ShadowKV serving mode (VERDICT r2 #4 engine-side hook): per-query
+        # landmark retrieval over a shadow (low-rank) K cache
+        self.shadow = None
+        if sparse_kv and sparse_kv.get("method") == "ShadowKV":
+            from ..compression.sparsification.kvsparse import (
+                ShadowKVCache as _SKV)
+
+            assert not paged and weights.arch.mla is None, \
+                "ShadowKV serving needs the dense slot cache"
+            assert max_len % sparse_kv.get("chunk_size", 8) == 0
+            self.shadow = _SKV("", sparse_kv, weights.arch.num_layers)
             attn_impl = "xla"
         if weights.arch.mla is not None or weights.arch.moe is not None:
             # MLA decode has its own absorbed-latent path; MoE blocks
@@ -497,6 +603,15 @@ class LLMEngine:
                 a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
                 a.head_dim, bits=self.kv_bits, layout=layout,
             )
+        if getattr(self, "shadow", None) is not None:
+            a2 = self.arch
+            C = self.max_len // self.shadow.chunk_size
+            L, S, H = a2.num_layers, self.max_slots, a2.num_kv_heads
+            self.cache = dataclasses.replace(self.cache, extra={
+                "landmarks": jnp.zeros((L, S, H, C, a2.head_dim),
+                                       jnp.bfloat16),
+                "selectable": jnp.zeros((L, S, H, C), bool),
+            })
         if self.mesh is not None:
             from .sharding import shard_kv_cache
 
@@ -606,6 +721,21 @@ class LLMEngine:
                     sw, entry, x, cos, sin, mask)
                 cache = _append_slots_mla(cache, li, slots, c_n, r_n)
                 continue
+            if self.shadow is not None:
+                x, k_new, v_new, k_pre = _block_apply(
+                    sw, entry, x, cos, sin, zero_kv, zero_kv, mask,
+                    return_pre_rope=True)
+                c_max = self.max_len // self.shadow.chunk_size
+                k_eff, lm, sel = _shadow_prefill_layer(
+                    self.shadow, arch, k_new, k_pre, cos, sin, true_lens,
+                    c_max)
+                cache = _append_slots(cache, li, slots, k_eff, v_new)
+                ex = dict(cache.extra)
+                ex["landmarks"] = ex["landmarks"].at[li, slots].set(
+                    lm.astype(ex["landmarks"].dtype))
+                ex["selectable"] = ex["selectable"].at[li, slots].set(sel)
+                cache = dataclasses.replace(cache, extra=ex)
+                continue
             x, k_new, v_new = _block_apply(
                 sw, entry, x, cos, sin, zero_kv, zero_kv, mask
             )
@@ -664,8 +794,13 @@ class LLMEngine:
                 k_full, v_full = paged_read(cache, li)
             else:
                 k_full, v_full = read_kv(cache, li)
+            hook = None
+            if self.shadow is not None and cache.extra is not None:
+                hook = partial(_shadow_extra_mask, self.shadow,
+                               cache.extra, li)
             x, k_new, v_new = _block_apply(
-                sw, entry, x, cos, sin, k_full, v_full, mask
+                sw, entry, x, cos, sin, k_full, v_full, mask,
+                q_mask_hook=hook,
             )
             if self.paged:
                 cache = paged_append_decode(cache, li, k_new, v_new, lengths)
@@ -1011,11 +1146,12 @@ def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):
         v_scale = jax.lax.dynamic_update_slice(
             cache.v_scale, vs[None], (layer, slot, 0, 0)
         )
-        return KVCache(k, v, k_scale, v_scale, 8)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
     k = jax.lax.dynamic_update_slice(
         cache.k, k_new.astype(cache.k.dtype)[None], (layer, slot, 0, 0, 0)
     )
     v = jax.lax.dynamic_update_slice(
         cache.v, v_new.astype(cache.v.dtype)[None], (layer, slot, 0, 0, 0)
     )
-    return KVCache(k, v, None, None, 16)
+    return dataclasses.replace(cache, k=k, v=v)

@@ -36,6 +36,10 @@ class KVCache:
     # consumes it via the absorbed-matmul form, serving/engine.py)
     layout: str = dataclasses.field(metadata=dict(static=True),
                                     default="hhd")
+    # optional per-layer auxiliary state riding the cache pytree through
+    # every jit (e.g. ShadowKV landmarks/selectable masks — engine
+    # sparse_kv mode); None for plain caches
+    extra: Optional[Dict[str, Array]] = None
 
     @staticmethod
     def create_mla(n_layers: int, n_slots: int, max_len: int,
@@ -191,14 +195,15 @@ def append_kv(
         v_scale = cache.v_scale.at[layer].set(
             jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths)
         )
-        return KVCache(k, v, k_scale, v_scale, 8)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
     k = cache.k.at[layer].set(
         jax.vmap(upd_slot)(cache.k[layer], k_new, lengths)
     )
     v = cache.v.at[layer].set(
         jax.vmap(upd_slot)(cache.v[layer], v_new, lengths)
     )
-    return KVCache(k, v, None, None, 16)
+    return dataclasses.replace(cache, k=k, v=v)
 
 
 def append_mla(cache: KVCache, layer: int, c_new: Array, r_new: Array,
@@ -459,4 +464,5 @@ def append_kv_quantized(
     v_scale = cache.v_scale.at[layer].set(
         jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths)
     )
-    return KVCache(k, v, k_scale, v_scale, 8)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
