@@ -60,6 +60,30 @@ def test_quant_analysis():
         assert np.isfinite(r["input_kurtosis"])
 
 
+def test_quant_analysis_per_linear():
+    """Per-linear sweep parity (reference tools/quant_analysis.py:88-185):
+    min/avg output cosine per sample + weight/act kurtosis per
+    granularity."""
+    from lightcompress_tpu.utils.quant_analysis import analyze_linears
+
+    model = make_tiny_adapter(seed=90)
+    cfg = DotDict({"method": "RTN",
+                   "weight": {"bit": 4, "symmetric": False,
+                              "granularity": "per_group", "group_size": 16}})
+    rng = np.random.RandomState(0)
+    ids = [jnp.asarray(rng.randint(0, 256, (2, 16)), jnp.int32)]
+    inputs = model.collect_first_block_input(ids)
+    algo = ALGO_REGISTRY["RTN"](model, cfg, inputs, None, DotDict({}))
+    rows = analyze_linears(model, algo, inputs, granularity="per_group",
+                           group_size=16)
+    names = {r["linear"] for r in rows}
+    assert {"attn.q", "mlp.down"} <= names
+    for r in rows:
+        assert 0.5 < r["min_cos"] <= r["avg_cos"] <= 1.0 + 1e-6
+        assert np.isfinite(r["w_kurtosis"]) and np.isfinite(
+            r["act_kurtosis"])
+
+
 def test_custom_generate_with_tokenizer(tmp_path):
     from lightcompress_tpu.eval.harness import CustomGenerate
     from lightcompress_tpu.models import load_model

@@ -22,6 +22,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--out", default=None)
+    p.add_argument("--per-linear", action="store_true",
+                   help="per-linear min/avg cosine + kurtosis sweep "
+                        "(reference analysis_block_cosine/outlier)")
+    p.add_argument("--prof-gra", default="per_tensor",
+                   choices=["per_tensor", "per_channel", "per_group"])
+    p.add_argument("--group-size", type=int, default=128)
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -44,11 +50,24 @@ def main():
     first = model.collect_first_block_input(
         [jnp.asarray(b) for b in calib_batches])
     algo = ALGO_REGISTRY[ccfg.method](model, ccfg, first, padding_masks, cfg)
-    rows = analyze_blocks(model, algo, first)
-    print(f"{'block':>5} {'kurtosis':>10} {'cos(fp,quant)':>14}")
-    for r in rows:
-        print(f"{r['block']:>5} {r['input_kurtosis']:>10.3f} "
-              f"{r['fp_quant_cosine']:>14.6f}")
+    if args.per_linear:
+        from lightcompress_tpu.utils.quant_analysis import analyze_linears
+
+        rows = analyze_linears(model, algo, first,
+                               granularity=args.prof_gra,
+                               group_size=args.group_size)
+        print(f"{'block':>5} {'linear':>18} {'min_cos':>10} {'avg_cos':>10}"
+              f" {'w_kurt':>8} {'act_kurt':>9}")
+        for r in rows:
+            print(f"{r['block']:>5} {r['linear']:>18} {r['min_cos']:>10.6f}"
+                  f" {r['avg_cos']:>10.6f} {r['w_kurtosis']:>8.2f}"
+                  f" {r['act_kurtosis']:>9.2f}")
+    else:
+        rows = analyze_blocks(model, algo, first)
+        print(f"{'block':>5} {'kurtosis':>10} {'cos(fp,quant)':>14}")
+        for r in rows:
+            print(f"{r['block']:>5} {r['input_kurtosis']:>10.3f} "
+                  f"{r['fp_quant_cosine']:>14.6f}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=2)
