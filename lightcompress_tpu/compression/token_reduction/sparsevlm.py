@@ -31,11 +31,15 @@ Array = jax.Array
 
 
 def text_to_vision_scores(lang, idx: int, x: Array, vis_start: Array,
-                          n_vis: int) -> Array:
-    """Mean attention (over heads and post-image text queries) from text
-    tokens to each vision token at decoder block ``idx``.
+                          n_vis: int, query: str = "mean") -> Array:
+    """Attention from text tokens to each vision token at decoder block
+    ``idx``, mean over heads.  ``query="mean"`` averages over the
+    post-image text queries (sparsevlm.py relation_vis_text);
+    ``query="last"`` uses only the LAST sequence position's attention row
+    (the FastV/HoliTom criterion — holitom.py qwen_forward
+    last_layer_attention_avg[-1]).
 
-    Returns (B, n_vis) float32 scores (sparsevlm.py relation_vis_text).
+    Returns (B, n_vis) float32 scores.
     """
     arch = lang.arch
     bp = lang.params["blocks"][idx]
@@ -62,12 +66,17 @@ def text_to_vision_scores(lang, idx: int, x: Array, vis_start: Array,
     logits = jnp.where(causal[None, None], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)  # (B, nh, T, T)
     s = vis_start[:, None]
-    is_text_after = (jj[None, :] >= s + n_vis).astype(jnp.float32)  # (B, T)
-    denom = jnp.clip(is_text_after.sum(-1), 1.0, None)
-    # mean over heads and post-image text queries -> per-key score
-    key_scores = jnp.einsum("bhqk,bq->bk", probs, is_text_after) / (
-        nh * denom[:, None]
-    )  # (B, T)
+    if query == "last":
+        # last position's attention row, mean over heads
+        key_scores = jnp.mean(probs[:, :, -1, :], axis=1)  # (B, T)
+    else:
+        is_text_after = (jj[None, :] >= s + n_vis).astype(
+            jnp.float32)  # (B, T)
+        denom = jnp.clip(is_text_after.sum(-1), 1.0, None)
+        # mean over heads and post-image text queries -> per-key score
+        key_scores = jnp.einsum("bhqk,bq->bk", probs, is_text_after) / (
+            nh * denom[:, None]
+        )  # (B, T)
     # gather the vision columns [s, s+n_vis)
     bi = jnp.arange(B)[:, None]
     vis_cols = s + jnp.arange(n_vis)[None, :]

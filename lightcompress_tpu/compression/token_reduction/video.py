@@ -90,6 +90,62 @@ def merge_by_cluster(feats: Array, assign: Array, n_clusters: int) -> Array:
             / counts[:, None])
 
 
+def fastvid_dyseg_cuts(frame_global: Array, c: int, tau: float):
+    """DySeg cut detection, exact reference math (fastvid.py:262-283):
+    cuts = topk(c-1) LOWEST adjacent global-feature similarities UNION
+    similarities below ``tau``.  frame_global (F, H) -> (is_cut (F-1,)
+    bool: cut AFTER frame i, sims (F-1,))."""
+    g = _normalize(frame_global.astype(jnp.float32))
+    sim = jnp.sum(g[:-1] * g[1:], axis=-1)
+    n = min(max(c - 1, 0), sim.shape[0])
+    is_cut = jnp.zeros(sim.shape, bool)
+    if n:
+        is_cut = is_cut.at[jax.lax.top_k(-sim, n)[1]].set(True)
+    return is_cut | (sim < tau), sim
+
+
+def fastvid_density_score(feats: Array, k: int = 4) -> Array:
+    """Parallel density-peak score, exact reference math
+    (fastvid.py:357-389): per frame, dist = cdist/sqrt(H); density =
+    exp(-mean_k(d^2)) over the k nearest (incl. self); parent distance =
+    min distance to any higher-density token (dist_max fallback);
+    score = parent_dist * density.  feats (F, N, H) -> (F, N)."""
+    Fb, N, H = feats.shape
+    f = feats.astype(jnp.float32)
+    d2 = jnp.sum((f[:, :, None] - f[:, None, :]) ** 2, axis=-1)
+    dist = jnp.sqrt(jnp.clip(d2, 0, None)) / (H ** 0.5)
+    near = -jax.lax.top_k(-dist, min(k, N))[0]            # (F, N, k)
+    density = jnp.exp(-jnp.mean(near ** 2, axis=-1))
+    higher = density[:, None, :] > density[:, :, None]
+    dist_max = dist.reshape(Fb, -1).max(axis=-1)[:, None, None]
+    dist0 = jnp.min(jnp.where(higher, dist, dist_max), axis=-1)
+    return dist0 * density
+
+
+def fastvid_dtm_merge(filtered: Array, context_idx: Array,
+                      alpha: float) -> Array:
+    """Density-guided token merging, exact reference math
+    (fastvid.py:400-431): every filtered token assigns to its
+    most-cosine-similar context token; each context token becomes
+    w*itself + (1-w)*mean(assigned), w = clamp(1/(n_assigned+1), alpha).
+    filtered (F, M, H), context_idx (F, C) -> merged (F, C, H)."""
+    Fb, M, H = filtered.shape
+    C = context_idx.shape[1]
+    tb = _normalize(filtered.astype(jnp.float32))
+    bi = jnp.arange(Fb)[:, None]
+    ctx = filtered.astype(jnp.float32)[bi, context_idx]   # (F, C, H)
+    tgt = tb[bi, context_idx]
+    sim = jnp.einsum("fmh,fch->fmc", tb, tgt)
+    assign = jnp.argmax(sim, axis=-1)                     # (F, M)
+    one_hot = jax.nn.one_hot(assign, C, dtype=jnp.float32)
+    counts = one_hot.sum(axis=1)                          # (F, C)
+    w = jnp.clip(1.0 / (counts + 1.0), alpha, None)[..., None]
+    agg = jnp.einsum("fmc,fmh->fch", one_hot,
+                     filtered.astype(jnp.float32)) / \
+        jnp.clip(counts, 1.0, None)[..., None]
+    return w * ctx + (1.0 - w) * agg
+
+
 def _frames(model, feats: Array):
     F = max(1, int(getattr(model, "num_frames", 1)))
     if feats.shape[0] == F and F > 1:
@@ -97,35 +153,52 @@ def _frames(model, feats: Array):
     return feats, 1
 
 
+def dycoke_ttm(frames: Array, merging_ratio: float) -> Array:
+    """Exact ``dycole_ttm`` (dycoke.py:20-104) on (F, Tp, H) frames.
+
+    Pass 1 over pairs (2j, 2j+1): the even frame is kept whole, the odd
+    frame keeps the ``(1 - merging_ratio) * Tp`` tokens LEAST similar to
+    the even frame (ascending-similarity order, matching
+    ``topk(largest=False)``'s gather order).  Pass 2 over strides of 4
+    (i = 0, 4, ... while i < F - 4): frame i+2 is re-pruned against frame
+    i the same way.  A trailing unpaired frame is dropped, as in the
+    reference's pair loop."""
+    F, Tp, _ = frames.shape
+    n_keep = max(1, int((1.0 - merging_ratio) * Tp))
+    f = _normalize(frames.astype(jnp.float32))
+
+    def least_similar(a: int, b: int) -> Array:
+        sim = jnp.einsum("td,td->t", f[a], f[b])
+        # ascending similarity order == torch.topk(largest=False) order
+        return frames[b][jax.lax.top_k(-sim, n_keep)[1]]
+
+    out = []
+    for i in range(0, F - 1, 2):
+        out.append(frames[i])
+        out.append(least_similar(i, i + 1))
+    for i in range(0, F - 4, 4):
+        # list slot i+2 holds frame i+2 (slot 2j <-> frame 2j)
+        out[i + 2] = least_similar(i, i + 2)
+    return jnp.concatenate(out, axis=0)
+
+
 @TOKEN_REDUCTION_REGISTRY.register("DyCoke")
 class DyCoke(TokenReductionModule):
-    """Temporal token merging (dycoke.py:20-104 ``dycole_ttm``): keep even
-    frames whole; in each odd frame keep only the tokens least similar to
-    the previous frame (most-changed content).  The reference's second
-    4-stride pass refreshes alternate even frames the same way."""
+    """Temporal token merging — exact reference selection (dycoke.py:20-104
+    ``dycole_ttm``; parity-tested against a NumPy port in
+    tests/test_video_parity.py)."""
 
     def add_sparse_config(self):
         self.merging_ratio = self.special.get("merging_ratio", 0.7)
 
     def register_reduction_modules(self):
-        keep_frac = 1.0 - self.merging_ratio
+        ratio = self.merging_ratio
 
         def hook(model, feats):
             frames, F = _frames(model, feats)
             if F <= 1:
                 return feats
-            Tp = frames.shape[1]
-            n_keep = max(1, int(keep_frac * Tp))
-            f = _normalize(frames.astype(jnp.float32))
-            out = []
-            for i in range(F):
-                if i % 2 == 0:
-                    out.append(frames[i])
-                else:
-                    sim = jnp.einsum("td,td->t", f[i - 1], f[i])
-                    idx = jnp.sort(jax.lax.top_k(-sim, n_keep)[1])
-                    out.append(frames[i][idx])
-            return jnp.concatenate(out, axis=0)[None]  # (1, T', H)
+            return dycoke_ttm(frames, ratio)[None]  # (1, T', H)
 
         self.model.feature_hooks.append(hook)
 
@@ -173,10 +246,11 @@ class FastVID(TokenReductionModule):
 
     def add_sparse_config(self):
         self.n_segments = self.special.get("DySeg_c", 4)
+        self.tau = self.special.get("DySeg_tau", 0.85)
+        self.alpha = self.special.get("DTM_alpha", 0.3)
         self.salient_frac = self.special.get("salient_frac", 0.25)
         self.context_frac = self.special.get("context_frac", 0.25)
         self.residual_frac = self.special.get("residual_frac", 0.1)
-        self.knn_k = self.special.get("k", 5)
 
     def register_reduction_modules(self):
         cfg = self
@@ -186,38 +260,44 @@ class FastVID(TokenReductionModule):
             if F <= 1:
                 return feats
             Tp = frames.shape[1]
-            n_seg = min(cfg.n_segments, F)
             n_sal = max(1, int(Tp * cfg.salient_frac))
             n_ctx = max(1, int(Tp * cfg.context_frac))
             n_res = max(1, int(Tp * cfg.residual_frac))
-            sims = adjacent_frame_similarity(frames)
-            seg_id = segment_ids_from_cuts(sims, n_seg)
+            # DySeg: topk + tau-threshold cuts on frame GLOBAL features
+            # (mean token = the SigLip pooled stand-in)
+            is_cut, _ = fastvid_dyseg_cuts(
+                frames.mean(axis=1), cfg.n_segments, cfg.tau)
             is_anchor = jnp.concatenate(
-                [jnp.ones((1,), bool), seg_id[1:] != seg_id[:-1]]
-            )  # (F,)
+                [jnp.ones((1,), bool), is_cut])            # (F,)
             f = _normalize(frames.astype(jnp.float32))
-            # token saliency: distance from the frame's mean token
-            # (cls-attention stand-in at the feature stage)
-            centered = f - f.mean(axis=1, keepdims=True)
-            saliency = jnp.linalg.norm(centered, axis=-1)  # (F, Tp)
-            # anchor membership is data-dependent (traced), so every frame
-            # computes both roles and selects with `where`:
-            #   anchor role: salient top-k + DPC-merged context
-            #   residual role: top-k least similar to previous frame
+            # ATS saliency: vision-tower cls/pool attention when the model
+            # provides it, else distance-from-frame-mean stand-in
+            attnw = getattr(model, "frame_attn_weights", None)
+            if attnw is not None:
+                saliency = jnp.asarray(attnw, jnp.float32)
+            else:
+                centered = f - f.mean(axis=1, keepdims=True)
+                saliency = jnp.linalg.norm(centered, axis=-1)  # (F, Tp)
+            sal_idx = jax.lax.top_k(saliency, n_sal)[1]        # (F, n_sal)
+            is_sal = jnp.zeros((F, Tp), bool)
+            is_sal = is_sal.at[jnp.arange(F)[:, None], sal_idx].set(True)
+            # context: density-peak score (exact fastvid math) over
+            # non-salient tokens, then DTM merge into the context tokens
+            density = fastvid_density_score(frames)
+            ctx_idx = jax.lax.top_k(
+                jnp.where(is_sal, -jnp.inf, density), n_ctx)[1]  # (F, n_ctx)
+            merged_ctx = fastvid_dtm_merge(frames, ctx_idx, cfg.alpha
+                                           ).astype(frames.dtype)
             out = []
             for i in range(F):
-                sal_idx = jnp.sort(jax.lax.top_k(saliency[i], n_sal)[1])
-                sal = frames[i][sal_idx]
-                assign, _ = cluster_dpc_knn(frames[i], n_ctx, cfg.knn_k)
-                ctx = merge_by_cluster(frames[i], assign, n_ctx
-                                       ).astype(frames.dtype)
+                sal = frames[i][jnp.sort(sal_idx[i])]
+                anchor_tokens = jnp.concatenate([sal, merged_ctx[i]], 0)
                 if i == 0:
-                    out.append(jnp.concatenate([sal, ctx], axis=0))
+                    out.append(anchor_tokens)
                     continue
                 res_sim = jnp.einsum("td,td->t", f[i - 1], f[i])
                 res_idx = jnp.sort(jax.lax.top_k(-res_sim, n_res)[1])
                 res = frames[i][res_idx]
-                anchor_tokens = jnp.concatenate([sal, ctx], axis=0)
                 n_anchor_tok = anchor_tokens.shape[0]
                 pad = jnp.zeros((max(0, n_anchor_tok - n_res),
                                  frames.shape[-1]), frames.dtype)
@@ -228,6 +308,43 @@ class FastVID(TokenReductionModule):
             return jnp.concatenate(out, axis=0)[None]
 
         self.model.feature_hooks.append(hook)
+
+
+def holitom_merge(x: Array, vis_start: Array, n_vis: int,
+                  keep_off: Array) -> Array:
+    """HoliTom inner-LLM merge, exact reference semantics
+    (holitom.py:1374-1421): every NON-kept vision token folds into its
+    most-cosine-similar kept token as a SEQUENTIAL running average
+    (h[tgt] = (h[tgt] + h[i]) / 2, applied in ascending non-kept index
+    order — later merges see earlier results).  Similarities are computed
+    from the ORIGINAL hidden states.  Returns x with the kept vision
+    positions updated in place; the caller gathers the kept set."""
+    B, T, H = x.shape
+    n_keep = keep_off.shape[1]
+    n_non = n_vis - n_keep
+    bi = jnp.arange(B)[:, None]
+    vis = x[bi, vis_start[:, None] + jnp.arange(n_vis)[None]]  # (B,n_vis,H)
+    is_kept = jnp.zeros((B, n_vis), bool).at[bi, keep_off].set(True)
+    # ascending non-kept offsets, static count (sentinel-sort)
+    off = jnp.arange(n_vis)[None, :]
+    non_off = jnp.sort(jnp.where(is_kept, n_vis, off), -1)[:, :n_non]
+    non = vis[bi, non_off].astype(jnp.float32)                 # (B,n_non,H)
+    topk = vis[bi, keep_off].astype(jnp.float32)               # (B,n_keep,H)
+    nn_ = non / jnp.clip(jnp.linalg.norm(non, axis=-1, keepdims=True),
+                         1e-6, None)
+    tk = topk / jnp.clip(jnp.linalg.norm(topk, axis=-1, keepdims=True),
+                         1e-6, None)
+    tgt = jnp.argmax(jnp.einsum("bnh,bkh->bnk", nn_, tk), -1)  # (B, n_non)
+    rows = jnp.arange(B)
+
+    def body(i, tk_states):
+        t = tgt[:, i]
+        cur = tk_states[rows, t]
+        return tk_states.at[rows, t].set((cur + non[:, i]) / 2.0)
+
+    merged = jax.lax.fori_loop(0, n_non, body, topk)
+    return x.at[bi, vis_start[:, None] + keep_off].set(
+        merged.astype(x.dtype))
 
 
 @TOKEN_REDUCTION_REGISTRY.register("HoliTom")
@@ -292,20 +409,14 @@ class HoliTom(TokenReductionModule):
             def lang_hook(mdl, idx, x, vis_start, n_vis):
                 if n_vis <= 1:
                     return x, vis_start, n_vis
-                n_keep = max(1, int(n_vis * (1.0 - r)))
+                n_keep = max(1, round(n_vis * (1.0 - r)))
                 scores = text_to_vision_scores(mdl.language, idx, x,
-                                               vis_start, n_vis)
-                keep_off = jnp.sort(jax.lax.top_k(scores, n_keep)[1], -1)
-                B = x.shape[0]
-                bi = jnp.arange(B)[:, None]
-                vis = x[bi, vis_start[:, None] + jnp.arange(n_vis)[None]]
-                is_kept = jnp.zeros((B, n_vis), bool).at[bi, keep_off].set(
-                    True)
-                w = jnp.where(is_kept, 0.0, scores)
-                w = w / jnp.clip(w.sum(-1, keepdims=True), 1e-9, None)
-                merged = jnp.einsum("bt,bth->bh", w, vis.astype(jnp.float32)
-                                    ).astype(x.dtype)
-                x2 = prune_vision_span(x, vis_start, n_vis, keep_off, merged)
-                return x2, vis_start, n_keep + 1
+                                               vis_start, n_vis,
+                                               query="last")
+                keep_off = jax.lax.top_k(scores, n_keep)[1]  # topk order
+                x2 = holitom_merge(x, vis_start, n_vis, keep_off)
+                x3 = prune_vision_span(x2, vis_start, n_vis,
+                                       jnp.sort(keep_off, -1))
+                return x3, vis_start, n_keep
 
             self.model.lang_token_hooks[self.holitom_k] = lang_hook

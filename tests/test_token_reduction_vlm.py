@@ -152,8 +152,10 @@ def test_holitom_outer_and_inner(vlm):
     vlm.feature_hooks.clear()
     ids, px = _sample(vlm)
     logits = vlm.forward_multimodal(ids, px)
-    # 16 vis -> keep 8 + merged: 9 + 9 = 18
-    assert logits.shape[1] == 18
+    # 16 vis -> keep 8 (reference semantics: pruned tokens fold INTO the
+    # kept ones as sequential pairwise averages, no extra recycle token —
+    # holitom.py:1374-1421): 9 text + 8 vis = 17
+    assert logits.shape[1] == 17
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
