@@ -236,6 +236,41 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             k = lin(x, lw["k"], True).reshape(B, N_KV, 1, HEAD_DIM)
             v = lin(x, lw["v"], True).reshape(B, N_KV, 1, HEAD_DIM)
         G = N_HEADS // N_KV
+        if KV_BITS == 4 and ATTN_IMPL == "bd4":
+            # nibble-packed block-diagonal kernel: half the int8 kernel's
+            # HBM bytes, in-kernel sign-extended nibble planes feeding
+            # full-size int8 MXU dots (ops/pallas_attention.bd4)
+            from lightcompress_tpu.ops.pallas_attention import (
+                bd_merge_new_token, decode_attention_bd4,
+            )
+
+            ks_, vs_ = kv_scales[li]
+            qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+            qctx = decode_attention_bd4(qg, k_cache[li], ks_,
+                                        v_cache[li], vs_)
+
+            def q8f(t):
+                amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                               keepdims=True)
+                sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+                return (jnp.clip(jnp.round(t / sc.astype(jnp.float32)),
+                                 -127, 127).astype(jnp.int8), sc[..., 0])
+
+            k8n, ksn = q8f(k)
+            v8n, vsn = q8f(v)
+            ctx = bd_merge_new_token(
+                qg, qctx, k8n[:, :, 0, :], v8n[:, :, 0, :],
+                ksn[..., 0], vsn[..., 0], HEAD_DIM ** -0.5)
+            ctx = ctx.reshape(B, -1).astype(x.dtype)
+            x = x + lin(ctx, lw["o"])
+            gu = lin(x, lw["gateup"], True) if FUSED else None
+            if FUSED:
+                g_, u_ = gu[:, :INTER], gu[:, INTER:]
+            else:
+                g_ = lin(x, lw["gate"], True)
+                u_ = lin(x, lw["up"], True)
+            x = x + lin(jax.nn.silu(g_) * u_, lw["down"])
+            continue
         if KV_BITS == 4:
             # KIVI-class nibble-packed KV (serving kv_bits=4): halves the
             # decode-dominant KV stream; XLA fuses unpack+dequant into the
@@ -505,7 +540,17 @@ def build_inputs():
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
     kv_dt = jnp.int8 if KV_BITS in (4, 8) else jnp.bfloat16
-    if ATTN_IMPL in ("bd", "bds"):
+    if ATTN_IMPL == "bd4":
+        # nibble-packed feature-major K / time-major V for the kv4 kernel
+        k_cache = [
+            jnp.zeros((BATCH, N_KV * HEAD_DIM // 2, CTX), jnp.int8)
+            for _ in range(LAYERS)
+        ]
+        v_cache = [
+            jnp.zeros((BATCH, CTX, N_KV * HEAD_DIM // 2), jnp.int8)
+            for _ in range(LAYERS)
+        ]
+    elif ATTN_IMPL in ("bd", "bds"):
         # feature-major K / time-major V slabs for the block-diagonal kernel
         k_cache = [
             jnp.zeros((BATCH, N_KV * HEAD_DIM, CTX), kv_dt)
@@ -538,7 +583,10 @@ def main():
     if TAIL:
         assert FUSED and SCALES, "TAIL needs fused gateup + pre-tiled scales"
     if KV_BITS == 4:
-        assert ATTN_IMPL == "xla", "kv4 uses the XLA unpack path"
+        assert ATTN_IMPL in ("xla", "bd4"), \
+            "kv4: XLA two-term planes or the bd4 nibble kernel"
+    if ATTN_IMPL == "bd4":
+        assert KV_BITS == 4, "bd4 is the kv4 kernel"
     if KV_APPEND == "dus":
         layers, x, k_cache, v_cache, kv_scales = build_inputs()
 

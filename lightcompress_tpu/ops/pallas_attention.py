@@ -496,6 +496,131 @@ def decode_attention_bd_flash(
     return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
 
 
+def _attn_kernel_bd4(q_lo_ref, q_hi_ref, qs_ref, k_ref, ks_ref, v_ref,
+                     vs_ref, *refs, n_heads: int, group: int, scale: float,
+                     masked: bool = False):
+    """Block-diagonal decode attention over the NIBBLE-PACKED (kv4) cache.
+
+    K rides feature-major packed (H*D/2, S): packed row h*D/2+d holds
+    feature h*D+d in the low nibble and h*D+d+D/2 in the high nibble
+    (serving/kv_cache.quantize_kv4 half-plane layout).  The query arrives
+    as TWO block-diagonal int8 matrices (lo/hi feature halves), so scores
+    are two full-size int8 MXU dots over the sign-extended nibble planes —
+    half the HBM bytes of the int8 kernel at the cost of ~4 VPU ops per
+    packed byte (same op count per UNPACKED element as the int8 path's
+    in-kernel dequant).  PV mirrors it over the (S, H*D/2) packed V."""
+    if masked:
+        len_ref, o_ref, m_ref, d_ref = refs
+    else:
+        o_ref, m_ref, d_ref = refs
+    H, G = n_heads, group
+    bb = q_lo_ref.shape[0]
+    for b in range(bb):
+        ki = k_ref[b].astype(jnp.int32)               # (HD2, S)
+        klo = (((ki & 0xF) ^ 8) - 8).astype(jnp.int8)
+        khi = ((((ki >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
+        sc32 = jax.lax.dot_general(
+            q_lo_ref[b], klo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sc32 = sc32 + jax.lax.dot_general(
+            q_hi_ref[b], khi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)         # (HG, S)
+        scf = sc32.astype(jnp.float32) * \
+            (qs_ref[b, :, 0].astype(jnp.float32)[:, None] * scale)
+        ksf = ks_ref[b].astype(jnp.float32)           # (H, S)
+        scf = jnp.concatenate(
+            [scf[h * G:(h + 1) * G] * ksf[h][None, :] for h in range(H)], 0)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 1)
+            scf = jnp.where(col < len_ref[b, 0, 0], scf, -jnp.inf)
+        m = jnp.maximum(jnp.max(scf, axis=-1, keepdims=True), -1e30)
+        e = jnp.exp(scf - m)
+        denom = jnp.sum(e, axis=-1)
+        vsf = vs_ref[b].astype(jnp.float32)
+        pv = jnp.concatenate(
+            [e[h * G:(h + 1) * G] * vsf[h][None, :] for h in range(H)], 0)
+        ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+        p8 = jnp.round(pv / ps).astype(jnp.int8)
+        vi = v_ref[b].astype(jnp.int32)               # (S, HD2)
+        vlo = (((vi & 0xF) ^ 8) - 8).astype(jnp.int8)
+        vhi = ((((vi >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
+        clo = jax.lax.dot_general(
+            p8, vlo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+        chi = jax.lax.dot_general(
+            p8, vhi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+        D2 = vi.shape[1] // H
+        o_ref[b] = jnp.concatenate(
+            [jnp.concatenate(
+                [clo[h * G:(h + 1) * G, h * D2:(h + 1) * D2],
+                 chi[h * G:(h + 1) * G, h * D2:(h + 1) * D2]], axis=1)
+             for h in range(H)], 0)
+        m_ref[b, :, 0] = m[:, 0]
+        d_ref[b, :, 0] = denom
+
+
+@functools.partial(jax.jit, static_argnames=("b_block", "interpret"))
+def decode_attention_bd4(
+    q: Array,            # (B, H, G, D) bf16/f32
+    kt4: Array,          # (B, H*D/2, S) int8 nibble-packed K, feature-major
+    ks: Array,           # (B, H, S) bf16
+    vt4: Array,          # (B, S, H*D/2) int8 nibble-packed V, time-major
+    vs: Array,           # (B, H, S) bf16
+    lengths: Optional[Array] = None,
+    b_block: int = 1,
+    interpret: bool = False,
+):
+    """kv4 block-diagonal decode attention — same contract as
+    ``decode_attention_bd`` (unnormalized ctx + m/denom for the
+    flash-decoding merge of the fresh token)."""
+    B, H, G, D = q.shape
+    S = kt4.shape[2]
+    D2 = D // 2
+    b_block = min(b_block, B)
+    while B % b_block:
+        b_block -= 1
+    q8, qs = _quantize_q(q)
+    q_lo = make_q_blockdiag(q8[..., :D2], H)          # (B, HG, H*D2)
+    q_hi = make_q_blockdiag(q8[..., D2:], H)
+    qs2 = qs.reshape(B, H * G, 1)
+    masked = lengths is not None
+    kernel = functools.partial(_attn_kernel_bd4, n_heads=H, group=G,
+                               scale=D ** -0.5, masked=masked)
+    grid = (B // b_block,)
+
+    def spec3(a, b_):
+        return pl.BlockSpec((b_block, a, b_), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    args = [q_lo, q_hi, qs2, kt4, ks, vt4, vs]
+    in_specs = [spec3(H * G, H * D2), spec3(H * G, H * D2),
+                spec3(H * G, 1),
+                spec3(H * D2, S), spec3(H, S),
+                spec3(S, H * D2), spec3(H, S)]
+    if masked:
+        args.append(lengths.astype(jnp.int32).reshape(B, 1, 1))
+        in_specs.append(spec3(1, 1))
+    ctx, m, d = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(spec3(H * G, D), spec3(H * G, 1), spec3(H * G, 1)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes()),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * G * S * H * D,
+            bytes_accessed=B * S * H * D + 4 * B * H * S,
+            transcendentals=B * H * G * S,
+        ),
+    )(*args)
+    return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
+
+
 def bd_merge_new_token(q: Array, qctx, k_new: Array, v_new: Array,
                        kns: Array, vns: Array, scale: float):
     """Merge the fresh decode token into ``decode_attention_bd`` output.

@@ -533,6 +533,12 @@ class LLMEngine:
         self.arch = weights.arch
         self.max_slots = max_slots
         self.max_len = max_len
+        if kv_bits == "auto":
+            # context-based pick (measured crossover, REPORT r3 kv4 curve):
+            # at short contexts the nibble unpack epilogue costs more than
+            # the halved KV stream saves; at >=4k the KV read dominates
+            # decode traffic and kv4 wins
+            kv_bits = 4 if max_len >= 4096 else 8
         self.kv_bits = kv_bits
         self.paged = paged
         self.page_size = page_size

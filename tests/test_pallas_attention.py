@@ -153,3 +153,39 @@ def test_decode_attention_bd_masked_lengths():
     ref = jnp.einsum("bhgs,bhsd->bhgd", p, vf)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 0.03, rel
+
+
+def test_decode_attention_bd4_matches_unpacked():
+    """kv4 nibble kernel (decode_attention_bd4): matches attention over
+    the dequantized nibble planes, masked and unmasked."""
+    from lightcompress_tpu.ops.pallas_attention import (
+        _quantize_q, decode_attention_bd4)
+    from lightcompress_tpu.serving.kv_cache import quantize_kv4, unpack_kv4
+
+    B, H, G, D, S = 2, 4, 4, 32, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, G, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    k4, ks = quantize_kv4(k)
+    v4, vs = quantize_kv4(v)
+    kt4 = k4.transpose(0, 1, 3, 2).reshape(B, H * D // 2, S)
+    vt4 = v4.transpose(0, 2, 1, 3).reshape(B, S, H * D // 2)
+    q8, qs = _quantize_q(q)
+    qf = q8.astype(jnp.float32) * qs[..., None]
+    kd = unpack_kv4(k4) * ks[..., None]
+    vd = unpack_kv4(v4) * vs[..., None]
+    sc = jnp.einsum("bhgd,bhsd->bhgs", qf, kd) * D ** -0.5
+    for lengths in (None, jnp.asarray([100, 3], jnp.int32)):
+        ctx, m, d = decode_attention_bd4(
+            q, kt4, ks.astype(jnp.bfloat16), vt4, vs.astype(jnp.bfloat16),
+            lengths, interpret=True)
+        n = np.asarray(ctx) / np.maximum(np.asarray(d)[..., None], 1e-30)
+        scm = sc
+        if lengths is not None:
+            vis = jnp.arange(S)[None, None, None, :] < \
+                lengths[:, None, None, None]
+            scm = jnp.where(vis, sc, -jnp.inf)
+        p = jax.nn.softmax(scm, -1)
+        ref = np.asarray(jnp.einsum("bhgs,bhsd->bhgd", p, vd))
+        assert np.abs(n - ref).max() < 0.05

@@ -472,6 +472,18 @@ def test_engine_kv4_cache(tiny_setup):
     assert agree >= 4, (g4, g8)
 
 
+def test_kv_bits_auto_pick(tiny_setup):
+    """kv_bits='auto' picks by context: kv4 at >=4k (halved KV stream
+    dominates), kv8 below (measured crossover, REPORT r3)."""
+    model, sw = tiny_setup
+    short = LLMEngine(sw, max_slots=1, max_len=64, kv_bits="auto",
+                      prefill_buckets=(16,))
+    assert short.kv_bits == 8 and short.cache.bits == 8
+    long = LLMEngine(sw, max_slots=1, max_len=4096, kv_bits="auto",
+                     prefill_buckets=(16,))
+    assert long.kv_bits == 4 and long.cache.bits == 4
+
+
 def test_quantize_kv4_roundtrip():
     import numpy as np
     from lightcompress_tpu.serving.kv_cache import quantize_kv4, unpack_kv4
