@@ -430,6 +430,20 @@ def _shadow_extra_mask(skv, extra, li: int, q: Array) -> Array:
     return jnp.repeat(jnp.where(tok, 0.0, NEG), G, axis=1)
 
 
+def _ngram_draft(history: List[int], n: int, k: int) -> List[int]:
+    """Prompt-lookup drafting: find the most recent PRIOR occurrence of
+    the trailing n-gram in the token history and propose the (up to) k
+    tokens that followed it.  Cheap host-side work; pays off whenever
+    generation revisits prompt phrasing (summaries, code, extraction)."""
+    if len(history) < n + 1:
+        return []
+    tail = history[-n:]
+    for i in range(len(history) - n - 1, -1, -1):
+        if history[i:i + n] == tail:
+            return history[i + n:i + n + k]
+    return []
+
+
 @dataclasses.dataclass
 class Request:
     req_id: int
@@ -495,6 +509,7 @@ class LLMEngine:
         attn_impl: str = "auto",
         decode_chunk: int = 1,
         sparse_kv: Optional[Dict] = None,
+        spec_decode: Optional[Dict] = None,
     ):
         # decode attention: "pallas" = int8-MXU kernel over the slot cache
         # (contiguous multi-MB DMA slabs, fresh token in-register);
@@ -575,6 +590,20 @@ class LLMEngine:
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk, static_argnames=("n_steps", "sp"),
             donate_argnums=(1,))
+        # speculative decoding (beyond-parity serving): n-gram
+        # prompt-lookup drafts + one batched greedy verify dispatch per
+        # round — lossless under greedy sampling (the accepted prefix is
+        # exactly what per-step decode would emit)
+        self.spec = None
+        if spec_decode and spec_decode.get("method", "ngram") == "ngram":
+            assert not self.paged and self.arch.mla is None, \
+                "spec decode: dense slot-cache engines only"
+            self.spec = {
+                "draft_len": int(spec_decode.get("draft_len", 4)),
+                "ngram": int(spec_decode.get("ngram", 2)),
+            }
+            self.spec_stats = {"rounds": 0, "emitted": 0}
+        self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(1,))
 
     def reset(self):
         a = self.arch
@@ -761,6 +790,53 @@ class LLMEngine:
         return cache, lengths, last
 
     # ------------------------------------------------------------------
+    def _spec_verify(self, sw, cache, lengths, toks):
+        """Speculative-decoding verify step: run ``toks`` (S, 1+k) — each
+        slot's current token followed by k drafted tokens — through the
+        stack in ONE dispatch, appending all 1+k tokens' KV at the slot
+        offsets.  Returns (cache, greedy (S, 1+k) argmax next-token ids).
+
+        Acceptance happens host-side; rejected positions simply stay
+        beyond the slot's final length — the cache is length-masked, so a
+        'rewind' is just not advancing lengths (no copies, TPU-friendly).
+        Greedy spec decoding is lossless: outputs equal the per-step
+        engine exactly."""
+        arch = sw.arch
+        S, K1 = toks.shape
+        x = sw.embed[toks]  # (S, K1, H)
+        pos = lengths[:, None] + jnp.arange(K1)[None, :]
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[pos + 2]
+        if arch.family == "llama":
+            cos, sin = A.rope_cos_sin(arch, pos)  # (S, K1, d)
+        else:
+            cos = sin = None
+        Tmax = self.max_len
+        j = jnp.arange(Tmax)[None, None, None, :]
+        cache_vis = jnp.where(j < lengths[:, None, None, None], 0.0,
+                              jnp.finfo(jnp.float32).min)  # (S,1,1,T)
+        cache_vis = jnp.broadcast_to(cache_vis, (S, 1, K1, Tmax))
+        new_mask = A.causal_mask(K1, K1)[None, None]
+        new_mask = jnp.broadcast_to(new_mask, (S, 1, K1, K1))
+        mask = jnp.concatenate([cache_vis, new_mask], axis=-1)
+        for li, entry in enumerate(sw.blocks):
+            k_full, v_full = read_kv(cache, li)
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, k_full, v_full, mask)
+            cache = append_kv(cache, li, k_new, v_new, lengths)
+        xl = A.rmsnorm(
+            x, sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # ------------------------------------------------------------------
     def _decode_step(self, sw, cache, lengths, cur_tokens, active_mask):
         """One token for every active slot (S batched)."""
         arch = sw.arch
@@ -844,6 +920,57 @@ class LLMEngine:
 
         return jax.lax.fori_loop(
             0, n_steps, body, (cache, lengths, cur_tokens, key, buf0))
+
+    # ------------------------------------------------------------------
+    def _spec_round(self, k: int, eos_token_id, results, active_mask):
+        """One speculative round: draft k tokens per active slot
+        (n-gram), verify all in one dispatch, accept the longest matching
+        prefix + one model token per slot (1..k+1 tokens emitted)."""
+        n = self.spec["ngram"]
+        S = self.max_slots
+        cur_np = np.asarray(self.cur_tokens)
+        toks = np.zeros((S, 1 + k), np.int32)
+        for s, r in enumerate(self.slot_req):
+            toks[s, 0] = cur_np[s]
+            if r is not None:
+                hist = list(map(int, r.prompt)) + r.out_tokens
+                d = _ngram_draft(hist, n, k)
+                toks[s, 1:1 + len(d)] = d
+        self.cache, greedy = self._spec_jit(
+            self.sw, self.cache, self.lengths, jnp.asarray(toks))
+        g_np = np.asarray(greedy)  # (S, 1+k)
+        accs = np.zeros(S, np.int32)
+        new_cur = np.array(cur_np)
+        done_slots = set()
+        for s, r in enumerate(self.slot_req):
+            if r is None:
+                continue
+            a = 0
+            while a < k and toks[s, a + 1] == g_np[s, a]:
+                a += 1
+            accs[s] = a
+            new_cur[s] = int(g_np[s, a])
+            emitted = [int(t) for t in toks[s, 1:1 + a]] + [int(g_np[s, a])]
+            self.spec_stats["rounds"] += 1
+            self.spec_stats["emitted"] += len(emitted)
+            for tok in emitted:
+                r.out_tokens.append(tok)
+                hit_eos = eos_token_id is not None and tok == eos_token_id
+                if len(r.out_tokens) >= r.max_new_tokens or hit_eos:
+                    results[r.req_id] = r.out_tokens
+                    done_slots.add(s)
+                    break
+        # ONE batched device update: advance by the accepted count + 1;
+        # rejected draft KV simply stays beyond the new length (masked)
+        self.lengths = jnp.where(
+            active_mask, self.lengths + 1 + jnp.asarray(accs), self.lengths)
+        self.cur_tokens = jnp.where(active_mask, jnp.asarray(new_cur),
+                                    self.cur_tokens)
+        if done_slots:
+            idx = jnp.asarray(sorted(done_slots))
+            self.lengths = self.lengths.at[idx].set(0)
+            for slot in done_slots:
+                self.slot_req[slot] = None
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -947,6 +1074,15 @@ class LLMEngine:
                     if req is not None:
                         self._map_pages(slot, int(lengths_np[slot]) + 1)
             active_mask = jnp.asarray(active)
+            if self.spec is not None and sampling.temperature == 0.0:
+                k = self.spec["draft_len"]
+                lens_np = np.asarray(self.lengths)
+                if all(int(lens_np[s]) + 1 + k <= self.max_len
+                       for s, r in enumerate(self.slot_req)
+                       if r is not None):
+                    self._spec_round(k, eos_token_id, results, active_mask)
+                    continue
+                # near the cap: fall through to the exact per-step path
             if self.decode_chunk > 1 and not self.paged:
                 live = [r for r in self.slot_req if r is not None]
                 remaining = min(r.max_new_tokens - len(r.out_tokens)

@@ -472,6 +472,36 @@ def test_engine_kv4_cache(tiny_setup):
     assert agree >= 4, (g4, g8)
 
 
+def test_spec_decode_lossless_and_accepting(tiny_setup):
+    """n-gram speculative decoding: greedy outputs must EXACTLY equal the
+    per-step engine (lossless acceptance), and on self-repetitive
+    generations some drafts must actually be accepted (emitted > rounds)."""
+    model, sw = tiny_setup
+    plain = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                      prefill_buckets=(16,))
+    spec = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                     prefill_buckets=(16,),
+                     spec_decode={"method": "ngram", "draft_len": 3,
+                                  "ngram": 2})
+    prompts = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=24, temperature=0.0)
+    ref = plain.generate(prompts, sp)
+    got = spec.generate(prompts, sp)
+    assert got == ref, (got, ref)
+    st = spec.spec_stats
+    assert st["rounds"] > 0
+    # tiny random models loop quickly, so n-gram lookup should land hits
+    assert st["emitted"] > st["rounds"], st
+    # stochastic sampling falls back to the exact per-step path
+    sp2 = SamplingParams(max_new_tokens=5, temperature=0.8)
+    spec2 = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                      prefill_buckets=(16,),
+                      spec_decode={"method": "ngram", "draft_len": 3})
+    plain2 = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                       prefill_buckets=(16,))
+    assert spec2.generate(prompts, sp2) == plain2.generate(prompts, sp2)
+
+
 def test_kv_bits_auto_pick(tiny_setup):
     """kv_bits='auto' picks by context: kv4 at >=4k (halved KV stream
     dominates), kv8 below (measured crossover, REPORT r3)."""
