@@ -89,7 +89,7 @@ N_HEADS = 32
 N_KV = 8
 HEAD_DIM = 128
 LAYERS = 32
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 CTX = int(os.environ.get("BENCH_CTX", "1024"))
 GROUP = 128
 
