@@ -167,7 +167,18 @@ def make_layer_qweights(key):
         codes = tile_packed(codes, nt, GROUP)  # contiguous-tile layout
         scales = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
         zeros = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
-        if SCALES:
+        if SCALES == "contig":
+            # combined contiguous scale+zero slab: ONE scale DMA per grid
+            # step instead of 2*gpp strided ~32KB chunks
+            from lightcompress_tpu.ops.pallas_matmul import (
+                tile_scales_combined,
+            )
+
+            gpp = ic // 8 // GROUP
+            scales = tile_scales_combined(
+                scales, zeros * scales, nt, gpp).astype(jnp.bfloat16)
+            zeros = None
+        elif SCALES:
             from lightcompress_tpu.ops.pallas_matmul import tile_scales
 
             sd = jnp.bfloat16 if SCALES == "bf16" else jnp.float32

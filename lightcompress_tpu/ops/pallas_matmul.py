@@ -134,6 +134,25 @@ def masked_zero_scales(zeros: Array, scales: Array, gpp: int) -> Array:
         scales.astype(jnp.float32)
 
 
+def tile_scales_combined(s: Array, zs: Array, n_tile: int,
+                         gpp: int) -> Array:
+    """Scales + premultiplied zeros fused into ONE contiguous per-step
+    block: (N, G) x2 -> (N/NT, 2*gpp*8, NT).
+
+    The split (gpp, N/NT, 8, NT) layout makes each grid step fetch 2*gpp
+    strided ~32KB chunks — the measured ~130-180 GB/s small-block DMA
+    regime — while the codes ride one 4MB block.  Here the step's entire
+    scale+zero payload is one contiguous (2*gpp*8, NT) slab: rows
+    gi*8 + j hold scales (kernel group order), rows gpp*8 + gi*8 + j hold
+    zero-corrections."""
+    def rows(t):
+        r = tile_scales(t, n_tile, gpp)           # (gpp, N/NT, 8, NT)
+        g, nb, _, nt = r.shape
+        return r.transpose(1, 0, 2, 3).reshape(nb, g * 8, nt)
+
+    return jnp.concatenate([rows(s), rows(zs)], axis=1)
+
+
 def tile_scales(s: Array, n_tile: int, gpp: int) -> Array:
     """(N, G=8*gpp) -> (gpp, N/NT, 8, NT) contiguous per-step scale tiles.
     Row (j, gi) order matches the kernel's g_idx = j*gpp + gi."""
@@ -471,6 +490,41 @@ def quantize_act_per_token(x: Array):
     return q.astype(jnp.int8), scale
 
 
+def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
+                                group: int, gpp: int):
+    """_w4a8_kernel_fullk with the COMBINED contiguous scale slab:
+    szs_ref (1, 2*gpp*8, NT) — rows [0, gpp*8) scales, [gpp*8, 2*gpp*8)
+    premultiplied zero corrections.  One scale DMA per grid step instead
+    of 2*gpp strided chunks."""
+    xb = x_ref[:]
+    b, nt = o_ref.shape
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, gi]
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                szs_ref[0, gi * 8 + j, :].astype(jnp.float32)[None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = szs_ref[0, gpp * 8:, :].astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "n_tile", "interpret"),
@@ -512,6 +566,38 @@ def w4a8_matmul_planes(
     G = K // group
 
     xr = xq.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3).reshape(B, K)
+    if scales.ndim == 3:
+        # combined contiguous layout (tile_scales_combined): one scale DMA
+        # per grid step
+        kernel = functools.partial(_w4a8_kernel_fullk_combined,
+                                   group=group, gpp=gpp)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+            grid=(N // n_tile,),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gpp, n_tile, group),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * gpp * 8, n_tile),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, n_tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            compiler_params=_maybe_vmem_params(
+                2 * gpp * n_tile * group * 4 + B * N * 4
+                + 2 * B * K + (2 << 20)),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * N * K,
+                bytes_accessed=N * kp * 4 + 2 * N * G * 4 + B * K,
+                transcendentals=0,
+            ),
+        )(xr, wp_t, scales)
+        return out * x_scale
     if scales.ndim == 4:  # pre-tiled (gpp, N/NT, 8, NT), zeros premultiplied
         sr = scales
         zsr = (jnp.zeros_like(sr) if zeros is None else zeros)
