@@ -504,6 +504,10 @@ def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
 
     def gi_body(gi, accs):
         wpb = wp_ref[0, gi]
+        # one aligned (8, NT) scale block per group; rows indexed
+        # statically below (Mosaic requires provably 8-aligned dynamic
+        # sublane starts — gi*8 is, gi*8+j is not)
+        sblk = szs_ref[0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
         news = list(accs)
         for j in range(8):
             cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
@@ -512,7 +516,7 @@ def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
                 xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
-                szs_ref[0, gi * 8 + j, :].astype(jnp.float32)[None, :]
+                sblk[j][None, :]
         return tuple(news)
 
     accs = jax.lax.fori_loop(
