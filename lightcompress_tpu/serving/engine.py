@@ -1156,10 +1156,25 @@ class LLMEngine:
         return [results[i] for i in range(n_total)]
 
 
+def _dus_rows(buf, layer: int, slots, rows):
+    """Write rows (N, ...) into buf (L, S, ...) at (layer, slots[i], 0...)
+    via N sequential dynamic_update_slice ops.  N is static and small;
+    XLA aliases each dus in place under donation — an advanced-index
+    scatter here compiled to a pathological TPU scatter (the r3 TTFT
+    probe measured the batched prefill LOSING to serial because of it).
+    Duplicate slot indices (N-bucket padding) write identical values."""
+    N = rows.shape[0]
+    zeros = (0,) * (buf.ndim - 2)
+    for i in range(N):
+        buf = jax.lax.dynamic_update_slice(
+            buf, rows[i:i + 1][None].astype(buf.dtype),
+            (layer, slots[i]) + zeros)
+    return buf
+
+
 def _append_slots(cache: KVCache, layer: int, slots, k_new, v_new):
-    """Scatter a batch of prompts' KV (N, H, T, D) into ``slots`` at
-    position 0 (batched prefill).  Duplicate slot indices (N-bucket
-    padding) scatter identical values — well-defined."""
+    """Write a batch of prompts' KV (N, H, T, D) into ``slots`` at
+    position 0 (batched prefill)."""
     from .kv_cache import quantize_kv, quantize_kv4
 
     if cache.bits == 4:
@@ -1174,39 +1189,33 @@ def _append_slots(cache: KVCache, layer: int, slots, k_new, v_new):
     T = k_new.shape[2]
     if cache.layout == "bd":
         N, H, _, D = kq.shape
-        kslab = kq.transpose(0, 1, 3, 2).reshape(N, H * D, T)
-        vslab = vq.transpose(0, 2, 1, 3).reshape(N, T, H * D)
-        k = cache.k.at[layer, slots, :, :T].set(kslab)
-        v = cache.v.at[layer, slots, :T, :].set(vslab)
-        k_scale = cache.k_scale.at[layer, slots, :, :T].set(ks)
-        v_scale = cache.v_scale.at[layer, slots, :, :T].set(vs)
-        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
-                                   v_scale=v_scale)
-    k = cache.k.at[layer, slots, :, :T].set(kq.astype(cache.k.dtype))
-    v = cache.v.at[layer, slots, :, :T].set(vq.astype(cache.v.dtype))
+        kq = kq.transpose(0, 1, 3, 2).reshape(N, H * D, T)
+        vq = vq.transpose(0, 2, 1, 3).reshape(N, T, H * D)
+    k = _dus_rows(cache.k, layer, slots, kq)
+    v = _dus_rows(cache.v, layer, slots, vq)
     if ks is None:
         return dataclasses.replace(cache, k=k, v=v)
-    k_scale = cache.k_scale.at[layer, slots, :, :T].set(ks)
-    v_scale = cache.v_scale.at[layer, slots, :, :T].set(vs)
+    k_scale = _dus_rows(cache.k_scale, layer, slots, ks)
+    v_scale = _dus_rows(cache.v_scale, layer, slots, vs)
     return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                v_scale=v_scale)
 
 
 def _append_slots_mla(cache: KVCache, layer: int, slots, c_n, r_n):
-    """Batched-prefill MLA scatter: (N, T, r)/(N, T, rope_d) into slots."""
-    T = c_n.shape[1]
+    """Batched-prefill MLA writes: (N, T, r)/(N, T, rope_d) into slots."""
     if cache.bits == 8:
         cq, cs = quantize_kv(c_n)
         rq, rs = quantize_kv(r_n)
-        k = cache.k.at[layer, slots, :T].set(cq.astype(cache.k.dtype))
-        v = cache.v.at[layer, slots, :T].set(rq.astype(cache.v.dtype))
-        k_scale = cache.k_scale.at[layer, slots, :T].set(cs)
-        v_scale = cache.v_scale.at[layer, slots, :T].set(rs)
-        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
-                                   v_scale=v_scale)
-    k = cache.k.at[layer, slots, :T].set(c_n.astype(cache.k.dtype))
-    v = cache.v.at[layer, slots, :T].set(r_n.astype(cache.v.dtype))
-    return dataclasses.replace(cache, k=k, v=v)
+        return dataclasses.replace(
+            cache,
+            k=_dus_rows(cache.k, layer, slots, cq),
+            v=_dus_rows(cache.v, layer, slots, rq),
+            k_scale=_dus_rows(cache.k_scale, layer, slots, cs),
+            v_scale=_dus_rows(cache.v_scale, layer, slots, rs))
+    return dataclasses.replace(
+        cache,
+        k=_dus_rows(cache.k, layer, slots, c_n),
+        v=_dus_rows(cache.v, layer, slots, r_n))
 
 
 def _append_one_slot_mla(cache: KVCache, layer: int, slot, c_n, r_n):
