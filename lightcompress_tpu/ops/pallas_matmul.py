@@ -683,7 +683,7 @@ def w4a16_matmul_available(x: Array, qp) -> bool:
     m = 1
     for d in lead:
         m *= d
-    if m > 256:
+    if m > int(os.environ.get("LCTPU_PALLAS_M_MAX", "256")):
         return False
     if K % (8 * qp.group_size) != 0:
         return False

@@ -194,12 +194,23 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
 
 
 def qlinear_xla(x: Array, qp: QLinearParams) -> Array:
-    """Dequant-then-matmul in one fused XLA computation.
+    """Dequant-then-matmul in XLA.
 
-    For decode (small batch) XLA fuses the dequant into the matmul read —
-    HBM traffic is the packed codes, not the bf16 weights.
-    """
+    For decode (small M) XLA fuses the dequant into the matmul read — HBM
+    traffic is the packed codes, not the bf16 weights.  For prefill-sized
+    M the SAME fusion is a trap: the unpack runs inside the matmul inner
+    loop and caps the MXU at ~39 TFLOP/s (r2 ladder; the r3 TTFT probe
+    measured batched prefill LOSING to 8 serial Pallas prefills because
+    of it).  Above the Pallas kernel's M<=256 regime we force the bf16
+    weight to MATERIALIZE once (optimization_barrier) so the dense matmul
+    runs at full MXU rate — the extra 2N*K bytes are amortized over
+    M >= 512 rows of reuse."""
     w = dequant_weight(qp, dtype=jnp.bfloat16)
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if m > 256:
+        w = jax.lax.optimization_barrier(w)
     y = jnp.einsum(
         "...i,oi->...o", x.astype(jnp.bfloat16), w,
         preferred_element_type=jnp.float32,
