@@ -295,17 +295,43 @@ def _block_apply_decode_i8(
         q, k = A.apply_rope(q, k, cos, sin)
     kq, ks = quantize_kv(k)
     vq, vs = quantize_kv(v)
+    if impl == "bd4":
+        # cache payload is the nibble-packed codes; the int8 fresh token
+        # still drives the flash merge (finer, like the bench bd4 path)
+        from .kv_cache import quantize_kv4
+
+        k4, k4s = quantize_kv4(k)
+        v4, v4s = quantize_kv4(v)
+        payload = (k4, k4s, v4, v4s)
+    else:
+        payload = (kq, ks, vq, vs)
     # q head h attends kv head h // groups -> (S, nkv, G, hd) grouping
     qg = q[:, :, 0, :].reshape(S, nkv, nh // nkv, hd)
-    if impl == "bd":
-        # block-diagonal kernel over the feature-major/time-major slabs
-        # (fastest measured: full-size int8 MXU dots, b_block=1 grid)
+    if impl in ("bd", "bds", "bd4"):
+        # block-diagonal kernels over the feature-major/time-major slabs;
+        # "bds" = S-split flash grid (long-context winner: keeps the
+        # score/softmax intermediates in VMEM while the XLA einsum path
+        # materializes them — REPORT r3 c4096 1655 vs 1334 tok/s);
+        # "bd4" = nibble-packed cache (half the KV bytes; the only config
+        # that fits 8k ctx at B=32 and the fastest at >=4k)
         from ..ops.pallas_attention import (bd_merge_new_token,
-                                            decode_attention_bd)
+                                            decode_attention_bd,
+                                            decode_attention_bd4,
+                                            decode_attention_bd_flash)
 
-        qctx = decode_attention_bd(
-            qg, cache.k[li], cache.k_scale[li], cache.v[li],
-            cache.v_scale[li], lengths=lengths, interpret=interpret)
+        if impl == "bd4":
+            qctx = decode_attention_bd4(
+                qg, cache.k[li], cache.k_scale[li], cache.v[li],
+                cache.v_scale[li], lengths=lengths, interpret=interpret)
+        elif impl == "bds":
+            qctx = decode_attention_bd_flash(
+                qg, cache.k[li], cache.k_scale[li], cache.v[li],
+                cache.v_scale[li], lengths=lengths, s_block=512,
+                interpret=interpret)
+        else:
+            qctx = decode_attention_bd(
+                qg, cache.k[li], cache.k_scale[li], cache.v[li],
+                cache.v_scale[li], lengths=lengths, interpret=interpret)
         ctx = bd_merge_new_token(
             qg, qctx, kq[:, :, 0, :], vq[:, :, 0, :],
             ks[:, :, 0], vs[:, :, 0], hd ** -0.5)
@@ -327,14 +353,14 @@ def _block_apply_decode_i8(
         inter = gu.shape[-1] // 2
         mid = jax.nn.silu(gu[:, :inter]) * gu[:, inter:]
         y = h + flin(entry["mlp.down"], mid, False)[:, None, :]
-        return y, kq, ks, vq, vs
+        return (y,) + payload
     if arch.family == "llama" and "mlp.gateup" not in entry and all(
             fused_ok(entry[n]) for n in ("mlp.gate", "mlp.up", "mlp.down")):
         g = flin(entry["mlp.gate"], h[:, 0, :], True)
         u = flin(entry["mlp.up"], h[:, 0, :], True)
         mid = jax.nn.silu(g) * u
         y = h + flin(entry["mlp.down"], mid, False)[:, None, :]
-        return y, kq, ks, vq, vs
+        return (y,) + payload
     h2 = A.apply_norm(h, entry["ln2"], arch)
     if arch.family == "llama":
         g, u = _gateup_proj(entry, h2, ab)
@@ -343,7 +369,7 @@ def _block_apply_decode_i8(
     else:
         f1 = apply_qlinear(entry["mlp.fc1"], h2, act_bits=ab)
         y = h + apply_qlinear(entry["mlp.fc2"], jax.nn.relu(f1), act_bits=ab)
-    return y, kq, ks, vq, vs
+    return (y,) + payload
 
 
 def _shadow_prefill_layer(skv, arch, k_roped, k_pre, cos, sin, true_lens,
@@ -519,8 +545,26 @@ class LLMEngine:
         # batched 4-row dots poorly) vs ~510 GB/s for XLA's einsum with
         # fused dequant+concat (tools/attn_i8_kernel_experiments.py) —
         # the kernel stays as an opt-in for future Mosaic generations.
+        if kv_bits == "auto":
+            # context-based pick (measured crossover, REPORT r3 kv4
+            # curve): at short contexts the nibble unpack epilogue costs
+            # more than the halved KV stream saves; at >=4k the KV read
+            # dominates and kv4 wins
+            kv_bits = 4 if max_len >= 4096 else 8
         if attn_impl == "auto":
-            attn_impl = "xla"
+            # measured long-context recipe (REPORT r3): kv4 -> the bd4
+            # nibble kernel (beats the XLA two-term path at every ctx);
+            # kv8 -> XLA to <4k, S-split flash bd beyond (XLA
+            # materializes f32 score/prob intermediates at long S)
+            if paged or weights.arch.mla is not None \
+                    or weights.arch.moe is not None:
+                attn_impl = "xla"
+            elif kv_bits == 4:
+                attn_impl = "bd4"
+            elif max_len >= 4096:
+                attn_impl = "bds"
+            else:
+                attn_impl = "xla"
         # ShadowKV serving mode (VERDICT r2 #4 engine-side hook): per-query
         # landmark retrieval over a shadow (low-rank) K cache
         self.shadow = None
@@ -548,12 +592,6 @@ class LLMEngine:
         self.arch = weights.arch
         self.max_slots = max_slots
         self.max_len = max_len
-        if kv_bits == "auto":
-            # context-based pick (measured crossover, REPORT r3 kv4 curve):
-            # at short contexts the nibble unpack epilogue costs more than
-            # the halved KV stream saves; at >=4k the KV read dominates
-            # decode traffic and kv4 wins
-            kv_bits = 4 if max_len >= 4096 else 8
         self.kv_bits = kv_bits
         self.paged = paged
         self.page_size = page_size
@@ -632,8 +670,13 @@ class LLMEngine:
             self.slot_pages: List[List[int]] = [[] for _ in
                                                 range(self.max_slots)]
         else:
-            layout = ("bd" if self.attn_impl.startswith("bd")
-                      and self.kv_bits == 8 else "hhd")
+            base = self.attn_impl.replace("_interpret", "")
+            if base == "bd4" and self.kv_bits == 4:
+                layout = "bd4"
+            elif base in ("bd", "bds") and self.kv_bits == 8:
+                layout = "bd"
+            else:
+                layout = "hhd"
             self.cache = KVCache.create(
                 a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
                 a.head_dim, bits=self.kv_bits, layout=layout,
@@ -863,14 +906,22 @@ class LLMEngine:
                 continue
             if (self.attn_impl.startswith("pallas")
                     or self.attn_impl.startswith("bd")) and not self.paged \
-                    and cache.bits == 8:
+                    and (cache.bits == 8 or cache.layout == "bd4"):
+                base = self.attn_impl.replace("_interpret", "")
+                impl = base if base.startswith("bd") else "i8"
                 x, kq, ksn, vq, vsn = _block_apply_decode_i8(
                     sw, entry, x, cos, sin, cache, li, lengths,
                     interpret=self.attn_impl.endswith("interpret"),
-                    impl="bd" if self.attn_impl.startswith("bd") else "i8",
+                    impl=impl,
                 )
-                cache = append_kv_quantized(cache, li, kq, ksn, vq, vsn,
-                                            lengths)
+                if impl == "bd4":
+                    from .kv_cache import append_kv4_bd
+
+                    cache = append_kv4_bd(cache, li, kq, ksn, vq, vsn,
+                                          lengths)
+                else:
+                    cache = append_kv_quantized(cache, li, kq, ksn, vq,
+                                                vsn, lengths)
                 continue
             if self.paged:
                 k_full, v_full = paged_read(cache, li)
@@ -1187,8 +1238,8 @@ def _append_slots(cache: KVCache, layer: int, slots, k_new, v_new):
         kq, vq, ks, vs = (k_new.astype(cache.k.dtype),
                           v_new.astype(cache.v.dtype), None, None)
     T = k_new.shape[2]
-    if cache.layout == "bd":
-        N, H, _, D = kq.shape
+    if cache.layout in ("bd", "bd4"):
+        N, H, _, D = kq.shape  # D = head_dim (bd) or head_dim/2 (bd4)
         kq = kq.transpose(0, 1, 3, 2).reshape(N, H * D, T)
         vq = vq.transpose(0, 2, 1, 3).reshape(N, T, H * D)
     k = _dus_rows(cache.k, layer, slots, kq)
@@ -1245,6 +1296,22 @@ def _append_one_slot(cache: KVCache, layer: int, slot, k_new, v_new):
     """Write (1, H, T, D) new KV at position 0 of one slot (prefill)."""
     from .kv_cache import quantize_kv, quantize_kv4
 
+    if cache.layout == "bd4":
+        _, H, T, D = k_new.shape
+        kq, ks = quantize_kv4(k_new)   # (1, H, T, D/2)
+        vq, vs = quantize_kv4(v_new)
+        kslab = kq[0].transpose(0, 2, 1).reshape(H * D // 2, T)
+        vslab = vq[0].transpose(1, 0, 2).reshape(T, H * D // 2)
+        k = jax.lax.dynamic_update_slice(
+            cache.k, kslab[None, None], (layer, slot, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            cache.v, vslab[None, None], (layer, slot, 0, 0))
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, ks[None], (layer, slot, 0, 0))
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, vs[None], (layer, slot, 0, 0))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
     if cache.bits == 4:
         kq, ks = quantize_kv4(k_new)
         vq, vs = quantize_kv4(v_new)

@@ -73,6 +73,20 @@ class KVCache:
                 jnp.zeros(sshape, jnp.bfloat16),
                 jnp.zeros(sshape, jnp.bfloat16), 8, "bd",
             )
+        if layout == "bd4":
+            # nibble-packed slabs for ops.pallas_attention.bd4: K
+            # feature-major (H*D/2, T) — packed row h*D/2+d = feature
+            # h*D+d low nibble / h*D+d+D/2 high — V time-major (T, H*D/2)
+            assert bits == 4 and head_dim % 2 == 0
+            hd2 = n_kv_heads * head_dim // 2
+            kshape = (n_layers, n_slots, hd2, max_len)
+            vshape = (n_layers, n_slots, max_len, hd2)
+            sshape = (n_layers, n_slots, n_kv_heads, max_len)
+            return KVCache(
+                jnp.zeros(kshape, jnp.int8), jnp.zeros(vshape, jnp.int8),
+                jnp.zeros(sshape, jnp.bfloat16),
+                jnp.zeros(sshape, jnp.bfloat16), 4, "bd4",
+            )
         shape = (n_layers, n_slots, n_kv_heads, max_len, head_dim)
         if bits == 4:
             # KIVI-class 4-bit KV (kvquant.py parity at serving time):
@@ -403,6 +417,35 @@ class PageAllocator:
 
     def release(self, pages):
         self.free.extend(int(p) for p in pages if int(p) >= 0)
+
+
+def append_kv4_bd(cache: KVCache, layer: int, k4: Array, ks: Array,
+                  v4: Array, vs: Array, lengths: Array) -> KVCache:
+    """Append one nibble-packed token per slot to the bd4 slabs.
+
+    k4/v4: (S, H, 1, D/2) int8 (quantize_kv4 codes); ks/vs: (S, H, 1)."""
+    S, H, _, D2 = k4.shape
+
+    def upd_k(buf_s, new_s, pos):  # (H*D2, T) <- (H, 1, D2)
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.reshape(H * D2, 1), (0, pos))
+
+    def upd_v(buf_s, new_s, pos):  # (T, H*D2) <- (H, 1, D2)
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.reshape(1, H * D2), (pos, 0))
+
+    def upd_s(buf_s, new_s, pos):  # (H, T) <- (H, 1)
+        return jax.lax.dynamic_update_slice(
+            buf_s, new_s.astype(buf_s.dtype), (0, pos))
+
+    k = cache.k.at[layer].set(jax.vmap(upd_k)(cache.k[layer], k4, lengths))
+    v = cache.v.at[layer].set(jax.vmap(upd_v)(cache.v[layer], v4, lengths))
+    k_scale = cache.k_scale.at[layer].set(
+        jax.vmap(upd_s)(cache.k_scale[layer], ks, lengths))
+    v_scale = cache.v_scale.at[layer].set(
+        jax.vmap(upd_s)(cache.v_scale[layer], vs, lengths))
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
 
 
 def append_kv_quantized(

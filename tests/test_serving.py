@@ -502,6 +502,56 @@ def test_spec_decode_lossless_and_accepting(tiny_setup):
     assert spec2.generate(prompts, sp2) == plain2.generate(prompts, sp2)
 
 
+def test_engine_bd4_attention_matches_xla_kv4(tiny_setup):
+    """kv4 + the bd4 nibble kernel (packed slab cache) vs the kv4 XLA
+    unpack path: same quantization, greedy outputs must agree."""
+    model, sw = tiny_setup
+    eng_bd4 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=4,
+                        prefill_buckets=(16,), attn_impl="bd4_interpret")
+    assert eng_bd4.cache.layout == "bd4"
+    assert eng_bd4.cache.k.shape[2] == sw.arch.num_kv_heads * \
+        sw.arch.head_dim // 2
+    eng_xla = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=4,
+                        prefill_buckets=(16,), attn_impl="xla")
+    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    g1 = eng_bd4.generate(p, sp)
+    g2 = eng_xla.generate(p, sp)
+    # fresh-token numerics differ slightly (int8 merge vs int4 column);
+    # greedy tokens should still mostly agree on the tiny model
+    agree = sum(a == b for o1, o2 in zip(g1, g2)
+                for a, b in zip(o1, o2))
+    assert agree >= 9, (g1, g2)
+
+
+def test_engine_bds_flash_matches_xla(tiny_setup):
+    """S-split flash bd attention (engine attn_impl='bds')."""
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,), attn_impl="bds_interpret")
+    assert eng.cache.layout == "bd"
+    eng_x = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(16,), attn_impl="xla")
+    p = [[3, 17, 9, 2, 100]]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    g1 = eng.generate(p, sp)
+    g2 = eng_x.generate(p, sp)
+    agree = sum(a == b for a, b in zip(g1[0], g2[0]))
+    assert agree >= 4, (g1, g2)
+
+
+def test_attn_impl_auto_recipe(tiny_setup):
+    """attn_impl='auto' follows the measured recipe: kv4 -> bd4; kv8
+    short -> xla; kv8 long -> bds flash."""
+    model, sw = tiny_setup
+    assert LLMEngine(sw, max_slots=1, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,)).attn_impl == "xla"
+    assert LLMEngine(sw, max_slots=1, max_len=4096, kv_bits="auto",
+                     prefill_buckets=(16,)).attn_impl == "bd4"
+    assert LLMEngine(sw, max_slots=1, max_len=4096, kv_bits=8,
+                     prefill_buckets=(16,)).attn_impl == "bds"
+
+
 def test_kv_bits_auto_pick(tiny_setup):
     """kv_bits='auto' picks by context: kv4 at >=4k (halved KV stream
     dominates), kv8 below (measured crossover, REPORT r3)."""
