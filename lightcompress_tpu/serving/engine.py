@@ -456,6 +456,23 @@ def _shadow_extra_mask(skv, extra, li: int, q: Array) -> Array:
     return jnp.repeat(jnp.where(tok, 0.0, NEG), G, axis=1)
 
 
+def pick_attn_impl(kv_bits: int, max_len: int, paged: bool, arch,
+                   backend: str = "tpu") -> str:
+    """Measured long-context attention recipe (REPORT r3): kv4 -> the bd4
+    nibble kernel (beats the XLA two-term path at every ctx); kv8 -> XLA
+    below 4k ctx, S-split flash bd beyond (XLA materializes the f32
+    score/prob intermediates at long S).  Pallas kernels need the TPU
+    backend; paged/MLA/MoE engines use the XLA block path."""
+    if paged or arch.mla is not None or arch.moe is not None \
+            or backend == "cpu":
+        return "xla"
+    if kv_bits == 4:
+        return "bd4"
+    if max_len >= 4096:
+        return "bds"
+    return "xla"
+
+
 def _ngram_draft(history: List[int], n: int, k: int) -> List[int]:
     """Prompt-lookup drafting: find the most recent PRIOR occurrence of
     the trailing n-gram in the token history and propose the (up to) k
@@ -552,19 +569,9 @@ class LLMEngine:
             # dominates and kv4 wins
             kv_bits = 4 if max_len >= 4096 else 8
         if attn_impl == "auto":
-            # measured long-context recipe (REPORT r3): kv4 -> the bd4
-            # nibble kernel (beats the XLA two-term path at every ctx);
-            # kv8 -> XLA to <4k, S-split flash bd beyond (XLA
-            # materializes f32 score/prob intermediates at long S)
-            if paged or weights.arch.mla is not None \
-                    or weights.arch.moe is not None:
-                attn_impl = "xla"
-            elif kv_bits == 4:
-                attn_impl = "bd4"
-            elif max_len >= 4096:
-                attn_impl = "bds"
-            else:
-                attn_impl = "xla"
+            attn_impl = pick_attn_impl(
+                kv_bits, max_len, paged, weights.arch,
+                backend=jax.default_backend())
         # ShadowKV serving mode (VERDICT r2 #4 engine-side hook): per-query
         # landmark retrieval over a shadow (low-rank) K cache
         self.shadow = None

@@ -542,14 +542,20 @@ def test_engine_bds_flash_matches_xla(tiny_setup):
 
 def test_attn_impl_auto_recipe(tiny_setup):
     """attn_impl='auto' follows the measured recipe: kv4 -> bd4; kv8
-    short -> xla; kv8 long -> bds flash."""
+    short -> xla; kv8 long -> bds flash; cpu/paged/MLA -> xla."""
+    from lightcompress_tpu.serving.engine import pick_attn_impl
+
     model, sw = tiny_setup
-    assert LLMEngine(sw, max_slots=1, max_len=64, kv_bits=8,
-                     prefill_buckets=(16,)).attn_impl == "xla"
+    a = sw.arch
+    assert pick_attn_impl(8, 1024, False, a) == "xla"
+    assert pick_attn_impl(4, 1024, False, a) == "bd4"
+    assert pick_attn_impl(4, 8192, False, a) == "bd4"
+    assert pick_attn_impl(8, 4096, False, a) == "bds"
+    assert pick_attn_impl(8, 4096, True, a) == "xla"
+    assert pick_attn_impl(8, 4096, False, a, backend="cpu") == "xla"
+    # engine on the CPU test backend resolves auto -> xla
     assert LLMEngine(sw, max_slots=1, max_len=4096, kv_bits="auto",
-                     prefill_buckets=(16,)).attn_impl == "bd4"
-    assert LLMEngine(sw, max_slots=1, max_len=4096, kv_bits=8,
-                     prefill_buckets=(16,)).attn_impl == "bds"
+                     prefill_buckets=(16,)).attn_impl == "xla"
 
 
 def test_kv_bits_auto_pick(tiny_setup):
