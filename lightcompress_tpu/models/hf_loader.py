@@ -729,8 +729,24 @@ def _split_fused(bp: Dict, reader, arch: A.ArchSpec, i: int,
 # tensor reading
 # ---------------------------------------------------------------------------
 
+class _SafeOpenShard:
+    """Python shard handle (safetensors.safe_open numpy framework)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._f = safe_open(path, framework="numpy")
+
+    def get_tensor(self, key: str):
+        return self._f.get_tensor(key)
+
+
 class _ShardReader:
-    """Streams tensors from .safetensors shards (or a single torch .bin)."""
+    """Streams tensors from .safetensors shards (or a single torch .bin).
+
+    Shards open through the native mmap streamer when available
+    (native/st_stream.cpp): each ``get`` is a zero-copy view into the
+    mapped file, so loading a 100B+ checkpoint block-by-block keeps RSS
+    at the working set instead of the shard size."""
 
     def __init__(self, model_dir: str):
         self.dir = model_dir
@@ -779,20 +795,42 @@ class _ShardReader:
             return t.numpy()
         shard = self.weight_map[key]
         if shard not in self._handles:
-            self._handles[shard] = safe_open(
-                os.path.join(self.dir, shard), framework="numpy"
-            )
+            self._handles[shard] = self._open_shard(shard)
         f = self._handles[shard]
+        if not isinstance(f, _SafeOpenShard):
+            t = f.get(key)  # native mmap path: zero-copy view
+            if t is not None:
+                if t.dtype == np.uint16 and f.dtype_of(key) == "BF16":
+                    return t  # raw bf16 bits; _np_to_jnp decodes
+                return t
+            # dtype the native map doesn't cover: python fallback
+            f = _SafeOpenShard(os.path.join(self.dir, shard))
         try:
             return f.get_tensor(key)
         except (TypeError, ValueError, AttributeError):
             # bf16/fp8 not representable in numpy (fp8 raises
             # AttributeError: no np.float8_e4m3fn): go through torch
-            import torch
+            import torch  # noqa: F401
             from safetensors.torch import load_file
 
             t = load_file(os.path.join(self.dir, shard))[key]
             return t.float().numpy()
+
+    def _open_shard(self, shard: str):
+        """Prefer the native mmap streamer (zero-copy views; the C++
+        checkpoint-IO runtime component, native/st_stream.cpp); fall back
+        to safetensors.safe_open when no compiler is available or
+        LCTPU_NATIVE_IO=0."""
+        path = os.path.join(self.dir, shard)
+        if os.environ.get("LCTPU_NATIVE_IO", "1") != "0":
+            try:
+                from ..native import NativeShardStreamer, native_available
+
+                if native_available():
+                    return NativeShardStreamer(path)
+            except Exception:
+                pass
+        return _SafeOpenShard(path)
 
 
 class _Fp8DequantReader:
