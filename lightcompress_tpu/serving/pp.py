@@ -1,0 +1,176 @@
+"""Pipeline-parallel serving decode: stage-sharded quantized weights + KV.
+
+The reference has no serving engine, let alone PP (SURVEY §2.11); this is
+the TPU-native capability for serving models DEEPER than one chip's HBM:
+layers split into ``pp`` contiguous stages, each device holding exactly
+its stage's quantized block entries and its stage's slice of the KV
+cache (both 1/pp of the memory).  One decode step runs as a shard_map
+ring: every tick each device applies its stage to its current hidden
+buffer and ``ppermute``s it to the next device; after ``pp`` ticks the
+finished hidden lands back on stage 0.
+
+This is the memory-scaling form (single in-flight token group — the ring
+is busy 1/pp of the time per stage); slot-microbatched pipelining over
+the same ring is the throughput extension and shares all of this layout.
+Cache writes are tick-gated (a stage only commits KV on its own tick).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import arch as A
+from .engine import _block_apply
+from .quantized_model import ServingWeights
+
+Array = jax.Array
+
+
+def stack_block_entries(blocks: List[dict], pp: int) -> Any:
+    """[L block entries] -> same pytree with leaves (pp, L/pp, ...).
+
+    QLinearParams static fields (bits/layout/...) survive tree.map; all
+    blocks must be structurally identical (uniform dense stacks)."""
+    L = len(blocks)
+    assert L % pp == 0, f"layers {L} not divisible by pp {pp}"
+    per = L // pp
+
+    def stack(*leaves):
+        x = jnp.stack(leaves)
+        return x.reshape(pp, per, *x.shape[1:])
+
+    return jax.tree.map(stack, *blocks)
+
+
+class PPDecoder:
+    """Stage-sharded decode step over a ``pp`` mesh axis."""
+
+    def __init__(self, sw: ServingWeights, mesh: Mesh, max_slots: int = 4,
+                 max_len: int = 256):
+        assert sw.arch.mla is None and sw.arch.moe is None, \
+            "PP decode: uniform dense stacks"
+        assert sw.arch.rope_enabled, "PP decode: rope families first"
+        self.arch = sw.arch
+        self.mesh = mesh
+        self.pp = mesh.shape["pp"]
+        self.per = sw.arch.num_layers // self.pp
+        self.max_slots = max_slots
+        self.max_len = max_len
+        stacked = stack_block_entries(sw.blocks, self.pp)
+        put = partial(self._shard0)
+        self.stage_params = jax.tree.map(put, stacked)
+        rep = NamedSharding(mesh, P())
+        self.embed = jax.device_put(sw.embed, rep)
+        self.lm_head = jax.device_put(sw.lm_head, rep)
+        self.norm = jax.device_put(sw.norm, rep)
+        a = sw.arch
+        kv_shape = (self.pp, self.per, max_slots, a.num_kv_heads, max_len,
+                    a.head_dim)
+        self.k_cache = self._shard0(jnp.zeros(kv_shape, jnp.bfloat16))
+        self.v_cache = self._shard0(jnp.zeros(kv_shape, jnp.bfloat16))
+        self.lengths = jax.device_put(
+            jnp.zeros((max_slots,), jnp.int32), rep)
+        self._step = jax.jit(self._decode_step, donate_argnums=(1, 2))
+
+    def _shard0(self, x):
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P("pp", *([None] * (x.ndim - 1)))))
+
+    # ------------------------------------------------------------------
+    def _decode_step(self, stage_params, k_cache, v_cache, lengths,
+                     cur_tokens, active_mask):
+        arch = self.arch
+        T = self.max_len
+        x0 = self.embed[cur_tokens][:, None, :]  # (S, 1, H) replicated
+
+        j = jnp.arange(T + 1)[None, None, None, :]
+        visible = (j < lengths[:, None, None, None]) | (j == T)
+        mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
+        if arch.family == "llama":
+            cos, sin = A.rope_cos_sin(arch, lengths[:, None])
+        else:
+            cos = sin = None
+
+        class _SW:  # minimal sw facade for _block_apply
+            pass
+
+        swf = _SW()
+        swf.arch = arch
+        swf.act_bits = 16
+
+        def ring(stage_params, kc, vc, x0, mask, cos, sin, lengths):
+            # local shapes: stage_params leaves (1, per, ...);
+            # kc/vc (1, per, S, H, T, D); the rest replicated
+            sidx = jax.lax.axis_index("pp")
+
+            def stage_apply(buf, kc, vc, commit):
+                for i in range(self.per):
+                    entry = jax.tree.map(lambda l: l[0, i], stage_params)
+                    y, k_new, v_new = _block_apply(
+                        swf, entry, buf, cos, sin,
+                        kc[0, i], vc[0, i], mask)
+                    upd = jax.vmap(
+                        lambda b, n, p: jax.lax.dynamic_update_slice(
+                            b, n.astype(b.dtype), (0, p, 0)))(
+                        kc[0, i], k_new, lengths)
+                    updv = jax.vmap(
+                        lambda b, n, p: jax.lax.dynamic_update_slice(
+                            b, n.astype(b.dtype), (0, p, 0)))(
+                        vc[0, i], v_new, lengths)
+                    kc = kc.at[0, i].set(jnp.where(commit, upd, kc[0, i]))
+                    vc = vc.at[0, i].set(jnp.where(commit, updv, vc[0, i]))
+                    buf = y
+                return buf, kc, vc
+
+            def tick(t, carry):
+                buf, kc, vc = carry
+                buf, kc, vc = stage_apply(buf, kc, vc, commit=(t == sidx))
+                buf = jax.lax.ppermute(
+                    buf, "pp",
+                    [(i, (i + 1) % self.pp) for i in range(self.pp)])
+                return buf, kc, vc
+
+            buf, kc, vc = jax.lax.fori_loop(0, self.pp, tick, (x0, kc, vc))
+            # the finished hidden sits on stage 0 after the last permute;
+            # psum-broadcast it so the output is replicated
+            out = jax.lax.psum(
+                jnp.where(sidx == 0, buf, jnp.zeros_like(buf)), "pp")
+            return out, kc, vc
+
+        spec_tree = jax.tree.map(lambda _: P("pp"), stage_params)
+        rep = P()
+        out, k_cache, v_cache = shard_map(
+            ring, mesh=self.mesh,
+            in_specs=(spec_tree, P("pp"), P("pp"), rep, rep, rep, rep,
+                      rep),
+            out_specs=(P(), P("pp"), P("pp")),
+            check_vma=False,
+        )(stage_params, k_cache, v_cache, x0, mask, cos, sin, lengths)
+
+        xl = A.rmsnorm(out, self.norm.get("weight"), arch.rms_eps) \
+            if (arch.family == "llama" or arch.norm_type == "rmsnorm") \
+            else A.layernorm(out, self.norm.get("weight"),
+                             self.norm.get("bias"), 1e-5)
+        logits = jnp.einsum("bth,vh->btv", xl.astype(jnp.bfloat16),
+                            self.lm_head,
+                            preferred_element_type=jnp.float32)[:, 0]
+        lengths = jnp.where(active_mask, lengths + 1, lengths)
+        return k_cache, v_cache, lengths, logits
+
+    # ------------------------------------------------------------------
+    def decode(self, cur_tokens: Array, active_mask: Array):
+        """One PP decode step for every slot; returns logits (S, V)."""
+        (self.k_cache, self.v_cache, self.lengths,
+         logits) = self._step(self.stage_params, self.k_cache,
+                              self.v_cache, self.lengths, cur_tokens,
+                              active_mask)
+        return logits
