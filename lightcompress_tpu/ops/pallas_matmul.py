@@ -22,6 +22,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
