@@ -35,6 +35,50 @@ def quantize_act_int8(x: Array):
     return q, scales
 
 
+def quantize_act_fp8_block(x: Array, block: int = 128):
+    """Per-128-block dynamic FP8 activation quant — the Triton
+    ``act_quant_kernel`` analogue (reference kernel.py:7-53): each
+    contiguous ``block`` of the feature dim gets scale = amax/448 (e4m3
+    finfo max) and casts to float8_e4m3fn.  Returns
+    (q (..., K) fp8, scales (..., K/block) f32).  On TPU this is one
+    fused XLA reshape+amax+cast — no custom kernel needed; fp8-MXU
+    generations feed ``q`` straight into the dot."""
+    *lead, K = x.shape
+    assert K % block == 0
+    xb = x.astype(jnp.float32).reshape(*lead, K // block, block)
+    amax = jnp.clip(jnp.max(jnp.abs(xb), axis=-1), 1e-6, None)
+    s = amax / 448.0
+    q = (xb / s[..., None]).astype(jnp.float8_e4m3fn)
+    return q.reshape(*lead, K), s
+
+
+def fp8_matmul_block_dynamic(
+    x: Array,
+    w_fp8: Array,       # (oc, ic) float8_e4m3fn
+    w_scales: Array,    # (oc/bs, ic/bs) per-block weight scales
+    block: int = 128,
+    bias: Optional[Array] = None,
+) -> Array:
+    """W8A8-FP8 GEMM with per-block scales on BOTH operands — the
+    ``fp8_gemm_kernel`` analogue (reference kernel.py:141-242).  The
+    activation is per-block fp8-quantized dynamically; on non-fp8 MXUs
+    both operands dequantize into the bf16 dot (numerics identical to
+    the fp8 path, XLA fuses the rescales into the matmul reads)."""
+    xq, xs = quantize_act_fp8_block(x, block)
+    *lead, K = x.shape
+    xd = xq.astype(jnp.float32).reshape(*lead, K // block, block) * \
+        xs[..., None]
+    xd = xd.reshape(*lead, K).astype(jnp.bfloat16)
+    from ..quant import weight_cast_to_bf16
+
+    w = weight_cast_to_bf16(w_fp8, w_scales, block)
+    y = jnp.einsum("...i,oi->...o", xd, w,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
+
+
 def int8_matmul_dynamic(
     x: Array,
     w_q: Array,  # (oc, ic) int8

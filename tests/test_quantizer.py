@@ -238,3 +238,27 @@ def test_spec_validation():
         QuantSpec(bit="e9m9")
     with pytest.raises(ValueError):
         QuantSpec(bit=4, granularity="per_block", block_size=16, symmetric=False)
+
+
+def test_fp8_block_act_quant_and_gemm():
+    """Per-128-block dynamic fp8 act quant + W8A8-FP8 block GEMM
+    (reference Triton act_quant_kernel / fp8_gemm_kernel analogues)."""
+    import numpy as np
+    from lightcompress_tpu.ops.scaled_matmul import (
+        fp8_matmul_block_dynamic, quantize_act_fp8_block)
+    from lightcompress_tpu.quant import weight_cast_to_fp8
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    q, s = quantize_act_fp8_block(x, block=128)
+    assert q.shape == x.shape and s.shape == (4, 2)
+    xd = q.astype(jnp.float32).reshape(4, 2, 128) * s[..., None]
+    rel = float(jnp.abs(xd.reshape(4, 256) - x).max()
+                / jnp.abs(x).max())
+    assert rel < 0.1, rel  # e4m3 rounding error only
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32)) * 0.05
+    wq, ws = weight_cast_to_fp8(w, block_size=128)
+    y = fp8_matmul_block_dynamic(x, wq, ws, block=128)
+    ref = x @ w.T
+    corr = float(jnp.corrcoef(jnp.ravel(y), jnp.ravel(ref))[0, 1])
+    assert corr > 0.999, corr
