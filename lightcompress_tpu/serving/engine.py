@@ -625,6 +625,11 @@ class LLMEngine:
                                     donate_argnums=(1,))
         self._prefill_batch_jit = jax.jit(
             self._prefill_batch, static_argnames=("T",), donate_argnums=(1,))
+        self.prefix = None
+        self._prefix_kv_jit = jax.jit(self._prefix_kv)
+        self._prefill_suffix_jit = jax.jit(
+            self._prefill_suffix, static_argnames=("T",),
+            donate_argnums=(1,))
         # multi-step on-device decode (JetStream-style chunked scheduling):
         # n_steps decode iterations + on-device sampling in ONE dispatch —
         # the host only sees tokens every chunk, which matters whenever
@@ -837,6 +842,116 @@ class LLMEngine:
         )
         last = logits[jnp.arange(N), true_lens - 1]
         lengths = lengths.at[slots].set(true_lens)
+        return cache, lengths, last
+
+    # ------------------------------------------------------------------
+    def register_prefix(self, tokens: Sequence[int]):
+        """Prefix caching: prefill a shared prompt PREFIX once; later
+        requests whose prompt starts with it skip recomputing those
+        positions (their slot cache is seeded by a device copy and only
+        the suffix runs through the stack).  Causality makes the prefix
+        KV suffix-independent, so outputs are exactly the full-prefill
+        engine's.  Dense hhd-cache engines only."""
+        assert not self.paged and self.arch.mla is None \
+            and self.cache.layout == "hhd", \
+            "prefix caching: dense slot-cache engines"
+        toks = [int(t) for t in tokens]
+        Tp = len(toks)
+        assert 0 < Tp < self.max_len
+        ids = jnp.asarray([toks], jnp.int32)
+        kv = self._prefix_kv_jit(self.sw, ids)
+        self.prefix = {"tokens": toks, "kv": kv, "len": Tp}
+
+    def _prefix_kv(self, sw, ids):
+        """Per-layer KV of a (1, Tp) prefix, in the cache's stored form:
+        (k (L, H, Tp, D), k_scale, v, v_scale) — int8-quantized when the
+        cache is, bf16 otherwise."""
+        arch = sw.arch
+        T = ids.shape[1]
+        x = sw.embed[ids]
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[jnp.arange(T) + 2]
+        cos, sin = (A.rope_cos_sin(arch, jnp.arange(T))
+                    if arch.family == "llama" else (None, None))
+        mask = A.causal_mask(T, T)
+        zero_kv = jnp.zeros(
+            (1, arch.num_kv_heads, 0, arch.head_dim), jnp.bfloat16)
+        ks_l, kss_l, vs_l, vss_l = [], [], [], []
+        for entry in sw.blocks:
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, zero_kv, zero_kv, mask)
+            if self.kv_bits == 8:
+                kq, ks = quantize_kv(k_new)
+                vq, vs = quantize_kv(v_new)
+            else:
+                kq, vq = (k_new.astype(jnp.bfloat16),
+                          v_new.astype(jnp.bfloat16))
+                ks = vs = jnp.zeros((1, arch.num_kv_heads, T),
+                                    jnp.bfloat16)
+            ks_l.append(kq[0])
+            kss_l.append(ks[0])
+            vs_l.append(vq[0])
+            vss_l.append(vs[0])
+        return (jnp.stack(ks_l), jnp.stack(kss_l), jnp.stack(vs_l),
+                jnp.stack(vss_l))
+
+    def _prefill_suffix(self, sw, cache, lengths, ids, slot, true_len,
+                        pk, pks, pv, pvs, T: int):
+        """Prefill only the suffix (1, T) of a prompt whose first
+        ``Tp = pk.shape[2]`` positions come from the registered prefix:
+        attention runs over [prefix KV ++ suffix], the slot cache is
+        seeded with the prefix KV + the new suffix KV."""
+        arch = sw.arch
+        Tp = pk.shape[2]
+        x = sw.embed[ids]
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[jnp.arange(T) + Tp + 2]
+        cos, sin = (A.rope_cos_sin(arch, jnp.arange(T) + Tp)
+                    if arch.family == "llama" else (None, None))
+        mask = A.causal_mask(T, T)  # over the suffix block
+        mask = mask + jnp.where(
+            jnp.arange(T) < true_len, 0.0, jnp.finfo(jnp.float32).min
+        )[None, :]
+        full_mask = jnp.concatenate(
+            [jnp.zeros((T, Tp), jnp.float32), mask], axis=1)[None, None]
+        for li, entry in enumerate(sw.blocks):
+            if self.kv_bits == 8:
+                k_full = (pk[li].astype(jnp.float32)
+                          * pks[li][..., None].astype(jnp.float32)
+                          ).astype(jnp.bfloat16)[None]
+                v_full = (pv[li].astype(jnp.float32)
+                          * pvs[li][..., None].astype(jnp.float32)
+                          ).astype(jnp.bfloat16)[None]
+            else:
+                k_full, v_full = pk[li][None], pv[li][None]
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, k_full, v_full, full_mask)
+            # seed slot cache: prefix rows [0, Tp), suffix [Tp, Tp+T)
+            cache = _append_one_slot_at(cache, li, slot, pk[li][None],
+                                        pks[li][None], pv[li][None],
+                                        pvs[li][None], 0)
+            if self.kv_bits == 8:
+                kq, ks = quantize_kv(k_new)
+                vq, vs = quantize_kv(v_new)
+            else:
+                kq, vq = (k_new.astype(jnp.bfloat16),
+                          v_new.astype(jnp.bfloat16))
+                ks = vs = jnp.zeros((1, arch.num_kv_heads, T),
+                                    jnp.bfloat16)
+            cache = _append_one_slot_at(cache, li, slot, kq, ks, vq, vs,
+                                        Tp)
+        xl = A.rmsnorm(
+            x, sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        last = logits[0, true_len - 1]
+        lengths = lengths.at[slot].set(Tp + true_len)
         return cache, lengths, last
 
     # ------------------------------------------------------------------
@@ -1078,6 +1193,38 @@ class LLMEngine:
                     self.cur_tokens = self.cur_tokens.at[slot].set(tok)
                     self.slot_req[slot] = req
             elif admits:
+                # prefix-cache hits: seed the slot with the registered
+                # prefix KV and prefill only the suffix
+                if self.prefix is not None:
+                    rest: List[Tuple[int, Request]] = []
+                    ptoks = self.prefix["tokens"]
+                    Tp = self.prefix["len"]
+                    for slot, req in admits:
+                        suffix = req.prompt[Tp:]
+                        hit = (len(req.prompt) > Tp
+                               and [int(t) for t in req.prompt[:Tp]]
+                               == ptoks
+                               and Tp + self._bucket(len(suffix))
+                               <= self.max_len)
+                        if not hit:
+                            rest.append((slot, req))
+                            continue
+                        T = self._bucket(len(suffix))
+                        ids = np.zeros((1, T), np.int32)
+                        ids[0, :len(suffix)] = suffix
+                        pk, pks, pv, pvs = self.prefix["kv"]
+                        (self.cache, self.lengths,
+                         logits) = self._prefill_suffix_jit(
+                            self.sw, self.cache, self.lengths,
+                            jnp.asarray(ids), jnp.asarray(slot),
+                            jnp.asarray(len(suffix)), pk, pks, pv, pvs,
+                            T=T)
+                        self.key, sk = jax.random.split(self.key)
+                        tok = int(sample(logits[None, :], sampling, sk)[0])
+                        req.out_tokens.append(tok)
+                        self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+                        self.slot_req[slot] = req
+                    admits = rest
                 by_bucket: Dict[int, List[Tuple[int, Request]]] = {}
                 for slot, req in admits:
                     by_bucket.setdefault(
@@ -1274,6 +1421,26 @@ def _append_slots_mla(cache: KVCache, layer: int, slots, c_n, r_n):
         cache,
         k=_dus_rows(cache.k, layer, slots, c_n),
         v=_dus_rows(cache.v, layer, slots, r_n))
+
+
+def _append_one_slot_at(cache: KVCache, layer: int, slot, kq, ks, vq, vs,
+                        off: int):
+    """Write already-quantized (1, H, T, D) KV at position ``off`` of one
+    slot (prefix-cache seeding + suffix prefill; hhd layout)."""
+    k = jax.lax.dynamic_update_slice(
+        cache.k, kq.astype(cache.k.dtype)[None], (layer, slot, 0, off, 0))
+    v = jax.lax.dynamic_update_slice(
+        cache.v, vq.astype(cache.v.dtype)[None], (layer, slot, 0, off, 0))
+    if cache.bits != 8:
+        return dataclasses.replace(cache, k=k, v=v)
+    k_scale = jax.lax.dynamic_update_slice(
+        cache.k_scale, ks.astype(cache.k_scale.dtype)[None],
+        (layer, slot, 0, off))
+    v_scale = jax.lax.dynamic_update_slice(
+        cache.v_scale, vs.astype(cache.v_scale.dtype)[None],
+        (layer, slot, 0, off))
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
 
 
 def _append_one_slot_mla(cache: KVCache, layer: int, slot, c_n, r_n):

@@ -558,6 +558,24 @@ def test_attn_impl_auto_recipe(tiny_setup):
                      prefill_buckets=(16,)).attn_impl == "xla"
 
 
+def test_prefix_caching_exact(tiny_setup):
+    """register_prefix + suffix-only prefill must produce EXACTLY the
+    full-prefill engine's greedy output (prefix KV is suffix-independent
+    under causality), for both kv16 and the quantized kv8 cache."""
+    model, sw = tiny_setup
+    prefix = [7, 3, 99, 12, 54, 21, 8, 40]
+    prompts = [prefix + [5, 9, 2], prefix + [100, 11], [4, 4, 4]]
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0)
+    for bits in (16, 8):
+        plain = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=bits,
+                          prefill_buckets=(4, 16))
+        ref = plain.generate(prompts, sp)
+        pc = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=bits,
+                       prefill_buckets=(4, 16))
+        pc.register_prefix(prefix)
+        assert pc.generate(prompts, sp) == ref, bits
+
+
 def test_kv_bits_auto_pick(tiny_setup):
     """kv_bits='auto' picks by context: kv4 at >=4k (halved KV stream
     dominates), kv8 below (measured crossover, REPORT r3)."""
