@@ -257,18 +257,24 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
             k = lin(x, lw["k"], True).reshape(B, N_KV, 1, HEAD_DIM)
             v = lin(x, lw["v"], True).reshape(B, N_KV, 1, HEAD_DIM)
         G = N_HEADS // N_KV
-        if KV_BITS == 4 and ATTN_IMPL == "bd4":
+        if KV_BITS == 4 and ATTN_IMPL in ("bd4", "bds4"):
             # nibble-packed block-diagonal kernel: half the int8 kernel's
             # HBM bytes, in-kernel sign-extended nibble planes feeding
             # full-size int8 MXU dots (ops/pallas_attention.bd4)
             from lightcompress_tpu.ops.pallas_attention import (
                 bd_merge_new_token, decode_attention_bd4,
+                decode_attention_bd4_flash,
             )
 
             ks_, vs_ = kv_scales[li]
             qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
-            qctx = decode_attention_bd4(qg, k_cache[li], ks_,
-                                        v_cache[li], vs_)
+            if ATTN_IMPL == "bds4":
+                qctx = decode_attention_bd4_flash(
+                    qg, k_cache[li], ks_, v_cache[li], vs_,
+                    s_block=int(os.environ.get("BENCH_SBLOCK", "512")))
+            else:
+                qctx = decode_attention_bd4(qg, k_cache[li], ks_,
+                                            v_cache[li], vs_)
 
             def q8f(t):
                 amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
@@ -561,7 +567,7 @@ def build_inputs():
     layers = [make_layer_qweights(k) for k in jax.random.split(key, LAYERS)]
     x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
     kv_dt = jnp.int8 if KV_BITS in (4, 8) else jnp.bfloat16
-    if ATTN_IMPL == "bd4":
+    if ATTN_IMPL in ("bd4", "bds4"):
         # nibble-packed feature-major K / time-major V for the kv4 kernel
         k_cache = [
             jnp.zeros((BATCH, N_KV * HEAD_DIM // 2, CTX), jnp.int8)
@@ -608,10 +614,10 @@ def main():
         assert SCALES != "contig", \
             "FUSEDLIN kernels take split scale/zero tiles"
     if KV_BITS == 4:
-        assert ATTN_IMPL in ("xla", "bd4"), \
-            "kv4: XLA two-term planes or the bd4 nibble kernel"
-    if ATTN_IMPL == "bd4":
-        assert KV_BITS == 4, "bd4 is the kv4 kernel"
+        assert ATTN_IMPL in ("xla", "bd4", "bds4"), \
+            "kv4: XLA two-term planes or the bd4/bds4 nibble kernels"
+    if ATTN_IMPL in ("bd4", "bds4"):
+        assert KV_BITS == 4, "bd4/bds4 are the kv4 kernels"
     if KV_APPEND == "dus":
         layers, x, k_cache, v_cache, kv_scales = build_inputs()
 

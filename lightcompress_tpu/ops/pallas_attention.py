@@ -621,6 +621,152 @@ def decode_attention_bd4(
     return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
 
 
+def _attn_kernel_bd4_flash(q_lo_ref, q_hi_ref, qs_ref, k_ref, ks_ref,
+                           v_ref, vs_ref, *refs, n_heads: int, group: int,
+                           scale: float, masked: bool, s_block: int):
+    """S-split flash variant of ``_attn_kernel_bd4``: nibble-packed slabs
+    read in ``s_block`` chunks with running (m, d, acc) flash state in the
+    revisited output blocks — the only kv4 kernel shape whose VMEM
+    footprint is context-independent (full-S bd4 slabs exceed the 16MB
+    VMEM budget at 8k+)."""
+    if masked:
+        len_ref, o_ref, m_ref, d_ref = refs
+    else:
+        o_ref, m_ref, d_ref = refs
+    H, G = n_heads, group
+    bb = q_lo_ref.shape[0]
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    for b in range(bb):
+        ki = k_ref[b].astype(jnp.int32)               # (HD2, sb)
+        klo = (((ki & 0xF) ^ 8) - 8).astype(jnp.int8)
+        khi = ((((ki >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
+        sc32 = jax.lax.dot_general(
+            q_lo_ref[b], klo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sc32 = sc32 + jax.lax.dot_general(
+            q_hi_ref[b], khi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        scf = sc32.astype(jnp.float32) * \
+            (qs_ref[b, :, 0].astype(jnp.float32)[:, None] * scale)
+        ksf = ks_ref[b].astype(jnp.float32)
+        scf = jnp.concatenate(
+            [scf[h * G:(h + 1) * G] * ksf[h][None, :] for h in range(H)], 0)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, scf.shape, 1) \
+                + si * s_block
+            scf = jnp.where(col < len_ref[b, 0, 0], scf, -jnp.inf)
+        m_old = m_ref[b]
+        m_new = jnp.maximum(
+            m_old, jnp.maximum(jnp.max(scf, axis=-1, keepdims=True),
+                               -1e30))
+        alpha = jnp.exp(m_old - m_new)
+        e = jnp.exp(scf - m_new)
+        vsf = vs_ref[b].astype(jnp.float32)
+        pv = jnp.concatenate(
+            [e[h * G:(h + 1) * G] * vsf[h][None, :] for h in range(H)], 0)
+        ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+        p8 = jnp.round(pv / ps).astype(jnp.int8)
+        vi = v_ref[b].astype(jnp.int32)               # (sb, HD2)
+        vlo = (((vi & 0xF) ^ 8) - 8).astype(jnp.int8)
+        vhi = ((((vi >> 4) & 0xF) ^ 8) - 8).astype(jnp.int8)
+        clo = jax.lax.dot_general(
+            p8, vlo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+        chi = jax.lax.dot_general(
+            p8, vhi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * ps
+        D2 = vi.shape[1] // H
+        ctx_own = jnp.concatenate(
+            [jnp.concatenate(
+                [clo[h * G:(h + 1) * G, h * D2:(h + 1) * D2],
+                 chi[h * G:(h + 1) * G, h * D2:(h + 1) * D2]], axis=1)
+             for h in range(H)], 0)
+        o_ref[b] = o_ref[b] * alpha + ctx_own
+        d_ref[b] = d_ref[b] * alpha[:, 0:1] + \
+            jnp.sum(e, axis=-1, keepdims=True)
+        m_ref[b] = m_new
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("b_block", "s_block", "interpret"))
+def decode_attention_bd4_flash(
+    q: Array,            # (B, H, G, D)
+    kt4: Array,          # (B, H*D/2, S) int8 nibble-packed
+    ks: Array,           # (B, H, S)
+    vt4: Array,          # (B, S, H*D/2) int8 nibble-packed
+    vs: Array,           # (B, H, S)
+    lengths: Optional[Array] = None,
+    b_block: int = 1,
+    s_block: int = 512,
+    interpret: bool = False,
+):
+    """kv4 S-split flash decode; same contract as ``decode_attention_bd``."""
+    B, H, G, D = q.shape
+    S = kt4.shape[2]
+    D2 = D // 2
+    b_block = min(b_block, B)
+    while B % b_block:
+        b_block -= 1
+    s_block = min(s_block, S)
+    while S % s_block:
+        s_block //= 2
+    q8, qs = _quantize_q(q)
+    q_lo = make_q_blockdiag(q8[..., :D2], H)
+    q_hi = make_q_blockdiag(q8[..., D2:], H)
+    qs2 = qs.reshape(B, H * G, 1)
+    masked = lengths is not None
+    kernel = functools.partial(_attn_kernel_bd4_flash, n_heads=H, group=G,
+                               scale=D ** -0.5, masked=masked,
+                               s_block=s_block)
+    grid = (B // b_block, S // s_block)
+
+    def fixed(a, b_):
+        return pl.BlockSpec((b_block, a, b_), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    args = [q_lo, q_hi, qs2, kt4, ks, vt4, vs]
+    in_specs = [
+        fixed(H * G, H * D2), fixed(H * G, H * D2), fixed(H * G, 1),
+        pl.BlockSpec((b_block, H * D2, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, H, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, s_block, H * D2), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_block, H, s_block), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if masked:
+        args.append(lengths.astype(jnp.int32).reshape(B, 1, 1))
+        in_specs.append(fixed(1, 1))
+    ctx, m, d = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, H * G, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H * G, 1), jnp.float32)),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(fixed(H * G, D), fixed(H * G, 1), fixed(H * G, 1)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_bytes(),
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * G * S * H * D,
+            bytes_accessed=B * S * H * D + 4 * B * H * S,
+            transcendentals=B * H * G * S,
+        ),
+    )(*args)
+    return ctx.reshape(B, H, G, D), m.reshape(B, H, G), d.reshape(B, H, G)
+
+
 def bd_merge_new_token(q: Array, qctx, k_new: Array, v_new: Array,
                        kns: Array, vns: Array, scale: float):
     """Merge the fresh decode token into ``decode_attention_bd`` output.

@@ -320,9 +320,20 @@ def _block_apply_decode_i8(
                                             decode_attention_bd_flash)
 
         if impl == "bd4":
-            qctx = decode_attention_bd4(
-                qg, cache.k[li], cache.k_scale[li], cache.v[li],
-                cache.v_scale[li], lengths=lengths, interpret=interpret)
+            from ..ops.pallas_attention import decode_attention_bd4_flash
+
+            if cache.k.shape[-1] >= 8192:
+                # full-S bd4 slabs exceed the 16MB VMEM budget at 8k+;
+                # the flash grid's footprint is context-independent
+                qctx = decode_attention_bd4_flash(
+                    qg, cache.k[li], cache.k_scale[li], cache.v[li],
+                    cache.v_scale[li], lengths=lengths, s_block=512,
+                    interpret=interpret)
+            else:
+                qctx = decode_attention_bd4(
+                    qg, cache.k[li], cache.k_scale[li], cache.v[li],
+                    cache.v_scale[li], lengths=lengths,
+                    interpret=interpret)
         elif impl == "bds":
             qctx = decode_attention_bd_flash(
                 qg, cache.k[li], cache.k_scale[li], cache.v[li],

@@ -189,3 +189,28 @@ def test_decode_attention_bd4_matches_unpacked():
         p = jax.nn.softmax(scm, -1)
         ref = np.asarray(jnp.einsum("bhgs,bhsd->bhgd", p, vd))
         assert np.abs(n - ref).max() < 0.05
+
+
+def test_decode_attention_bd4_flash_matches_bd4():
+    """S-split kv4 flash kernel: same results as the full-S bd4 kernel."""
+    from lightcompress_tpu.ops.pallas_attention import (
+        decode_attention_bd4, decode_attention_bd4_flash)
+    from lightcompress_tpu.serving.kv_cache import quantize_kv4
+
+    B, H, G, D, S = 2, 4, 4, 32, 256
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(B, H, G, D), jnp.bfloat16)
+    k4, ks = quantize_kv4(jnp.asarray(rng.randn(B, H, S, D), jnp.float32))
+    v4, vs = quantize_kv4(jnp.asarray(rng.randn(B, H, S, D), jnp.float32))
+    kt4 = k4.transpose(0, 1, 3, 2).reshape(B, H * D // 2, S)
+    vt4 = v4.transpose(0, 2, 1, 3).reshape(B, S, H * D // 2)
+    for L in (None, jnp.asarray([200, 5], jnp.int32)):
+        c1, m1, d1 = decode_attention_bd4(
+            q, kt4, ks.astype(jnp.bfloat16), vt4, vs.astype(jnp.bfloat16),
+            L, interpret=True)
+        c2, m2, d2 = decode_attention_bd4_flash(
+            q, kt4, ks.astype(jnp.bfloat16), vt4, vs.astype(jnp.bfloat16),
+            L, s_block=64, interpret=True)
+        n1 = np.asarray(c1) / np.maximum(np.asarray(d1)[..., None], 1e-30)
+        n2 = np.asarray(c2) / np.maximum(np.asarray(d2)[..., None], 1e-30)
+        assert np.abs(n1 - n2).max() < 0.05
