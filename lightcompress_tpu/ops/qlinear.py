@@ -198,19 +198,13 @@ def qlinear_xla(x: Array, qp: QLinearParams) -> Array:
 
     For decode (small M) XLA fuses the dequant into the matmul read — HBM
     traffic is the packed codes, not the bf16 weights.  For prefill-sized
-    M the SAME fusion is a trap: the unpack runs inside the matmul inner
-    loop and caps the MXU at ~39 TFLOP/s (r2 ladder; the r3 TTFT probe
-    measured batched prefill LOSING to 8 serial Pallas prefills because
-    of it).  Above the Pallas kernel's M<=256 regime we force the bf16
-    weight to MATERIALIZE once (optimization_barrier) so the dense matmul
-    runs at full MXU rate — the extra 2N*K bytes are amortized over
-    M >= 512 rows of reuse."""
+    M the SAME fusion caps the MXU (~39 TFLOP/s, unpack in the inner
+    loop).  An optimization_barrier dequant-materialize was tried (r3)
+    and REVERTED: at 8B scale XLA kept every layer's materialized bf16
+    weight alive and compile OOMed HBM (15.95/15.75G).  The remaining
+    lever for large-M prefill is raising the Pallas kernel's M cap
+    (LCTPU_PALLAS_M_MAX, pallas_matmul.w4a16_matmul_available)."""
     w = dequant_weight(qp, dtype=jnp.bfloat16)
-    m = 1
-    for d in x.shape[:-1]:
-        m *= d
-    if m > 256:
-        w = jax.lax.optimization_barrier(w)
     y = jnp.einsum(
         "...i,oi->...o", x.astype(jnp.bfloat16), w,
         preferred_element_type=jnp.float32,
