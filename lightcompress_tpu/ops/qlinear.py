@@ -44,6 +44,7 @@ class QLinearParams:
 def quantize_linear(
     w: Array, spec: QuantSpec, bias: Optional[Array] = None,
     layout: str = "planes", scale_dtype=jnp.bfloat16,
+    scale_layout: str = "split",
 ) -> QLinearParams:
     """``scale_dtype`` applies to the pre-tiled planes serving layout only:
     bf16 scales cut the kernel's scale+zero stream in half (+9% decode
@@ -96,9 +97,19 @@ def quantize_linear(
                 nt = pick_n_tile(N, packed.shape[1], gs)
                 gpp = packed.shape[1] // gs
                 packed = tile_packed(packed, nt, gs)
-                if z4 is not None:
+                if scale_layout == "contig":
+                    # combined contiguous scale+zero slab per grid step
+                    # (+20 tok/s measured, BENCH_SCALES=contig default)
+                    from .pallas_matmul import tile_scales_combined
+
+                    s4 = tile_scales_combined(
+                        s4, z4 * s4, nt, gpp).astype(scale_dtype)
+                    z4 = None
+                elif z4 is not None:
                     z4 = tile_scales(z4 * s4, nt, gpp).astype(scale_dtype)
-                s4 = tile_scales(s4, nt, gpp).astype(scale_dtype)
+                    s4 = tile_scales(s4, nt, gpp).astype(scale_dtype)
+                else:
+                    s4 = tile_scales(s4, nt, gpp).astype(scale_dtype)
         else:
             from ..export import pack_int4
 
@@ -181,6 +192,17 @@ def dequant_weight(qp: QLinearParams, dtype=jnp.bfloat16) -> Array:
     oc, ic = u.shape
     g = qp.group_size or ic
     u = u.reshape(oc, ic // g, g)
+    if qp.scales.ndim == 3:
+        # combined contiguous slab (tile_scales_combined): rows
+        # [0, gpp*8) scales, [gpp*8, 2*gpp*8) premultiplied zeros
+        nb, rows, nt = qp.scales.shape
+        gpp = rows // 16
+        comb = qp.scales.reshape(nb, 2, gpp, 8, nt)
+        s = _untile_scales(comb[:, 0].transpose(1, 0, 2, 3)).reshape(
+            oc, ic // g, 1)
+        zs = _untile_scales(comb[:, 1].transpose(1, 0, 2, 3)).reshape(
+            oc, ic // g, 1)
+        return (u * s - zs).reshape(oc, ic).astype(dtype)
     if qp.scales.ndim == 4:
         # pre-tiled serving layout (gpp, N/NT, 8, NT) with premultiplied
         # zeros: y = u*s - zs
@@ -239,7 +261,10 @@ def qlinear_apply(
             if w4a16_matmul_available(x, qp):
                 if act_bits == 8:
                     return w4a8_matmul(x, qp)
-                return w4a16_matmul(x, qp)
+                if qp.scales.ndim != 3:
+                    # the combined contiguous scale slab is consumed by
+                    # the W4A8 kernel only; A16 falls back to XLA
+                    return w4a16_matmul(x, qp)
         except ImportError:
             pass
     return qlinear_xla(x, qp)

@@ -118,6 +118,7 @@ def build_serving_weights(
     layout: Optional[str] = None,
     fused_rms: bool = False,
     fuse_qkv: bool = False,
+    scale_layout: str = "split",
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
@@ -173,6 +174,7 @@ def build_serving_weights(
             entry[name] = quantize_linear(
                 w.astype(jnp.float32), wspec, bias=bias,
                 layout=layout or ("planes" if wspec.bit == 4 else "rows"),
+                scale_layout=scale_layout,
             )
 
         def _fuse(new_name, names):

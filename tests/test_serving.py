@@ -599,3 +599,33 @@ def test_quantize_kv4_roundtrip():
     deq = unpack_kv4(q) * s[..., None].astype(jnp.float32)
     rel = float(jnp.linalg.norm(deq - x) / jnp.linalg.norm(x))
     assert rel < 0.12, rel  # int4 symmetric quant noise
+
+
+def test_contig_scale_layout_serving(tiny_setup):
+    """build_serving_weights(scale_layout='contig'): combined contiguous
+    scale+zero slabs (the bench-default kernel layout) round-trip through
+    dequant_weight and generate identically to the split layout (both
+    paths share codes; dispatch falls to XLA on CPU either way)."""
+    from lightcompress_tpu.ops.qlinear import dequant_weight
+
+    # dims must hit the pre-tiled serving layout (N % 128 == 0,
+    # group | packed-K): hidden 128 with g16
+    model = make_tiny_adapter(seed=81, vocab=128, hidden=128, inter=256,
+                              layers=2, heads=4, kv_heads=2)
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=16)
+    sw_split = build_serving_weights(model, wspec)
+    sw_contig = build_serving_weights(model, wspec,
+                                      scale_layout="contig")
+    e1 = sw_split.blocks[0]["attn.q"]
+    e2 = sw_contig.blocks[0]["attn.q"]
+    assert e2.scales.ndim == 3 and e2.zeros is None
+    np.testing.assert_array_equal(np.asarray(dequant_weight(e1)),
+                                  np.asarray(dequant_weight(e2)))
+    p = [[3, 17, 9, 2, 100]]
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0)
+    g1 = LLMEngine(sw_split, max_slots=1, max_len=32,
+                   prefill_buckets=(8,)).generate(p, sp)
+    g2 = LLMEngine(sw_contig, max_slots=1, max_len=32,
+                   prefill_buckets=(8,)).generate(p, sp)
+    assert g1 == g2

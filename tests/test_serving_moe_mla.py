@@ -239,3 +239,19 @@ def test_ep_sharded_moe_serving(mla_moe_setup):
     p = [[3, 17, 9, 2, 100]]
     sp = SamplingParams(max_new_tokens=5, temperature=0.0)
     assert eng.generate(p, sp) == eng0.generate(p, sp)
+
+
+def test_spec_decode_on_moe_engine(moe_setup):
+    """Speculative decoding composes with the MoE serving path (the
+    verify step runs the same _block_apply/_mlp_tail_serving stack):
+    greedy outputs equal the per-step MoE engine exactly."""
+    model, sw = moe_setup
+    plain = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                      prefill_buckets=(16,))
+    spec = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                     prefill_buckets=(16,),
+                     spec_decode={"method": "ngram", "draft_len": 3})
+    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0)
+    assert spec.generate(p, sp) == plain.generate(p, sp)
+    assert spec.spec_stats["rounds"] > 0
