@@ -564,6 +564,7 @@ class LLMEngine:
         decode_chunk: int = 1,
         sparse_kv: Optional[Dict] = None,
         spec_decode: Optional[Dict] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         # decode attention: "pallas" = int8-MXU kernel over the slot cache
         # (contiguous multi-MB DMA slabs, fresh token in-register);
@@ -637,6 +638,18 @@ class LLMEngine:
         self._prefill_batch_jit = jax.jit(
             self._prefill_batch, static_argnames=("T",), donate_argnums=(1,))
         self.prefix = None
+        # chunked prefill: prompts longer than this admit incrementally,
+        # one chunk per scheduler iteration, interleaved with decode
+        # steps of the running slots (None = whole-prompt prefill)
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            assert not paged and self.arch.mla is None \
+                and self.shadow is None, \
+                "chunked prefill: dense slot-cache engines"
+        self.prefilling: Dict[int, Tuple[Request, int]] = {}
+        self._prefill_chunk_jit = jax.jit(
+            self._prefill_chunk, static_argnames=("T",),
+            donate_argnums=(1,))
         self._prefix_kv_jit = jax.jit(self._prefix_kv)
         self._prefill_suffix_jit = jax.jit(
             self._prefill_suffix, static_argnames=("T",),
@@ -966,6 +979,63 @@ class LLMEngine:
         return cache, lengths, last
 
     # ------------------------------------------------------------------
+    def _prefill_chunk(self, sw, cache, lengths, ids, slot, true_len,
+                       T: int):
+        """One CHUNK of an incremental prefill: run (1, T) tokens whose
+        positions start at the slot's current length, attending over the
+        slot's existing cache + the chunk (chunked prefill — long prompts
+        admit without stalling running decodes; VERDICT r2 #3's
+        interleaving half).  Returns (cache, lengths, last-token logits
+        of the chunk)."""
+        arch = sw.arch
+        start = lengths[slot]
+        x = sw.embed[ids]
+        if sw.embed_pos is not None:
+            x = x + sw.embed_pos[jnp.arange(T) + start + 2]
+        cos, sin = (A.rope_cos_sin(arch, jnp.arange(T) + start)
+                    if arch.family == "llama" else (None, None))
+        Tmax = self.max_len
+        # mask over [cache rows | chunk rows]: cache col j visible iff
+        # j < start; chunk causal + padding (cols >= true_len hidden)
+        cache_vis = jnp.where(
+            jnp.arange(Tmax)[None, :] < start, 0.0,
+            jnp.finfo(jnp.float32).min)                    # (1, Tmax)
+        cmask = A.causal_mask(T, T) + jnp.where(
+            jnp.arange(T) < true_len, 0.0, jnp.finfo(jnp.float32).min
+        )[None, :]
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(cache_vis, (T, Tmax)), cmask],
+            axis=1)[None, None]
+        for li, entry in enumerate(sw.blocks):
+            k_full, v_full = read_kv(cache, li)
+            x, k_new, v_new = _block_apply(
+                sw, entry, x, cos, sin, k_full[slot][None],
+                v_full[slot][None], mask)
+            if self.kv_bits == 8:
+                kq, ks = quantize_kv(k_new)
+                vq, vs = quantize_kv(v_new)
+            else:
+                kq, vq = (k_new.astype(jnp.bfloat16),
+                          v_new.astype(jnp.bfloat16))
+                ks = vs = jnp.zeros((1, arch.num_kv_heads, T),
+                                    jnp.bfloat16)
+            cache = _append_one_slot_at(cache, li, slot, kq, ks, vq, vs,
+                                        start)
+        xl = A.rmsnorm(
+            x, sw.norm.get("weight"), arch.rms_eps
+        ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
+            A.layernorm(x, sw.norm.get("weight"),
+                        sw.norm.get("bias"), 1e-5)
+        )
+        logits = jnp.einsum(
+            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            preferred_element_type=jnp.float32,
+        )
+        last = logits[0, true_len - 1]
+        lengths = lengths.at[slot].set(start + true_len)
+        return cache, lengths, last
+
+    # ------------------------------------------------------------------
     def _spec_verify(self, sw, cache, lengths, toks):
         """Speculative-decoding verify step: run ``toks`` (S, 1+k) — each
         slot's current token followed by k drafted tokens — through the
@@ -1186,8 +1256,17 @@ class LLMEngine:
             # is per-slot host work).
             admits: List[Tuple[int, Request]] = []
             for slot in range(self.max_slots):
-                if self.slot_req[slot] is None and queue:
-                    admits.append((slot, queue.popleft()))
+                if self.slot_req[slot] is None \
+                        and slot not in self.prefilling and queue:
+                    req = queue.popleft()
+                    if self.prefill_chunk is not None \
+                            and len(req.prompt) > self.prefill_chunk:
+                        # long prompt: admit incrementally, one chunk per
+                        # scheduler iteration (decode keeps running)
+                        self.lengths = self.lengths.at[slot].set(0)
+                        self.prefilling[slot] = (req, 0)
+                        continue
+                    admits.append((slot, req))
             if admits and self.paged:
                 for slot, req in admits:
                     T = self._bucket(len(req.prompt))
@@ -1279,6 +1358,28 @@ class LLMEngine:
                     self.cur_tokens = self.cur_tokens.at[
                         jnp.asarray(new_slots)].set(jnp.asarray(new_toks))
 
+            # one prefill CHUNK for one admitting long prompt, then fall
+            # through to the decode step for the running slots
+            if self.prefilling:
+                slot = next(iter(self.prefilling))
+                req, pos = self.prefilling[slot]
+                C = self.prefill_chunk
+                chunk = req.prompt[pos:pos + C]
+                ids = np.zeros((1, C), np.int32)
+                ids[0, :len(chunk)] = chunk
+                self.cache, self.lengths, logits = self._prefill_chunk_jit(
+                    self.sw, self.cache, self.lengths, jnp.asarray(ids),
+                    jnp.asarray(slot), jnp.asarray(len(chunk)), T=C)
+                pos += len(chunk)
+                if pos >= len(req.prompt):
+                    del self.prefilling[slot]
+                    self.key, sk = jax.random.split(self.key)
+                    tok = int(sample(logits[None, :], sampling, sk)[0])
+                    req.out_tokens.append(tok)
+                    self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+                    self.slot_req[slot] = req
+                else:
+                    self.prefilling[slot] = (req, pos)
             active = [r is not None for r in self.slot_req]
             if not any(active):
                 continue

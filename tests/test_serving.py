@@ -601,6 +601,26 @@ def test_quantize_kv4_roundtrip():
     assert rel < 0.12, rel  # int4 symmetric quant noise
 
 
+def test_chunked_prefill_interleaved(tiny_setup):
+    """Chunked prefill: a long prompt admits in prefill_chunk-sized
+    pieces interleaved with decode steps of the running slot; greedy
+    outputs for BOTH requests equal the whole-prompt engine exactly."""
+    model, sw = tiny_setup
+    rng = np.random.RandomState(3)
+    long_p = list(rng.randint(1, 128, size=30))
+    short_p = [5, 9, 2]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    plain = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                      prefill_buckets=(4, 32))
+    ref = plain.generate([short_p, long_p], sp)
+    chunked = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                        prefill_buckets=(4, 32), prefill_chunk=8)
+    got = chunked.generate([short_p, long_p], sp)
+    assert got == ref, (got, ref)
+    # the long prompt really went through the incremental path
+    assert len(long_p) > 8
+
+
 def test_contig_scale_layout_serving(tiny_setup):
     """build_serving_weights(scale_layout='contig'): combined contiguous
     scale+zero slabs (the bench-default kernel layout) round-trip through
