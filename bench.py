@@ -606,6 +606,74 @@ def build_inputs():
     return layers, x, k_cache, v_cache, kv_scales
 
 
+def decode_step_dusl(layers, x, k_list, v_list, ks_list, vs_list, pos):
+    """Per-LAYER-list dus variant (VERDICT r2 weak #3 experiment): the KV
+    buffers are a LIST of per-layer arrays carried through the loop, each
+    appended with one dynamic_update_slice — no jnp.stack repack (the
+    'dus' variant stacks all layers every step, which itself copies the
+    whole cache and masks whether carry aliasing works at all)."""
+    from lightcompress_tpu.ops import qlinear_apply as _qa
+
+    B = x.shape[0]
+    Tbuf = k_list[0].shape[2]
+    valid = (jnp.arange(Tbuf) <= pos)[None, None, None, :]
+    G = N_HEADS // N_KV
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    for li, lw in enumerate(layers):
+        h1 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        if FUSED:
+            qkv = _qa(h1, lw["qkv"], act_bits=ACT_BITS)
+            nq, nkv = N_HEADS * HEAD_DIM, N_KV * HEAD_DIM
+            q = qkv[:, :nq].reshape(B, N_HEADS, 1, HEAD_DIM)
+            k = qkv[:, nq:nq + nkv].reshape(B, N_KV, 1, HEAD_DIM)
+            v = qkv[:, nq + nkv:].reshape(B, N_KV, 1, HEAD_DIM)
+        else:
+            q = _qa(h1, lw["q"], act_bits=ACT_BITS).reshape(
+                B, N_HEADS, 1, HEAD_DIM)
+            k = _qa(h1, lw["k"], act_bits=ACT_BITS).reshape(
+                B, N_KV, 1, HEAD_DIM)
+            v = _qa(h1, lw["v"], act_bits=ACT_BITS).reshape(
+                B, N_KV, 1, HEAD_DIM)
+
+        def q8(t):
+            amax = jnp.max(jnp.abs(t.astype(jnp.float32)), -1,
+                           keepdims=True)
+            sc = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.bfloat16)
+            return (jnp.clip(jnp.round(t / sc.astype(jnp.float32)), -127,
+                             127).astype(jnp.int8), sc[..., 0])
+
+        k8, ksn = q8(k)
+        v8, vsn = q8(v)
+        kc = jax.lax.dynamic_update_slice(k_list[li], k8, (0, 0, pos, 0))
+        vc = jax.lax.dynamic_update_slice(v_list[li], v8, (0, 0, pos, 0))
+        ksc = jax.lax.dynamic_update_slice(ks_list[li], ksn, (0, 0, pos))
+        vsc = jax.lax.dynamic_update_slice(vs_list[li], vsn, (0, 0, pos))
+        qg = q.reshape(B, N_KV, G, HEAD_DIM).astype(jnp.bfloat16)
+        sc = jnp.einsum("bkgd,bksd->bkgs", qg, kc.astype(jnp.bfloat16))
+        sc = sc * ksc[:, :, None, :].astype(jnp.float32) * \
+            (HEAD_DIM ** -0.5)
+        sc = jnp.where(valid, sc.astype(jnp.float32), -jnp.inf)
+        probs = jax.nn.softmax(sc, -1)
+        pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bkgs,bksd->bkgd", pv, vc.astype(jnp.bfloat16))
+        x = x + _qa(ctx.reshape(B, -1).astype(x.dtype), lw["o"],
+                    act_bits=ACT_BITS)
+        h2 = x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)
+        if FUSED:
+            gu = _qa(h2, lw["gateup"], act_bits=ACT_BITS)
+            g_, u = gu[:, :INTER], gu[:, INTER:]
+        else:
+            g_ = _qa(h2, lw["gate"], act_bits=ACT_BITS)
+            u = _qa(h2, lw["up"], act_bits=ACT_BITS)
+        x = x + _qa(jax.nn.silu(g_) * u, lw["down"], act_bits=ACT_BITS)
+        new_k.append(kc)
+        new_v.append(vc)
+        new_ks.append(ksc)
+        new_vs.append(vsc)
+    return x, new_k, new_v, new_ks, new_vs
+
+
 def main():
     if TAIL:
         assert FUSED and SCALES and SCALES != "contig", \
@@ -626,6 +694,65 @@ def main():
     # host scalar read — block_until_ready alone returns before device
     # completion here, and identical replayed executions get dedup-cached.
     n_iters = 20
+
+    if KV_APPEND == "dusl":
+        assert KV_BITS == 8
+        Tbuf = CTX + n_iters
+        kb = [jnp.zeros((BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+              for _ in range(LAYERS)]
+        vb = [jnp.zeros((BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+              for _ in range(LAYERS)]
+        ksb = [jnp.full((BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
+               for _ in range(LAYERS)]
+        vsb = [jnp.full((BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
+               for _ in range(LAYERS)]
+
+        def many(layers, x, kb, vb, ksb, vsb):
+            def body(i, carry):
+                xx, kc, vc, ks, vs = carry
+                y, kc, vc, ks, vs = decode_step_dusl(
+                    layers, xx, kc, vc, ks, vs, CTX + i)
+                y = y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+                return (y, kc, vc, ks, vs)
+
+            return jax.lax.fori_loop(0, n_iters, body,
+                                     (x, kb, vb, ksb, vsb))[0]
+
+        key = jax.random.PRNGKey(0)
+        layers = [make_layer_qweights(k)
+                  for k in jax.random.split(key, LAYERS)]
+        x = jax.random.normal(key, (BATCH, HIDDEN), jnp.bfloat16)
+        step = jax.jit(many, donate_argnums=(2, 3, 4, 5))
+        out = step(layers, x, kb, vb, ksb, vsb)
+        _ = float(jnp.sum(out))  # compile + drain
+        kb2 = [jnp.zeros((BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+               for _ in range(LAYERS)]
+        vb2 = [jnp.zeros((BATCH, N_KV, Tbuf, HEAD_DIM), jnp.int8)
+               for _ in range(LAYERS)]
+        ksb2 = [jnp.full((BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
+                for _ in range(LAYERS)]
+        vsb2 = [jnp.full((BATCH, N_KV, Tbuf), 0.01, jnp.bfloat16)
+                for _ in range(LAYERS)]
+        t0 = time.time()
+        out = step(layers, out, kb2, vb2, ksb2, vsb2)
+        _ = float(jnp.sum(out))
+        dt = (time.time() - t0) / n_iters
+        tokens_per_s = BATCH / dt
+        kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (HEAD_DIM + 2)
+        weight_bytes = sum(
+            int(np.prod(lw[n].codes.shape)) * lw[n].codes.dtype.itemsize
+            + lw[n].scales.size * lw[n].scales.dtype.itemsize
+            + (lw[n].zeros.size * lw[n].zeros.dtype.itemsize
+               if lw[n].zeros is not None else 0)
+            for lw in layers for n in lw)
+        roofline_tps = BATCH * HBM_BW / (weight_bytes + kv_bytes)
+        print(json.dumps({
+            "metric": f"w4a{ACT_BITS}kv8_8b_c{CTX}_dusl_tokens_per_s",
+            "value": round(tokens_per_s, 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(tokens_per_s / roofline_tps, 4),
+        }))
+        return
 
     if KV_APPEND == "dus":
         assert KV_BITS == 8, "dus bench variant models the int8 KV engine"
