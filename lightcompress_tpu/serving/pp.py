@@ -174,3 +174,155 @@ class PPDecoder:
                               self.v_cache, self.lengths, cur_tokens,
                               active_mask)
         return logits
+
+    # ------------------------------------------------------------------
+    def _decode_step_mb(self, stage_params, k_cache, v_cache, lengths,
+                        cur_tokens, active_mask):
+        """Microbatched (pipelined) PP decode: slots split into ``pp``
+        groups; tick t has stage s working on microbatch t-s, so all
+        stages are busy through the steady state (GPipe bubble
+        (pp-1)/(2pp-1) per step instead of the ring's (pp-1)/pp).  Cache
+        commits are restricted to the active microbatch's slot rows."""
+        arch = self.arch
+        T = self.max_len
+        M = self.pp
+        S = self.max_slots
+        g_sz = S // M
+        x0 = self.embed[cur_tokens][:, None, :].reshape(M, g_sz, 1, -1)
+
+        j = jnp.arange(T + 1)[None, None, None, :]
+        visible = (j < lengths[:, None, None, None]) | (j == T)
+        mask_all = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
+        mask_all = mask_all.reshape(M, g_sz, 1, 1, T + 1)
+        if arch.family == "llama":
+            cos_a, sin_a = A.rope_cos_sin(arch, lengths[:, None])
+            cos_a = cos_a.reshape(M, g_sz, 1, -1)
+            sin_a = sin_a.reshape(M, g_sz, 1, -1)
+        else:
+            cos_a = sin_a = None
+        len_mb = lengths.reshape(M, g_sz)
+
+        class _SW:
+            pass
+
+        swf = _SW()
+        swf.arch = arch
+        swf.act_bits = 16
+
+        def ring(stage_params, kc, vc, x0, mask_all, cos_a, sin_a,
+                 len_mb):
+            sidx = jax.lax.axis_index("pp")
+            H = x0.shape[-1]
+
+            def stage_apply(buf, kc, vc, mb):
+                # slice this microbatch's cache rows (slots mb*g .. )
+                start = mb * g_sz
+                kcs = jax.lax.dynamic_slice(
+                    kc, (0, 0, start) + (0,) * (kc.ndim - 3),
+                    (1, self.per, g_sz) + kc.shape[3:])
+                vcs = jax.lax.dynamic_slice(
+                    vc, (0, 0, start) + (0,) * (vc.ndim - 3),
+                    (1, self.per, g_sz) + vc.shape[3:])
+                cos = (jax.lax.dynamic_index_in_dim(cos_a, mb, 0, False)
+                       if cos_a is not None else None)
+                sin = (jax.lax.dynamic_index_in_dim(sin_a, mb, 0, False)
+                       if sin_a is not None else None)
+                mask = jax.lax.dynamic_index_in_dim(mask_all, mb, 0,
+                                                    False)
+                lens = jax.lax.dynamic_index_in_dim(len_mb, mb, 0, False)
+                for i in range(self.per):
+                    entry = jax.tree.map(lambda l: l[0, i], stage_params)
+                    y, k_new, v_new = _block_apply(
+                        swf, entry, buf, cos, sin,
+                        kcs[0, i], vcs[0, i], mask)
+                    upd = jax.vmap(
+                        lambda b, n, p: jax.lax.dynamic_update_slice(
+                            b, n.astype(b.dtype), (0, p, 0)))(
+                        kcs[0, i], k_new, lens)
+                    updv = jax.vmap(
+                        lambda b, n, p: jax.lax.dynamic_update_slice(
+                            b, n.astype(b.dtype), (0, p, 0)))(
+                        vcs[0, i], v_new, lens)
+                    kcs = kcs.at[0, i].set(upd)
+                    vcs = vcs.at[0, i].set(updv)
+                    buf = y
+                kc = jax.lax.dynamic_update_slice(
+                    kc, kcs, (0, 0, start) + (0,) * (kc.ndim - 3))
+                vc = jax.lax.dynamic_update_slice(
+                    vc, vcs, (0, 0, start) + (0,) * (vc.ndim - 3))
+                return buf, kc, vc
+
+            out0 = jnp.zeros((M, g_sz, 1, H), jnp.bfloat16)
+
+            def tick(t, carry):
+                buf, kc, vc, out = carry
+                mb = t - sidx
+                valid = (mb >= 0) & (mb < M)
+                # stage 0 injects microbatch t from the input stream
+                buf = jnp.where(sidx == 0,
+                                jax.lax.dynamic_index_in_dim(
+                                    x0, jnp.clip(t, 0, M - 1), 0, False),
+                                buf)
+
+                def do(args):
+                    b, kc_, vc_ = args
+                    return stage_apply(b, kc_, vc_, jnp.clip(mb, 0, M - 1))
+
+                def skip(args):
+                    return args
+
+                buf, kc, vc = jax.lax.cond(valid, do, skip, (buf, kc, vc))
+                # last stage deposits finished microbatches
+                out = jnp.where(
+                    (sidx == self.pp - 1) & valid,
+                    jax.lax.dynamic_update_slice(
+                        out, buf.astype(out.dtype)[None],
+                        (jnp.clip(mb, 0, M - 1), 0, 0, 0)),
+                    out)
+                buf = jax.lax.ppermute(
+                    buf, "pp",
+                    [(i, (i + 1) % self.pp) for i in range(self.pp)])
+                return buf, kc, vc, out
+
+            buf0 = jnp.zeros((g_sz, 1, H), x0.dtype)
+            _, kc, vc, out = jax.lax.fori_loop(
+                0, M + self.pp - 1, tick, (buf0, kc, vc, out0))
+            out = jax.lax.psum(
+                jnp.where(sidx == self.pp - 1, out, jnp.zeros_like(out)),
+                "pp")
+            return out, kc, vc
+
+        spec_tree = jax.tree.map(lambda _: P("pp"), stage_params)
+        rep = P()
+        out, k_cache, v_cache = shard_map(
+            ring, mesh=self.mesh,
+            in_specs=(spec_tree, P("pp"), P("pp"), rep, rep, rep, rep,
+                      rep),
+            out_specs=(P(), P("pp"), P("pp")),
+            check_vma=False,
+        )(stage_params, k_cache, v_cache, x0, mask_all, cos_a, sin_a,
+          len_mb)
+
+        out = out.reshape(self.max_slots, 1, -1)
+        xl = A.rmsnorm(out, self.norm.get("weight"), arch.rms_eps) \
+            if (arch.family == "llama" or arch.norm_type == "rmsnorm") \
+            else A.layernorm(out, self.norm.get("weight"),
+                             self.norm.get("bias"), 1e-5)
+        logits = jnp.einsum("bth,vh->btv", xl.astype(jnp.bfloat16),
+                            self.lm_head,
+                            preferred_element_type=jnp.float32)[:, 0]
+        lengths = jnp.where(active_mask, lengths + 1, lengths)
+        return k_cache, v_cache, lengths, logits
+
+    def decode_microbatched(self, cur_tokens: Array, active_mask: Array):
+        """Pipelined PP decode step (slot microbatches keep every stage
+        busy in steady state); returns logits (S, V)."""
+        assert self.max_slots % self.pp == 0
+        if not hasattr(self, "_step_mb"):
+            self._step_mb = jax.jit(self._decode_step_mb,
+                                    donate_argnums=(1, 2))
+        (self.k_cache, self.v_cache, self.lengths,
+         logits) = self._step_mb(self.stage_params, self.k_cache,
+                                 self.v_cache, self.lengths, cur_tokens,
+                                 active_mask)
+        return logits

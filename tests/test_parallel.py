@@ -76,3 +76,35 @@ def test_pp_serving_decode_matches_single():
             jnp.ravel(lg_pp), jnp.ravel(lg_1))[0, 1])
         assert corr > 0.999, (step, corr)
         cur = jnp.argmax(lg_1, -1).astype(jnp.int32)
+
+
+def test_pp_serving_decode_microbatched():
+    """Pipelined (slot-microbatched) PP decode: per-step logits match the
+    single-device engine for every slot."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from helpers import make_tiny_adapter
+    from lightcompress_tpu.quant import QuantSpec
+    from lightcompress_tpu.serving import LLMEngine, build_serving_weights
+    from lightcompress_tpu.serving.pp import PPDecoder
+
+    model = make_tiny_adapter(seed=22, vocab=128, hidden=64, inter=128,
+                              layers=4, heads=4, kv_heads=2)
+    sw = build_serving_weights(
+        model, QuantSpec(bit=8, symmetric=True, granularity="per_channel"))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    ppd = PPDecoder(sw, mesh, max_slots=4, max_len=32)
+    eng = LLMEngine(sw, max_slots=4, max_len=32, kv_bits=16,
+                    prefill_buckets=(8,))
+    active = jnp.asarray([True] * 4)
+    cur = jnp.asarray([5, 9, 17, 88], jnp.int32)
+    cache, lengths = eng.cache, eng.lengths
+    for step in range(3):
+        lg_pp = ppd.decode_microbatched(cur, active)
+        cache, lengths, lg_1 = eng._decode_jit(
+            eng.sw, cache, lengths, cur, active)
+        corr = float(jnp.corrcoef(
+            jnp.ravel(lg_pp), jnp.ravel(lg_1))[0, 1])
+        assert corr > 0.999, (step, corr)
+        cur = jnp.argmax(lg_1, -1).astype(jnp.int32)
