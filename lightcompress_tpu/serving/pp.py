@@ -86,6 +86,103 @@ class PPDecoder:
             x, NamedSharding(self.mesh, P("pp", *([None] * (x.ndim - 1)))))
 
     # ------------------------------------------------------------------
+    def prefill(self, slot: int, tokens):
+        """Prefill one prompt through the PP ring: each stage processes
+        the whole (1, T) prompt on its tick and commits its stage's KV
+        for ``slot``.  Returns last-token logits (V,)."""
+        ids = jnp.asarray([list(map(int, tokens))], jnp.int32)
+        T = ids.shape[1]
+        if not hasattr(self, "_prefill_jits"):
+            self._prefill_jits = {}
+        if T not in self._prefill_jits:
+            self._prefill_jits[T] = jax.jit(
+                self._prefill_ring, static_argnames=("T",),
+                donate_argnums=(1, 2))
+        (self.k_cache, self.v_cache, self.lengths,
+         logits) = self._prefill_jits[T](
+            self.stage_params, self.k_cache, self.v_cache, self.lengths,
+            ids, jnp.asarray(slot), T=T)
+        return logits
+
+    def _prefill_ring(self, stage_params, k_cache, v_cache, lengths, ids,
+                      slot, T: int):
+        arch = self.arch
+        x0 = self.embed[ids]  # (1, T, H)
+        if arch.family == "llama":
+            cos, sin = A.rope_cos_sin(arch, jnp.arange(T))
+        else:
+            cos = sin = None
+        Tmax = self.max_len
+        # cache empty for this slot: cache cols hidden, prompt causal
+        mask = jnp.concatenate(
+            [jnp.full((T, Tmax), jnp.finfo(jnp.float32).min),
+             A.causal_mask(T, T)], axis=1)[None, None]
+
+        class _SW:
+            pass
+
+        swf = _SW()
+        swf.arch = arch
+        swf.act_bits = 16
+
+        def ring(stage_params, kc, vc, x0, mask, cos, sin, slot):
+            sidx = jax.lax.axis_index("pp")
+
+            def stage_apply(buf, kc, vc, commit):
+                for i in range(self.per):
+                    entry = jax.tree.map(lambda l: l[0, i], stage_params)
+                    y, k_new, v_new = _block_apply(
+                        swf, entry, buf,
+                        cos, sin,
+                        jax.lax.dynamic_index_in_dim(kc[0, i], slot, 0),
+                        jax.lax.dynamic_index_in_dim(vc[0, i], slot, 0),
+                        mask)
+                    upd = jax.lax.dynamic_update_slice(
+                        kc[0, i], k_new.astype(kc.dtype),
+                        (slot, 0, 0, 0))
+                    updv = jax.lax.dynamic_update_slice(
+                        vc[0, i], v_new.astype(vc.dtype),
+                        (slot, 0, 0, 0))
+                    kc = kc.at[0, i].set(jnp.where(commit, upd, kc[0, i]))
+                    vc = vc.at[0, i].set(jnp.where(commit, updv,
+                                                   vc[0, i]))
+                    buf = y
+                return buf, kc, vc
+
+            def tick(t, carry):
+                buf, kc, vc = carry
+                buf, kc, vc = stage_apply(buf, kc, vc, commit=(t == sidx))
+                buf = jax.lax.ppermute(
+                    buf, "pp",
+                    [(i, (i + 1) % self.pp) for i in range(self.pp)])
+                return buf, kc, vc
+
+            buf, kc, vc = jax.lax.fori_loop(0, self.pp, tick, (x0, kc, vc))
+            out = jax.lax.psum(
+                jnp.where(sidx == 0, buf, jnp.zeros_like(buf)), "pp")
+            return out, kc, vc
+
+        spec_tree = jax.tree.map(lambda _: P("pp"), stage_params)
+        rep = P()
+        out, k_cache, v_cache = shard_map(
+            ring, mesh=self.mesh,
+            in_specs=(spec_tree, P("pp"), P("pp"), rep, rep, rep, rep,
+                      rep),
+            out_specs=(P(), P("pp"), P("pp")),
+            check_vma=False,
+        )(stage_params, k_cache, v_cache, x0, mask, cos, sin, slot)
+
+        xl = A.rmsnorm(out, self.norm.get("weight"), arch.rms_eps) \
+            if (arch.family == "llama" or arch.norm_type == "rmsnorm") \
+            else A.layernorm(out, self.norm.get("weight"),
+                             self.norm.get("bias"), 1e-5)
+        logits = jnp.einsum("bth,vh->btv", xl.astype(jnp.bfloat16),
+                            self.lm_head,
+                            preferred_element_type=jnp.float32)
+        lengths = lengths.at[slot].set(T)
+        return k_cache, v_cache, lengths, logits[0, -1]
+
+    # ------------------------------------------------------------------
     def _decode_step(self, stage_params, k_cache, v_cache, lengths,
                      cur_tokens, active_mask):
         arch = self.arch

@@ -108,3 +108,44 @@ def test_pp_serving_decode_microbatched():
             jnp.ravel(lg_pp), jnp.ravel(lg_1))[0, 1])
         assert corr > 0.999, (step, corr)
         cur = jnp.argmax(lg_1, -1).astype(jnp.int32)
+
+
+def test_pp_serving_prefill_and_decode():
+    """PP prefill (prompt through the ring, stage-committed KV) followed
+    by PP decode matches the single-device engine's prefill+decode."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from helpers import make_tiny_adapter
+    from lightcompress_tpu.quant import QuantSpec
+    from lightcompress_tpu.serving import LLMEngine, build_serving_weights
+    from lightcompress_tpu.serving.pp import PPDecoder
+
+    model = make_tiny_adapter(seed=23, vocab=128, hidden=64, inter=128,
+                              layers=4, heads=4, kv_heads=2)
+    sw = build_serving_weights(
+        model, QuantSpec(bit=8, symmetric=True, granularity="per_channel"))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    ppd = PPDecoder(sw, mesh, max_slots=2, max_len=32)
+    prompt = [3, 17, 9, 2, 100, 44]
+    lg_pp = ppd.prefill(0, prompt)
+
+    eng = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=16,
+                    prefill_buckets=(len(prompt),))
+    ids = np.zeros((1, len(prompt)), np.int32)
+    ids[0] = prompt
+    cache, lengths, lg_1 = eng._prefill_jit(
+        eng.sw, eng.cache, eng.lengths, jnp.asarray(ids), jnp.asarray(0),
+        jnp.asarray(len(prompt)), T=len(prompt))
+    corr = float(jnp.corrcoef(lg_pp, lg_1)[0, 1])
+    assert corr > 0.999, corr
+    # continue decoding on both paths
+    cur = jnp.asarray([int(jnp.argmax(lg_1)), 0], jnp.int32)
+    active = jnp.asarray([True, False])
+    for step in range(2):
+        lg_pp = ppd.decode(cur, active)
+        cache, lengths, lg_d = eng._decode_jit(
+            eng.sw, cache, lengths, cur, active)
+        corr = float(jnp.corrcoef(lg_pp[0], lg_d[0])[0, 1])
+        assert corr > 0.999, (step, corr)
+        cur = cur.at[0].set(int(jnp.argmax(lg_d[0])))
