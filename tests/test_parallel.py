@@ -149,3 +149,47 @@ def test_pp_serving_prefill_and_decode():
         corr = float(jnp.corrcoef(lg_pp[0], lg_d[0])[0, 1])
         assert corr > 0.999, (step, corr)
         cur = cur.at[0].set(int(jnp.argmax(lg_d[0])))
+
+
+def test_sp_serving_prefill_matches_engine():
+    """Sequence-parallel serving prefill writes the same cache state and
+    logits as the engine's single-device prefill."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from helpers import make_tiny_adapter
+    from lightcompress_tpu.parallel.sequence import sp_serving_prefill
+    from lightcompress_tpu.quant import QuantSpec
+    from lightcompress_tpu.serving import LLMEngine, build_serving_weights
+
+    model = make_tiny_adapter(seed=24, vocab=128, hidden=64, inter=128,
+                              layers=2, heads=4, kv_heads=2)
+    sw = build_serving_weights(
+        model, QuantSpec(bit=8, symmetric=True, granularity="per_channel"))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    prompt = [3, 17, 9, 2, 100, 44, 7, 8]
+    ids = np.asarray([prompt], np.int32)
+
+    e1 = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                   prefill_buckets=(8,))
+    cache, lengths, ref = e1._prefill_jit(
+        e1.sw, e1.cache, e1.lengths, jnp.asarray(ids), jnp.asarray(0),
+        jnp.asarray(len(prompt)), T=8)
+
+    e2 = LLMEngine(sw, max_slots=2, max_len=32, kv_bits=8,
+                   prefill_buckets=(8,))
+    got = sp_serving_prefill(mesh, e2, ids, 0, len(prompt))
+    corr = float(jnp.corrcoef(got, ref)[0, 1])
+    assert corr > 0.999, corr
+    np.testing.assert_array_equal(np.asarray(e2.lengths),
+                                  np.asarray(lengths))
+    # cache contents match up to sharded-reduction rounding (float
+    # accumulation order differs across the sp shards, so a small
+    # fraction of int8 codes land one step away)
+    from lightcompress_tpu.serving.kv_cache import read_kv
+
+    k1, v1 = read_kv(cache, 0)
+    k2, v2 = read_kv(e2.cache, 0)
+    np.testing.assert_allclose(np.asarray(k2, np.float32),
+                               np.asarray(k1, np.float32),
+                               atol=0.05, rtol=0.1)
