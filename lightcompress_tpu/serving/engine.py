@@ -346,6 +346,28 @@ def _block_apply_decode_i8(
         ctx = bd_merge_new_token(
             qg, qctx, kq[:, :, 0, :], vq[:, :, 0, :],
             ks[:, :, 0], vs[:, :, 0], hd ** -0.5)
+    elif impl == "xla8":
+        # bench-style int8-concat attention: concat the QUANTIZED cache
+        # with the quantized fresh token and let XLA fuse the dequant
+        # into the einsum reads.  The old xla path dequantized the whole
+        # cache first (read_kv) and concatenated in bf16 — XLA
+        # materialized that copy every layer (engine probe r3: 32.7 vs
+        # ~12 ms/step at 32 slots x 1024 ctx)
+        kc = jnp.concatenate([cache.k[li], kq], axis=2)
+        vc = jnp.concatenate([cache.v[li], vq], axis=2)
+        ksc = jnp.concatenate([cache.k_scale[li], ks], axis=2)
+        vsc = jnp.concatenate([cache.v_scale[li], vs], axis=2)
+        sc = jnp.einsum("skgd,sktd->skgt", qg.astype(jnp.bfloat16),
+                        kc.astype(jnp.bfloat16))
+        sc = sc * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
+        Tc = kc.shape[2]
+        col = jnp.arange(Tc)[None, None, None, :]
+        vis = (col < lengths[:, None, None, None]) | (col == Tc - 1)
+        sc = jnp.where(vis, sc.astype(jnp.float32), -jnp.inf)
+        probs = jax.nn.softmax(sc, axis=-1)
+        pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        ctx = jnp.einsum("skgt,sktd->skgd", pv, vc.astype(jnp.bfloat16))
     else:
         ctx = decode_attention_i8(
             qg, cache.k[li], cache.k_scale[li], cache.v[li],
@@ -602,6 +624,17 @@ class LLMEngine:
             # understand — both route through the XLA block path
             attn_impl = "xla"
         self.attn_impl = attn_impl
+        # dense int8-KV engines route 'xla' decode through the
+        # quantized-concat attention (impl='xla8'): XLA fuses the int8
+        # dequant into the einsum reads; the read_kv-then-bf16-concat
+        # path materialized the whole cache per layer (engine probe r3)
+        # spec-decode engines stay on the read_kv path: the verify step
+        # and the decode step must be numerics-IDENTICAL for lossless
+        # greedy acceptance, and _spec_verify processes bf16 chunk KV
+        self._use_xla8 = (
+            attn_impl == "xla" and not paged and mesh is None
+            and weights.arch.mla is None and weights.arch.moe is None
+            and sparse_kv is None and spec_decode is None)
         self.mesh = mesh
         if mesh is not None:
             from .sharding import shard_serving_weights
@@ -1107,11 +1140,15 @@ class LLMEngine:
                     sw, entry, x, cos, sin, cache, li, lengths)
                 cache = append_mla(cache, li, c_n, r_n, lengths)
                 continue
+            use_xla8 = (self._use_xla8 and cache.bits == 8
+                        and cache.layout == "hhd")
             if (self.attn_impl.startswith("pallas")
-                    or self.attn_impl.startswith("bd")) and not self.paged \
+                    or self.attn_impl.startswith("bd") or use_xla8) \
+                    and not self.paged \
                     and (cache.bits == 8 or cache.layout == "bd4"):
                 base = self.attn_impl.replace("_interpret", "")
-                impl = base if base.startswith("bd") else "i8"
+                impl = ("xla8" if use_xla8
+                        else base if base.startswith("bd") else "i8")
                 x, kq, ksn, vq, vsn = _block_apply_decode_i8(
                     sw, entry, x, cos, sin, cache, li, lengths,
                     interpret=self.attn_impl.endswith("interpret"),
