@@ -1187,7 +1187,10 @@ class LLMEngine:
                     interpret=self.attn_impl.endswith("interpret"),
                     impl=impl,
                 )
-                if impl == "bd4":
+                import os as _os
+                if _os.environ.get("LCTPU_ABLATE_APPEND") == "1":
+                    pass  # probe-only: isolate the dus-append cost
+                elif impl == "bd4":
                     from .kv_cache import append_kv4_bd
 
                     cache = append_kv4_bd(cache, li, kq, ksn, vq, vsn,
@@ -1218,8 +1221,15 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
+        import os as _os
+        head = sw.lm_head
+        if _os.environ.get("LCTPU_ABLATE_HEAD") == "1":
+            # probe-only ablation: 256-row head isolates the lm_head
+            # read's contribution to the engine step (tools/
+            # engine_step_probe.py; never set in production)
+            head = sw.lm_head[:256]
         logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
+            "bth,vh->btv", xl.astype(jnp.bfloat16), head,
             preferred_element_type=jnp.float32,
         )[:, 0]
         lengths = jnp.where(active_mask, lengths + 1, lengths)
