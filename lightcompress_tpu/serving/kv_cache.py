@@ -456,8 +456,36 @@ def append_kv_quantized(
     attention path quantizes the fresh token once and reuses the codes for
     both the in-register attention column and the cache write).
 
-    kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype."""
+    kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype.
+
+    LCTPU_APPEND_LOOP=1 (experimental, r3 ablation follow-up): write via
+    a per-slot python loop of dus on the FULL stacked buffer instead of
+    ``.at[layer].set(vmap(dus))`` — the vmapped form measured 9.8 ms/step
+    of copy traffic at 32 slots x 1024 ctx (engine_ablate_append probe),
+    the same aliasing-failure class the dusl bench isolated."""
     assert cache.bits == 8
+    import os
+
+    if os.environ.get("LCTPU_APPEND_LOOP") == "1" \
+            and cache.layout == "hhd":
+        S = kq.shape[0]
+        k, v, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
+        for s in range(S):
+            pos = lengths[s]
+            k = jax.lax.dynamic_update_slice(
+                k, kq[s][None, None].astype(k.dtype),
+                (layer, s, 0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                v, vq[s][None, None].astype(v.dtype),
+                (layer, s, 0, pos, 0))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks[s][None, None].astype(ksc.dtype),
+                (layer, s, 0, pos))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs[s][None, None].astype(vsc.dtype),
+                (layer, s, 0, pos))
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ksc,
+                                   v_scale=vsc)
     if cache.layout == "bd":
         assert kq.shape[2] == 1, "bd decode appends one token per slot"
         S, H, _, D = kq.shape
