@@ -458,15 +458,17 @@ def append_kv_quantized(
 
     kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype.
 
-    LCTPU_APPEND_LOOP=1 (experimental, r3 ablation follow-up): write via
-    a per-slot python loop of dus on the FULL stacked buffer instead of
-    ``.at[layer].set(vmap(dus))`` — the vmapped form measured 9.8 ms/step
-    of copy traffic at 32 slots x 1024 ctx (engine_ablate_append probe),
-    the same aliasing-failure class the dusl bench isolated."""
+    hhd appends run as a per-slot loop of dus on the FULL stacked buffer
+    instead of ``.at[layer].set(vmap(dus))``: the vmapped form measured
+    9.8 ms/step of copy traffic at 32 slots x 1024 ctx
+    (engine_ablate_append probe) while the loop aliases in place —
+    engine step 27.3 -> 17.0 ms (+61% decode throughput,
+    engine_append_loop probe).  LCTPU_APPEND_LOOP=0 restores the old
+    form for comparison."""
     assert cache.bits == 8
     import os
 
-    if os.environ.get("LCTPU_APPEND_LOOP") == "1" \
+    if os.environ.get("LCTPU_APPEND_LOOP", "1") != "0" \
             and cache.layout == "hhd":
         S = kq.shape[0]
         k, v, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
