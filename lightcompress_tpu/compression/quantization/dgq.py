@@ -1,17 +1,33 @@
-"""DGQ — dual-grain quantization (llmc dgq.py:15-296).
+"""DGQ — dual-grain quantization (llmc dgq.py:15-296), EXACT search.
 
 SmoothQuant-style activation-scale migration into ln->fcs subsets plus the
 up->down outlier smoothing (dgq.py ``smooth_llama_mlp``), then INT4-in-INT8
 double quantization: symmetric per-channel INT8 outer scales with asymmetric
 per-group INT4 inner codes (Weight48 layout, quant.py:1232-1369).
 
-The inner-grain search here uses the analytic minmax W48 path
-(quant.fake_quant_weight_w48) rather than the reference's per-layer grid
-search — grid refinement is a planned follow-up.
+Per-layer grid refinement (reference dgq.py:133-262):
+
+- Stage 1 (grid=20 clamp ratios, CUMULATIVE clamping): per group, search
+  asym per-row int4 qparams minimizing the calibration output MSE
+  ``|X_g W_g^T - X_g(fq) fq(W_g)^T|^2`` per out-channel.
+- Stage 2 (grid=80): search the symmetric per-channel int8 outer scale;
+  the int4 scales snap to INTEGER multiples of it
+  (``round(s4 / s8).clamp(min=1)``) so dequant is exact int4-in-int8.
+- Deploy: fake-quant with the searched (integer multiplier, zero, s8)
+  triple; int4 codes are range-clipped to ``zeros ± round(127/mult)`` so
+  the int8 product can't overflow (reference w_qdq, dgq.py:20-38).
+
+TPU design: both grid loops are ``lax.fori_loop``s over static-shaped
+batched quantizations (the reference loops per group in Python); groups
+ride a ``lax.scan``.  Layers without captured calibration input fall back
+to the analytic minmax W48 path (quant.fake_quant_weight_w48).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,6 +35,116 @@ from ...models.base import Subset, resolve
 from ...quant import fake_quant_weight_w48, spec_from_config
 from ...registry import ALGO_REGISTRY
 from .base import BaseBlockwiseQuantization
+
+Array = jax.Array
+
+
+def _aq_sym(x: Array, qmin: float, qmax: float) -> Array:
+    """Per-token symmetric int fake-quant (reference a_qdq semantics)."""
+    s = jnp.clip(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-5,
+                 None) / qmax
+    return jnp.clip(jnp.round(x / s), qmin, qmax) * s
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "w_only"))
+def dgq_search_scale_zero(W: Array, X: Array, gs: int, w_only: bool = True):
+    """Reference search_scale_zero_layer (dgq.py:133-262) on one layer.
+
+    W: (O, IN) float; X: (L, IN) calibration rows (first batch, like the
+    reference's ``input_feat[input_name][0]``).  Returns (scales (O, n_g)
+    INTEGER multipliers, zeros (O, n_g), scale8 (O,))."""
+    O, IN = W.shape
+    n_g = IN // gs
+    W = W.astype(jnp.float32)
+    X = X.astype(jnp.float32)
+
+    # ---- stage 1: per-group int4 qparams over 20 cumulative clamp ratios
+    Wg_all = W.reshape(O, n_g, gs).transpose(1, 0, 2)   # (n_g, O, gs)
+    Xg_all = X.reshape(-1, n_g, gs).transpose(1, 0, 2)  # (n_g, L, gs)
+
+    def group_search(_, gx):
+        Wg, Xg = gx  # (O, gs), (L, gs)
+        org = Xg @ Wg.T  # (L, O)
+        w_max = jnp.max(Wg, axis=-1, keepdims=True)
+        w_min = jnp.min(Wg, axis=-1, keepdims=True)
+        Xq = _aq_sym(Xg, -128.0, 127.0) if not w_only else Xg
+
+        def body(i, st):
+            Wc, best_loss, bs, bz = st
+            ratio = 1.02 - (i + 1.0) / 20.0 * 0.22
+            Wc = jnp.clip(Wc, w_min * ratio, w_max * ratio)
+            mx = jnp.max(Wc, axis=-1, keepdims=True)
+            mn = jnp.min(Wc, axis=-1, keepdims=True)
+            s = jnp.clip(mx - mn, 1e-5, None) / 15.0
+            z = jnp.clip(-jnp.round(mn / s), 0.0, 15.0)
+            q = jnp.clip(jnp.round(Wc / s) + z, 0.0, 15.0)
+            dq = (q - z) * s
+            out = Xq @ dq.T
+            loss = jnp.mean((org - out) ** 2, axis=0)  # (O,)
+            better = loss < best_loss
+            return (Wc, jnp.where(better, loss, best_loss),
+                    jnp.where(better[:, None], s, bs),
+                    jnp.where(better[:, None], z, bz))
+
+        _, _, bs, bz = jax.lax.fori_loop(
+            0, 20, body,
+            (Wg, jnp.full((O,), jnp.inf),
+             jnp.ones((O, 1)), jnp.ones((O, 1))))
+        return None, (bs[:, 0], bz[:, 0])
+
+    _, (best_s, best_z) = jax.lax.scan(group_search, None,
+                                       (Wg_all, Xg_all))
+    best_scales = best_s.T  # (O, n_g)
+    best_zeros = best_z.T
+
+    # ---- stage 2: int8 outer scale over 80 clamp ratios
+    org_full = X @ W.T  # (L, O)
+    Xq_full = _aq_sym(X, -128.0, 127.0) if not w_only else X
+    w_amax = jnp.max(jnp.abs(W), axis=-1, keepdims=True)  # (O, 1)
+    Wg = W.reshape(O, n_g, gs)
+
+    def body8(i, st):
+        best_loss, best_s8 = st
+        ratio = 1.02 - (i + 1.0) / 80.0 * 0.82
+        s8 = jnp.clip(w_amax * ratio, 1e-5, None) / 127.0  # (O, 1)
+        mult = jnp.clip(jnp.round(best_scales / s8), 1.0, None)  # (O, n_g)
+        # (reference dgq.py:237-239 computes the range clip from
+        # 127/s8 — hugely loose, so upper/lower are inactive during the
+        # search; replicated as written)
+        int_max = jnp.round(127.0 / s8)
+        upper = jnp.minimum(best_zeros + int_max, 15.0)[:, :, None]
+        lower = jnp.maximum(best_zeros - int_max, 0.0)[:, :, None]
+        s4 = (mult * s8)[:, :, None]
+        z = best_zeros[:, :, None]
+        q = jnp.clip(jnp.round(Wg / s4) + z, lower, upper)
+        dq = ((q - z) * s4).reshape(O, IN)
+        out = Xq_full @ dq.T
+        loss = jnp.mean((org_full - out) ** 2, axis=0)  # (O,)
+        better = loss < best_loss
+        return (jnp.where(better, loss, best_loss),
+                jnp.where(better[:, None], s8, best_s8))
+
+    _, best_s8 = jax.lax.fori_loop(
+        0, 80, body8, (jnp.full((O,), jnp.inf), jnp.zeros((O, 1))))
+    scales = jnp.clip(jnp.round(best_scales / best_s8), 1.0, None)
+    return scales, best_zeros, best_s8[:, 0]
+
+
+def dgq_fake_quant(w: Array, scales: Array, zeros: Array,
+                   scale8: Array) -> Array:
+    """Static W48 fake-quant from searched buffers (reference w_qdq,
+    dgq.py:20-38): int4 codes range-clipped so (q - z) * mult fits int8."""
+    O, IN = w.shape
+    n_g = scales.shape[1]
+    gs = IN // n_g
+    s4 = (scales * scale8[:, None])[:, :, None]
+    int_max = jnp.round(127.0 / scales)
+    upper = jnp.minimum(zeros + int_max, 15.0)[:, :, None]
+    lower = jnp.maximum(zeros - int_max, 0.0)[:, :, None]
+    z = zeros[:, :, None]
+    wg = w.astype(jnp.float32).reshape(O, n_g, gs)
+    q = jnp.clip(jnp.round(wg / s4) + z, lower, upper)
+    return ((q - z) * s4).reshape(O, IN).astype(w.dtype)
 
 
 @ALGO_REGISTRY

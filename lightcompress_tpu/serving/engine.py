@@ -346,6 +346,33 @@ def _block_apply_decode_i8(
         ctx = bd_merge_new_token(
             qg, qctx, kq[:, :, 0, :], vq[:, :, 0, :],
             ks[:, :, 0], vs[:, :, 0], hd ** -0.5)
+    elif impl == "xla8a":
+        # APPEND-FIRST masked attention: write the quantized fresh token
+        # into the cache (per-slot-loop dus — aliases in place), then run
+        # ONE masked einsum over the full T_max buffer.  No concat at all:
+        # on the dus-carried engine cache the xla8 concat MATERIALIZES a
+        # copy of the whole cache every layer (loop-variant operands defeat
+        # XLA's concat fusion — the bench's win doesn't transfer), and the
+        # two-term read-only form (xla8nc) measured catastrophic (92 ms).
+        # Reading T_max instead of len+1 costs only the buffer headroom
+        # (~8% more bytes at 1024-in-1104) vs a full cache copy.
+        # Numerics are identical to xla8: same int8 codes, same scales.
+        from .kv_cache import append_kv_quantized
+
+        cache = append_kv_quantized(cache, li, kq, ks, vq, vs, lengths)
+        kc, vc = cache.k[li], cache.v[li]
+        ksc, vsc = cache.k_scale[li], cache.v_scale[li]
+        sc = jnp.einsum("skgd,sktd->skgt", qg.astype(jnp.bfloat16),
+                        kc.astype(jnp.bfloat16))
+        sc = sc * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
+        col = jnp.arange(kc.shape[2])[None, None, None, :]
+        vis = col <= lengths[:, None, None, None]  # fresh token at len
+        sc = jnp.where(vis, sc.astype(jnp.float32), -jnp.inf)
+        probs = jax.nn.softmax(sc, axis=-1)
+        pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
+              ).astype(jnp.bfloat16)
+        ctx = jnp.einsum("skgt,sktd->skgd", pv, vc.astype(jnp.bfloat16))
+        payload = (cache,)
     elif impl == "xla8":
         # bench-style int8-concat attention: concat the QUANTIZED cache
         # with the quantized fresh token and let XLA fuse the dequant
@@ -1171,17 +1198,25 @@ class LLMEngine:
                 continue
             use_xla8 = (self._use_xla8 and cache.bits == 8
                         and cache.layout == "hhd")
+            use_xla8a = (self.attn_impl == "xla8a"
+                         and cache.bits == 8 and cache.layout == "hhd")
             use_xlanc = (self.attn_impl.startswith("xlanc")
                          and cache.bits == 8 and cache.layout == "hhd")
             if (self.attn_impl.startswith("pallas")
                     or self.attn_impl.startswith("bd")
-                    or use_xla8 or use_xlanc) \
+                    or use_xla8 or use_xla8a or use_xlanc) \
                     and not self.paged \
                     and (cache.bits == 8 or cache.layout == "bd4"):
                 base = self.attn_impl.replace("_interpret", "")
-                impl = ("xla8nc" if use_xlanc
+                impl = ("xla8a" if use_xla8a
+                        else "xla8nc" if use_xlanc
                         else "xla8" if use_xla8
                         else base if base.startswith("bd") else "i8")
+                if impl == "xla8a":
+                    x, cache = _block_apply_decode_i8(
+                        sw, entry, x, cos, sin, cache, li, lengths,
+                        impl=impl)
+                    continue
                 x, kq, ksn, vq, vsn = _block_apply_decode_i8(
                     sw, entry, x, cos, sin, cache, li, lengths,
                     interpret=self.attn_impl.endswith("interpret"),

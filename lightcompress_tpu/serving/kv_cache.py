@@ -116,6 +116,32 @@ class KVCache:
         )
 
 
+def _append_loop() -> bool:
+    import os
+
+    return os.environ.get("LCTPU_APPEND_LOOP", "1") != "0"
+
+
+def _dus_slots(buf: Array, new: Array, layer: int, lengths: Array,
+               pos_axis: int) -> Array:
+    """Per-slot loop of dynamic_update_slice on the FULL stacked buffer.
+
+    buf: (L, S, *rest); new: (S, *upd) with ``upd`` rank == ``rest`` rank;
+    ``pos_axis`` indexes into ``rest`` at the dimension offset by the
+    slot's current length.  The loop form aliases the carried buffer in
+    place, while ``.at[layer].set(vmap(dus))`` on stacked (L, S, ...)
+    buffers measured 9.8 ms/step of copy traffic at 32 slots x 1024 ctx
+    (engine_ablate_append probe, REPORT r3) — the fix was worth +61%
+    engine decode.  LCTPU_APPEND_LOOP=0 restores the vmapped form."""
+    S = new.shape[0]
+    for s in range(S):
+        starts = [layer, s] + [0] * (buf.ndim - 2)
+        starts[2 + pos_axis] = lengths[s]
+        buf = jax.lax.dynamic_update_slice(
+            buf, new[s][None, None].astype(buf.dtype), tuple(starts))
+    return buf
+
+
 def quantize_kv(x: Array, scale_dtype=jnp.bfloat16):
     """Per-(...,token) int8 over head_dim: x (..., T, D).
 
@@ -171,7 +197,11 @@ def append_kv(
 ) -> KVCache:
     """Append per-slot new K/V at each slot's position.
 
-    k_new/v_new: (S, H, T_new, D); lengths: (S,) current lengths."""
+    k_new/v_new: (S, H, T_new, D); lengths: (S,) current lengths.
+
+    All bit-widths run the per-slot-loop dus on the full stacked buffer
+    (_dus_slots — aliases in place); LCTPU_APPEND_LOOP=0 restores the
+    vmapped ``.at[layer].set`` form that measured 9.8 ms/step of copies."""
 
     def upd_slot(buf_s, new_s, pos):
         return jax.lax.dynamic_update_slice(
@@ -184,40 +214,32 @@ def append_kv(
     if cache.bits == 4:
         kq, ks = quantize_kv4(k_new)
         vq, vs = quantize_kv4(v_new)
-        k = cache.k.at[layer].set(
-            jax.vmap(upd_slot)(cache.k[layer], kq, lengths))
-        v = cache.v.at[layer].set(
-            jax.vmap(upd_slot)(cache.v[layer], vq, lengths))
-        k_scale = cache.k_scale.at[layer].set(
-            jax.vmap(upd_scale_slot)(cache.k_scale[layer], ks, lengths))
-        v_scale = cache.v_scale.at[layer].set(
-            jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths))
-        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
-                                   v_scale=v_scale)
-    if cache.bits == 8:
+    elif cache.bits == 8:
         kq, ks = quantize_kv(k_new)
         vq, vs = quantize_kv(v_new)
-        k = cache.k.at[layer].set(
-            jax.vmap(upd_slot)(cache.k[layer], kq, lengths)
-        )
-        v = cache.v.at[layer].set(
-            jax.vmap(upd_slot)(cache.v[layer], vq, lengths)
-        )
-        k_scale = cache.k_scale.at[layer].set(
-            jax.vmap(upd_scale_slot)(cache.k_scale[layer], ks, lengths)
-        )
-        v_scale = cache.v_scale.at[layer].set(
-            jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths)
-        )
+    else:
+        kq, vq, ks, vs = k_new, v_new, None, None
+    if _append_loop():
+        k = _dus_slots(cache.k, kq, layer, lengths, pos_axis=1)
+        v = _dus_slots(cache.v, vq, layer, lengths, pos_axis=1)
+        if ks is None:
+            return dataclasses.replace(cache, k=k, v=v)
+        k_scale = _dus_slots(cache.k_scale, ks, layer, lengths, pos_axis=1)
+        v_scale = _dus_slots(cache.v_scale, vs, layer, lengths, pos_axis=1)
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
     k = cache.k.at[layer].set(
-        jax.vmap(upd_slot)(cache.k[layer], k_new, lengths)
-    )
+        jax.vmap(upd_slot)(cache.k[layer], kq, lengths))
     v = cache.v.at[layer].set(
-        jax.vmap(upd_slot)(cache.v[layer], v_new, lengths)
-    )
-    return dataclasses.replace(cache, k=k, v=v)
+        jax.vmap(upd_slot)(cache.v[layer], vq, lengths))
+    if ks is None:
+        return dataclasses.replace(cache, k=k, v=v)
+    k_scale = cache.k_scale.at[layer].set(
+        jax.vmap(upd_scale_slot)(cache.k_scale[layer], ks, lengths))
+    v_scale = cache.v_scale.at[layer].set(
+        jax.vmap(upd_scale_slot)(cache.v_scale[layer], vs, lengths))
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
 
 
 def append_mla(cache: KVCache, layer: int, c_new: Array, r_new: Array,
@@ -237,17 +259,27 @@ def append_mla(cache: KVCache, layer: int, c_new: Array, r_new: Array,
     if cache.bits == 8:
         cq, cs = quantize_kv(c_new)   # per-token over the latent dim
         rq, rs = quantize_kv(r_new)
-        k = cache.k.at[layer].set(jax.vmap(upd)(cache.k[layer], cq, lengths))
-        v = cache.v.at[layer].set(jax.vmap(upd)(cache.v[layer], rq, lengths))
-        k_scale = cache.k_scale.at[layer].set(
-            jax.vmap(upd_scale)(cache.k_scale[layer], cs, lengths))
-        v_scale = cache.v_scale.at[layer].set(
-            jax.vmap(upd_scale)(cache.v_scale[layer], rs, lengths))
+    else:
+        cq, rq, cs, rs = c_new, r_new, None, None
+    if _append_loop():
+        k = _dus_slots(cache.k, cq, layer, lengths, pos_axis=0)
+        v = _dus_slots(cache.v, rq, layer, lengths, pos_axis=0)
+        if cs is None:
+            return dataclasses.replace(cache, k=k, v=v)
+        k_scale = _dus_slots(cache.k_scale, cs, layer, lengths, pos_axis=0)
+        v_scale = _dus_slots(cache.v_scale, rs, layer, lengths, pos_axis=0)
         return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                    v_scale=v_scale)
-    k = cache.k.at[layer].set(jax.vmap(upd)(cache.k[layer], c_new, lengths))
-    v = cache.v.at[layer].set(jax.vmap(upd)(cache.v[layer], r_new, lengths))
-    return dataclasses.replace(cache, k=k, v=v)
+    k = cache.k.at[layer].set(jax.vmap(upd)(cache.k[layer], cq, lengths))
+    v = cache.v.at[layer].set(jax.vmap(upd)(cache.v[layer], rq, lengths))
+    if cs is None:
+        return dataclasses.replace(cache, k=k, v=v)
+    k_scale = cache.k_scale.at[layer].set(
+        jax.vmap(upd_scale)(cache.k_scale[layer], cs, lengths))
+    v_scale = cache.v_scale.at[layer].set(
+        jax.vmap(upd_scale)(cache.v_scale[layer], rs, lengths))
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
 
 
 def read_mla(cache: KVCache, layer: int) -> Tuple[Array, Array]:
@@ -425,6 +457,15 @@ def append_kv4_bd(cache: KVCache, layer: int, k4: Array, ks: Array,
 
     k4/v4: (S, H, 1, D/2) int8 (quantize_kv4 codes); ks/vs: (S, H, 1)."""
     S, H, _, D2 = k4.shape
+    if _append_loop():
+        k = _dus_slots(cache.k, k4.reshape(S, H * D2, 1), layer, lengths,
+                       pos_axis=1)
+        v = _dus_slots(cache.v, v4.reshape(S, 1, H * D2), layer, lengths,
+                       pos_axis=0)
+        k_scale = _dus_slots(cache.k_scale, ks, layer, lengths, pos_axis=1)
+        v_scale = _dus_slots(cache.v_scale, vs, layer, lengths, pos_axis=1)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                   v_scale=v_scale)
 
     def upd_k(buf_s, new_s, pos):  # (H*D2, T) <- (H, 1, D2)
         return jax.lax.dynamic_update_slice(
@@ -458,39 +499,35 @@ def append_kv_quantized(
 
     kq/vq: (S, H, T_new, D) int8; ks/vs: (S, H, T_new) scale dtype.
 
-    hhd appends run as a per-slot loop of dus on the FULL stacked buffer
-    instead of ``.at[layer].set(vmap(dus))``: the vmapped form measured
-    9.8 ms/step of copy traffic at 32 slots x 1024 ctx
-    (engine_ablate_append probe) while the loop aliases in place —
-    engine step 27.3 -> 17.0 ms (+61% decode throughput,
+    Every layout appends via the per-slot loop of dus on the FULL
+    stacked buffer (_dus_slots) instead of ``.at[layer].set(vmap(dus))``:
+    the vmapped form measured 9.8 ms/step of copy traffic at 32 slots x
+    1024 ctx (engine_ablate_append probe) while the loop aliases in
+    place — engine step 27.3 -> 17.0 ms (+61% decode throughput,
     engine_append_loop probe).  LCTPU_APPEND_LOOP=0 restores the old
     form for comparison."""
     assert cache.bits == 8
-    import os
-
-    if os.environ.get("LCTPU_APPEND_LOOP", "1") != "0" \
-            and cache.layout == "hhd":
-        S = kq.shape[0]
-        k, v, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
-        for s in range(S):
-            pos = lengths[s]
-            k = jax.lax.dynamic_update_slice(
-                k, kq[s][None, None].astype(k.dtype),
-                (layer, s, 0, pos, 0))
-            v = jax.lax.dynamic_update_slice(
-                v, vq[s][None, None].astype(v.dtype),
-                (layer, s, 0, pos, 0))
-            ksc = jax.lax.dynamic_update_slice(
-                ksc, ks[s][None, None].astype(ksc.dtype),
-                (layer, s, 0, pos))
-            vsc = jax.lax.dynamic_update_slice(
-                vsc, vs[s][None, None].astype(vsc.dtype),
-                (layer, s, 0, pos))
+    if _append_loop() and cache.layout == "hhd":
+        k = _dus_slots(cache.k, kq, layer, lengths, pos_axis=1)
+        v = _dus_slots(cache.v, vq, layer, lengths, pos_axis=1)
+        ksc = _dus_slots(cache.k_scale, ks, layer, lengths, pos_axis=1)
+        vsc = _dus_slots(cache.v_scale, vs, layer, lengths, pos_axis=1)
         return dataclasses.replace(cache, k=k, v=v, k_scale=ksc,
                                    v_scale=vsc)
     if cache.layout == "bd":
         assert kq.shape[2] == 1, "bd decode appends one token per slot"
         S, H, _, D = kq.shape
+        if _append_loop():
+            k = _dus_slots(cache.k, kq.reshape(S, H * D, 1), layer,
+                           lengths, pos_axis=1)
+            v = _dus_slots(cache.v, vq.reshape(S, 1, H * D), layer,
+                           lengths, pos_axis=0)
+            k_scale = _dus_slots(cache.k_scale, ks.reshape(S, H, 1),
+                                 layer, lengths, pos_axis=1)
+            v_scale = _dus_slots(cache.v_scale, vs.reshape(S, H, 1),
+                                 layer, lengths, pos_axis=1)
+            return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                                       v_scale=v_scale)
 
         def upd_k(buf_s, new_s, pos):  # (H*D, T) <- (H, 1, D)
             return jax.lax.dynamic_update_slice(

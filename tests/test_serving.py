@@ -689,3 +689,64 @@ def test_engine_xlanc_readonly_attention(tiny_setup):
     g2 = ref.generate(p, sp)
     agree = sum(a == b for o1, o2 in zip(g1, g2) for a, b in zip(o1, o2))
     assert agree >= 12, (g1, g2)
+
+
+def test_engine_xla8a_appendfirst_attention(tiny_setup):
+    """Append-first masked full-buffer decode attention
+    (attn_impl='xla8a'): numerics are IDENTICAL to the default xla8
+    quantized-concat path (same int8 codes + scales, the fresh token is
+    read back from the cache instead of a concat), so greedy output must
+    match the default engine exactly."""
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,), attn_impl="xla8a")
+    ref = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,))
+    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0)
+    assert eng.generate(p, sp) == ref.generate(p, sp)
+
+
+def test_append_loop_matches_vmapped(monkeypatch):
+    """The per-slot-loop dus appends (LCTPU_APPEND_LOOP=1, default) are
+    bit-identical to the vmapped .at[layer].set form for EVERY cache
+    layout: hhd int4/int8/bf16, bd, bd4, and MLA."""
+    from lightcompress_tpu.serving import kv_cache as KC
+
+    rng = np.random.RandomState(0)
+    S, H, D, T = 3, 2, 8, 16
+    lengths = jnp.asarray([0, 5, 9], jnp.int32)
+    k_new = jnp.asarray(rng.randn(S, H, 1, D), jnp.float32)
+    v_new = jnp.asarray(rng.randn(S, H, 1, D), jnp.float32)
+
+    def both(fn):
+        monkeypatch.setenv("LCTPU_APPEND_LOOP", "1")
+        a = fn()
+        monkeypatch.setenv("LCTPU_APPEND_LOOP", "0")
+        b = fn()
+        monkeypatch.delenv("LCTPU_APPEND_LOOP")
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    for bits in (4, 8, 16):
+        c = KC.KVCache.create(2, S, H, T, D, bits=bits)
+        both(lambda c=c: KC.append_kv(c, 1, k_new, v_new, lengths))
+    # pre-quantized hhd + bd layouts
+    kq, ks = KC.quantize_kv(k_new)
+    vq, vs = KC.quantize_kv(v_new)
+    c = KC.KVCache.create(2, S, H, T, D, bits=8)
+    both(lambda: KC.append_kv_quantized(c, 1, kq, ks, vq, vs, lengths))
+    cbd = KC.KVCache.create(2, S, H, T, D, bits=8, layout="bd")
+    both(lambda: KC.append_kv_quantized(cbd, 1, kq, ks, vq, vs, lengths))
+    # bd4 nibble slabs
+    k4, k4s = KC.quantize_kv4(k_new)
+    v4, v4s = KC.quantize_kv4(v_new)
+    cbd4 = KC.KVCache.create(2, S, H, T, D, bits=4, layout="bd4")
+    both(lambda: KC.append_kv4_bd(cbd4, 1, k4, k4s, v4, v4s, lengths))
+    # MLA latent cache
+    c_new = jnp.asarray(rng.randn(S, 1, 12), jnp.float32)
+    r_new = jnp.asarray(rng.randn(S, 1, 4), jnp.float32)
+    for bits in (8, 16):
+        cm = KC.KVCache.create_mla(2, S, T, 12, 4, bits=bits)
+        both(lambda cm=cm: KC.append_mla(cm, 1, c_new, r_new, lengths))

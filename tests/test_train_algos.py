@@ -107,10 +107,14 @@ def test_tesseraq_rounding():
 
 
 def test_spqr_outliers():
+    """Exact reference criterion (relative_threshold config surface,
+    spqr_w_only.yml): outliers exist but stay sparse, PPL finite."""
     model = make_tiny_adapter(seed=74)
     cfg = DotDict({
         "method": "SpQR", "weight": dict(W3G16),
-        "special": {"blocksize": 16, "outlier_ratio": 0.02},
+        "special": {"blocksize": 16, "relative_threshold": 0.2,
+                    "percdamp": 1.0, "actorder": True,
+                    "simplified_outliers": False},
         "quant_out": True,
     })
     algo = ALGO_REGISTRY["SpQR"](model, cfg, _calib(model), None, DotDict({}))
@@ -118,7 +122,7 @@ def test_spqr_outliers():
     st = algo.layer_state[0]["attn.q"]
     mask = np.asarray(st["outlier_mask"])
     frac = mask.mean()
-    assert 0.005 < frac < 0.1
+    assert 0.0 < frac < 0.2, frac
     algo.deploy("fake_quant")
     assert np.isfinite(_ppl(model))
 
