@@ -106,7 +106,12 @@ def dgq_search_scale_zero(W: Array, X: Array, gs: int, w_only: bool = True):
     def body8(i, st):
         best_loss, best_s8 = st
         ratio = 1.02 - (i + 1.0) / 80.0 * 0.82
-        s8 = jnp.clip(w_amax * ratio, 1e-5, None) / 127.0  # (O, 1)
+        # sym per-channel int8 scale of the CLAMPED weights: at ratio > 1
+        # (the first grid point) the clamp is a no-op, so the scale is
+        # amax/127, NOT amax*ratio/127
+        clamped = jnp.clip(W, -w_amax * ratio, w_amax * ratio)
+        s8 = jnp.clip(jnp.max(jnp.abs(clamped), axis=-1, keepdims=True),
+                      1e-5, None) / 127.0  # (O, 1)
         mult = jnp.clip(jnp.round(best_scales / s8), 1.0, None)  # (O, n_g)
         # (reference dgq.py:237-239 computes the range clip from
         # 127/s8 — hugely loose, so upper/lower are inactive during the
@@ -194,6 +199,24 @@ class DGQ(BaseBlockwiseQuantization):
             # outlier smoothing up->down (dgq.py smooth_llama_mlp)
             x_max = SmoothScaleHelper.act_scale(input_feat[subset.input])
             self._smooth_mlp(bp, x_max)
+        # per-layer scale/zero grid search on the (smoothed) weights
+        # (reference runs search_scale_zero_subset at the end of EVERY
+        # subset_transform, dgq.py:281-296, on the first calib batch)
+        gs = self.wspec.group_size
+        for name in subset.layers:
+            if self.is_ignored(block_idx, name):
+                continue
+            feats = input_feat.get(name) or input_feat.get(subset.input)
+            if not feats:
+                continue
+            node = resolve(bp, name)
+            W = node["weight"].astype(jnp.float32)
+            X = feats[0].reshape(-1, W.shape[1])
+            scales, zeros, scale8 = dgq_search_scale_zero(
+                W, X, gs=min(gs, W.shape[1]), w_only=self.w_only)
+            self.state(block_idx, name)["dgq"] = {
+                "scales": scales, "zeros": zeros, "scale8": scale8,
+            }
 
     def _smooth_mlp(self, bp, act_scales):
         sc = np.asarray(act_scales, dtype=np.float64)
@@ -222,6 +245,12 @@ class DGQ(BaseBlockwiseQuantization):
     def w_qdq(self, w, block_idx, name):
         if self.is_ignored(block_idx, name):
             return w
+        st = self.layer_state[block_idx].get(name, {}) \
+            if block_idx < len(self.layer_state) else {}
+        d = st.get("dgq")
+        if d is not None:
+            return dgq_fake_quant(w, d["scales"], d["zeros"], d["scale8"])
+        # no captured calib input for this layer: analytic minmax W48
         return fake_quant_weight_w48(w, self.wspec8, self.wspec)
 
 

@@ -360,19 +360,33 @@ def _block_apply_decode_i8(
         from .kv_cache import append_kv_quantized
 
         cache = append_kv_quantized(cache, li, kq, ks, vq, vs, lengths)
-        kc, vc = cache.k[li], cache.v[li]
-        ksc, vsc = cache.k_scale[li], cache.v_scale[li]
-        sc = jnp.einsum("skgd,sktd->skgt", qg.astype(jnp.bfloat16),
-                        kc.astype(jnp.bfloat16))
-        sc = sc * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
-        col = jnp.arange(kc.shape[2])[None, None, None, :]
-        vis = col <= lengths[:, None, None, None]  # fresh token at len
-        sc = jnp.where(vis, sc.astype(jnp.float32), -jnp.inf)
-        probs = jax.nn.softmax(sc, axis=-1)
-        pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
-              ).astype(jnp.bfloat16)
-        ctx = jnp.einsum("skgt,sktd->skgd", pv, vc.astype(jnp.bfloat16))
-        payload = (cache,)
+        import os as _os
+        if _os.environ.get("LCTPU_ABLATE_ATTN") == "1":
+            # probe-only: fresh-token-only context (appends + weights +
+            # head still run) — isolates the cache-read cost of the
+            # engine step (tools/engine_step_probe.py); falls through to
+            # the shared o-proj/MLP tail
+            ctx = jnp.broadcast_to(
+                (vq[:, :, 0].astype(jnp.float32)
+                 * vs[:, :, 0][..., None].astype(jnp.float32)
+                 )[:, :, None, :].astype(jnp.bfloat16),
+                qg.shape).astype(jnp.float32)
+            payload = (cache,)
+        else:
+            kc, vc = cache.k[li], cache.v[li]
+            ksc, vsc = cache.k_scale[li], cache.v_scale[li]
+            sc = jnp.einsum("skgd,sktd->skgt", qg.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16))
+            sc = sc * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
+            col = jnp.arange(kc.shape[2])[None, None, None, :]
+            vis = col <= lengths[:, None, None, None]  # fresh token at len
+            sc = jnp.where(vis, sc.astype(jnp.float32), -jnp.inf)
+            probs = jax.nn.softmax(sc, axis=-1)
+            pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
+                  ).astype(jnp.bfloat16)
+            ctx = jnp.einsum("skgt,sktd->skgd", pv,
+                             vc.astype(jnp.bfloat16))
+            payload = (cache,)
     elif impl == "xla8":
         # bench-style int8-concat attention: concat the QUANTIZED cache
         # with the quantized fresh token and let XLA fuse the dequant
@@ -1196,9 +1210,13 @@ class LLMEngine:
                     sw, entry, x, cos, sin, cache, li, lengths)
                 cache = append_mla(cache, li, c_n, r_n, lengths)
                 continue
-            use_xla8 = (self._use_xla8 and cache.bits == 8
-                        and cache.layout == "hhd")
-            use_xla8a = (self.attn_impl == "xla8a"
+            # default dense-int8 route: append-first masked attention
+            # (xla8a) — measured 14.84 ms/step vs 17.01 for the concat
+            # form (xla8) at 32 slots x 1024 (engine_step_probe r4);
+            # attn_impl="xla8" keeps the concat variant reachable
+            use_xla8 = (self.attn_impl == "xla8"
+                        and cache.bits == 8 and cache.layout == "hhd")
+            use_xla8a = ((self._use_xla8 or self.attn_impl == "xla8a")
                          and cache.bits == 8 and cache.layout == "hhd")
             use_xlanc = (self.attn_impl.startswith("xlanc")
                          and cache.bits == 8 and cache.layout == "hhd")

@@ -149,3 +149,95 @@ def test_spqr_outliers_detected_and_restored():
     assert bool(mask[3, 7])
     frac = float(np.asarray(mask).mean())
     assert frac < 0.2, f"outlier mask too dense: {frac}"
+
+
+def _ref_dgq_search(Wnp, Xnp, gs, w_only=True):
+    import torch
+
+    ref_quant, _ = _ref_quant_module()
+    sys.path.insert(0, "/root/reference")
+    try:
+        from llmc.compression.quantization import dgq as ref_dgq
+    finally:
+        sys.path.remove("/root/reference")
+    IQ = ref_quant.IntegerQuantizer
+
+    self = object.__new__(ref_dgq.DGQ)
+    self.wquantizer_w4 = IQ(4, False, "per_group", group_size=gs)
+    self.wquantizer_w4_perchannel = IQ(4, False, "per_channel")
+    self.wquantizer_w8 = IQ(8, True, "per_channel")
+    self.w_only = w_only
+    if not w_only:
+        self.aquantizer = IQ(8, True, "per_token")
+        self.a_qdq = lambda x: self.aquantizer.fake_quant_act_dynamic(x)
+    self.model_dtype = torch.float32
+
+    layer = torch.nn.Linear(Wnp.shape[1], Wnp.shape[0], bias=False)
+    with torch.no_grad():
+        layer.weight.copy_(torch.tensor(Wnp))
+    # reference runs on cuda tensors; CPU works identically for the math
+    orig_to = torch.Tensor.to
+    s, z, s8 = self.search_scale_zero_layer(layer, torch.tensor(Xnp))
+    return s.numpy(), z.numpy(), s8.numpy()
+
+
+def _ref_dgq_w_qdq(Wnp, s, z, s8, gs):
+    import torch
+
+    ref_quant, _ = _ref_quant_module()
+    sys.path.insert(0, "/root/reference")
+    try:
+        from llmc.compression.quantization import dgq as ref_dgq
+    finally:
+        sys.path.remove("/root/reference")
+    self = object.__new__(ref_dgq.DGQ)
+    self.wquantizer_w4 = ref_quant.IntegerQuantizer(
+        4, False, "per_group", group_size=gs)
+    self.model_dtype = torch.float32
+
+    class M:
+        pass
+
+    m = M()
+    m.buf_scales = torch.tensor(s)
+    m.buf_zeros = torch.tensor(z)
+    m.buf_scale8 = torch.tensor(s8)
+    m.weight = torch.nn.Parameter(torch.tensor(Wnp))
+    return self.w_qdq(m, None).detach().numpy()
+
+
+def test_dgq_grid_search_matches_reference():
+    from lightcompress_tpu.compression.quantization.dgq import (
+        dgq_fake_quant, dgq_search_scale_zero)
+
+    rng = np.random.RandomState(9)
+    O, IN, L, gs = 8, 32, 40, 16
+    W = rng.randn(O, IN).astype(np.float32)
+    W[2, 5] *= 8  # an outlier channel to make the grids bite
+    X = rng.randn(L, IN).astype(np.float32)
+    ref_s, ref_z, ref_s8 = _ref_dgq_search(W, X, gs)
+    s, z, s8 = dgq_search_scale_zero(jnp.asarray(W), jnp.asarray(X), gs=gs)
+    np.testing.assert_allclose(np.asarray(s8), ref_s8, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), ref_z, atol=1e-4, rtol=1e-4)
+    # deploy-time fake-quant parity on the searched params
+    ref_fq = _ref_dgq_w_qdq(W, ref_s, ref_z, ref_s8, gs)
+    ours_fq = dgq_fake_quant(jnp.asarray(W), s, z, s8)
+    np.testing.assert_allclose(np.asarray(ours_fq), ref_fq, atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_dgq_w_a_search_matches_reference():
+    from lightcompress_tpu.compression.quantization.dgq import (
+        dgq_search_scale_zero)
+
+    rng = np.random.RandomState(13)
+    O, IN, L, gs = 4, 32, 24, 16
+    W = rng.randn(O, IN).astype(np.float32)
+    X = rng.randn(L, IN).astype(np.float32)
+    ref_s, ref_z, ref_s8 = _ref_dgq_search(W, X, gs, w_only=False)
+    s, z, s8 = dgq_search_scale_zero(jnp.asarray(W), jnp.asarray(X),
+                                     gs=gs, w_only=False)
+    np.testing.assert_allclose(np.asarray(s8), ref_s8, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), ref_s, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), ref_z, atol=1e-4, rtol=1e-4)

@@ -25,8 +25,9 @@ def main():
     SLOTS = int(os.environ.get("SLOTS", "16"))
     ATTN = os.environ.get("ATTN", "auto")
     T = int(os.environ.get("T", "256"))
+    KV = int(os.environ.get("KV", "8"))
     sw = make_weights()
-    eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=8,
+    eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=KV,
                     prefill_buckets=(T,), decode_chunk=16,
                     attn_impl=ATTN)
     rng = np.random.RandomState(0)
