@@ -530,6 +530,115 @@ def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
     o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
 
 
+def _w4a8_kernel_mtiled(x_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
+                        group: int, gpp: int):
+    """PREFILL-regime variant of _w4a8_kernel_fullk_combined: grid is
+    (N tiles, M tiles) with M innermost, so the packed weight tile and
+    scale slab stay VMEM-resident across all M steps of one output tile
+    (Pallas skips re-fetch when the block index is unchanged) — and the
+    VPU nibble unpack runs ONCE per weight tile (into ``wun_scr``) instead
+    of once per (m, n) step.  This removes the whole-M-in-VMEM assumption
+    that capped the decode kernel at M<=256 (VERDICT r4 #3): batched
+    prefill at M = n_prompts * T now stays on the int8-MXU kernel instead
+    of falling into XLA's in-loop-unpack dense path (~39 TFLOP/s r2
+    ladder)."""
+    m_idx = pl.program_id(1)
+    b, nt = o_ref.shape
+
+    @pl.when(m_idx == 0)
+    def _unpack():
+        for gi in range(gpp):
+            wpb = wp_ref[0, gi]
+            for j in range(8):
+                wun_scr[gi * 8 + j] = \
+                    ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+
+    xb = x_ref[:]
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        sblk = szs_ref[0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
+        news = list(accs)
+        for j in range(8):
+            cg = wun_scr[gi * 8 + j]
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                sblk[j][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = szs_ref[0, gpp * 8:, :].astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "m_tile", "interpret"),
+)
+def w4a8_matmul_planes_mtiled(
+    xq: Array,
+    x_scale: Array,
+    wp_t: Array,      # (N/NT, gpp, NT, group) int32 (tile_packed)
+    szs: Array,       # (N/NT, 2*gpp*8, NT) combined scale+zero slab
+    group: int = 128,
+    m_tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Prefill-regime W4A8 planes matmul: M-tiled grid, any M.
+
+    xq (M, K) int8 natural order; x_scale (M, 1) f32.  Returns (M, N)
+    f32.  M is padded up to a multiple of ``m_tile`` internally."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = xq.shape
+    n_blocks, gpp, n_tile, gw = wp_t.shape
+    assert gw == group and gpp * group * 8 == K
+    N = n_blocks * n_tile
+    Mp = -(-M // m_tile) * m_tile
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+    xr = xq.reshape(Mp, 8, gpp, group).transpose(0, 2, 1, 3).reshape(Mp, K)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_mtiled, group=group, gpp=gpp),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        grid=(n_blocks, Mp // m_tile),
+        in_specs=[
+            pl.BlockSpec((m_tile, K), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpp, n_tile, group), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * gpp * 8, n_tile), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((gpp * 8, n_tile, group), jnp.int8)],
+        interpret=interpret,
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + 2 * m_tile * K
+            + m_tile * n_tile * 4 * 6 + gpp * 8 * n_tile * group
+            + (2 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=N * K // 2 + Mp * K * n_blocks + Mp * N * 4,
+            transcendentals=0,
+        ),
+    )(xr, wp_t, szs)
+    if Mp != M:
+        out = out[:M]
+    return out * x_scale
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "n_tile", "interpret"),
@@ -647,20 +756,51 @@ def w4a8_matmul_planes(
 
 
 def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
-    """W4A8 apply: dynamic per-token int8 act quant + int8-MXU fused kernel."""
+    """W4A8 apply: dynamic per-token int8 act quant + int8-MXU fused
+    kernel.  M <= 256 runs the whole-M-in-VMEM decode kernel; larger M
+    (batched prefill) runs the M-tiled prefill kernel
+    (w4a8_matmul_planes_mtiled) — the weight tile and its scale slab stay
+    VMEM-resident across M steps and the nibble unpack runs once per
+    tile."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    M = x2.shape[0]
     xq, x_scale = quantize_act_per_token(x2)
     if qp.codes.ndim == 4:
         n_tile = qp.codes.shape[2]
     else:
         N = qp.codes.shape[0]
         n_tile = pick_n_tile(N, qp.codes.shape[1], qp.group_size)
-    y = w4a8_matmul_planes(
-        xq, x_scale, qp.codes, qp.scales, qp.zeros, group=qp.group_size,
-        n_tile=n_tile, interpret=interpret,
-    ).astype(x.dtype)
+    if M > 256:
+        gpp = K // (8 * qp.group_size)
+        wp_t = (qp.codes if qp.codes.ndim == 4
+                else tile_packed(qp.codes, n_tile, qp.group_size))
+        if qp.scales.ndim == 3:
+            szs = qp.scales  # serving contig layout, already combined
+        else:
+            if qp.scales.ndim == 4:  # pre-tiled split, zeros premultiplied
+                def flat(t):  # (gpp, N/NT, 8, NT) -> (N, G)
+                    g, nb, _, nt = t.shape
+                    return t.transpose(1, 3, 2, 0).reshape(nb * nt, 8 * g)
+                s_flat = flat(qp.scales.astype(jnp.float32))
+                zs_flat = (flat(qp.zeros.astype(jnp.float32))
+                           if qp.zeros is not None
+                           else jnp.zeros_like(s_flat))
+            else:
+                s_flat = qp.scales.astype(jnp.float32)
+                zs_flat = (qp.zeros.astype(jnp.float32) * s_flat
+                           if qp.zeros is not None
+                           else jnp.zeros_like(s_flat))
+            szs = tile_scales_combined(s_flat, zs_flat, n_tile, gpp)
+        y = w4a8_matmul_planes_mtiled(
+            xq, x_scale, wp_t, szs, group=qp.group_size,
+            interpret=interpret).astype(x.dtype)
+    else:
+        y = w4a8_matmul_planes(
+            xq, x_scale, qp.codes, qp.scales, qp.zeros,
+            group=qp.group_size, n_tile=n_tile, interpret=interpret,
+        ).astype(x.dtype)
     if qp.bias is not None:
         y = y + qp.bias
     return y.reshape(*lead, -1)
@@ -684,7 +824,29 @@ def w4a16_matmul_available(x: Array, qp) -> bool:
     m = 1
     for d in lead:
         m *= d
-    if m > int(os.environ.get("LCTPU_PALLAS_M_MAX", "256")):
+    if m > 256:
+        return False
+    if K % (8 * qp.group_size) != 0:
+        return False
+    N = (qp.codes.shape[0] * qp.codes.shape[2] if qp.codes.ndim == 4
+         else qp.codes.shape[0])
+    return N % 128 == 0
+
+
+def w4a8_prefill_available(x: Array, qp) -> bool:
+    """Prefill-regime (M > 256) W4A8 route: the M-tiled kernel
+    (w4a8_matmul_planes_mtiled) has no M cap — this replaces the r3
+    LCTPU_PALLAS_M_MAX hack (batched prefill used to fall into XLA's
+    in-loop-unpack dense path)."""
+    if qp.bits != 4 or qp.is_float or qp.group_size <= 0:
+        return False
+    if getattr(qp, "layout", "rows") != "planes":
+        return False
+    *lead, K = x.shape
+    m = 1
+    for d in lead:
+        m *= d
+    if m <= 256:
         return False
     if K % (8 * qp.group_size) != 0:
         return False

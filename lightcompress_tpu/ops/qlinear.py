@@ -253,11 +253,16 @@ def qlinear_apply(
                 w4a16_matmul,
                 w4a16_matmul_available,
                 w4a8_matmul,
+                w4a8_prefill_available,
                 w4a8_s4_matmul,
             )
 
             if act_bits == 8 and s4_matmul_available(x, qp):
                 return w4a8_s4_matmul(x, qp)
+            if act_bits == 8 and w4a8_prefill_available(x, qp):
+                # batched/long prefill: the M-tiled kernel keeps large-M
+                # matmuls on the int8 MXU (weights unpacked once per tile)
+                return w4a8_matmul(x, qp)
             if w4a16_matmul_available(x, qp):
                 if act_bits == 8:
                     return w4a8_matmul(x, qp)

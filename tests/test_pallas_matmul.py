@@ -525,3 +525,72 @@ def test_layer_fused_kernel_matches_composition():
                  / jnp.linalg.norm(qref))
     assert rel < 2e-2, rel
     assert relq < 3e-2, relq
+
+
+def test_w4a8_mtiled_prefill_kernel_matches_decode_kernel():
+    """M-tiled prefill kernel == decode kernel bit-for-bit on every
+    scale layout (combined 3D, pre-tiled 4D, raw), incl. M padding."""
+    import numpy as np
+
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_int4_planes, quantize_act_per_token, tile_packed,
+        tile_scales_combined, w4a8_matmul_planes,
+        w4a8_matmul_planes_mtiled)
+
+    rng = np.random.RandomState(0)
+    N, K, g = 256, 256, 32
+    gpp = K // (8 * g)
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    scales = jnp.asarray(rng.rand(N, K // g) * 0.1 + 0.01, jnp.float32)
+    zeros = jnp.asarray(rng.randint(0, 16, (N, K // g)), jnp.float32)
+    packed = pack_int4_planes(codes)
+    x = jnp.asarray(rng.randn(300, K), jnp.float32)  # M=300: pads to 512
+    xq, sx = quantize_act_per_token(x)
+
+    ref = w4a8_matmul_planes(xq, sx, packed, scales, zeros, group=g,
+                             n_tile=128, interpret=True)
+    wp_t = tile_packed(packed, 128, g)
+    szs = tile_scales_combined(scales, zeros * scales, 128, gpp)
+    y = w4a8_matmul_planes_mtiled(xq, sx, wp_t, szs, group=g,
+                                  m_tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_w4a8_matmul_routes_large_m_to_mtiled():
+    """qlinear_apply at M>256 stays on the Pallas path (the prefill
+    kernel) and matches the XLA dequant reference."""
+    import numpy as np
+
+    from lightcompress_tpu.ops import quantize_linear
+    from lightcompress_tpu.ops.pallas_matmul import (
+        w4a8_matmul, w4a8_prefill_available)
+    from lightcompress_tpu.quant import QuantSpec
+
+    rng = np.random.RandomState(1)
+    N, K, g = 256, 256, 32
+    w = jnp.asarray(rng.randn(N, K) * 0.05, jnp.float32)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=g)
+    for layout_kw in ({}, {"scale_layout": "contig"}):
+        qp = quantize_linear(w, spec, layout="planes", **layout_kw)
+        x = jnp.asarray(rng.randn(2, 300, K) * 0.5, jnp.float32)
+        assert w4a8_prefill_available(x, qp)
+        y = w4a8_matmul(x, qp, interpret=True)
+        # decode kernel on a <=256-row slice: same scales -> must agree
+        # to accumulation noise
+        y_dec = w4a8_matmul(x[:, :128], qp, interpret=True)
+        err_k = float(jnp.max(jnp.abs(y[:, :128] - y_dec)))
+        assert err_k < 1e-4, err_k
+        # loose check vs the f32 XLA dequant reference (serving scales
+        # are bf16 tiles -> ~3e-3 expected)
+        from lightcompress_tpu.ops.qlinear import dequant_weight
+        wd = dequant_weight(qp)
+        x2 = x.reshape(-1, K)
+        amax = jnp.clip(jnp.max(jnp.abs(x2), axis=-1, keepdims=True),
+                        1e-8, None)
+        sxa = amax / 127.0
+        xqa = jnp.clip(jnp.round(x2 / sxa), -127, 127) * sxa
+        ref = (xqa @ wd.T).reshape(2, 300, N)
+        err = float(jnp.max(jnp.abs(y - ref)))
+        assert err < 2e-2, err

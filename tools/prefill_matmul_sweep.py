@@ -36,17 +36,21 @@ def timeit(f, x, qp):
 def main():
     key = jax.random.PRNGKey(0)
     lw = make_layer_qweights(key)
-    qp = lw["q"]  # (4096, 4096) W4 g128 planes
+    qp = lw[os.environ.get("WHICH", "q")]  # default (4096, 4096) W4 g128 planes
     ms = [int(m) for m in os.environ.get("MS", "32,256,1024,4096").split(",")]
     variants = os.environ.get("VARIANTS", "pallas16,pallas8,xla").split(",")
     for m in ms:
-        x = jax.random.normal(key, (m, 4096), jnp.bfloat16)
+        K = (qp.codes.shape[1] * 8 if qp.codes.ndim == 2
+             else qp.codes.shape[1] * qp.codes.shape[3] * 8)
+        x = jax.random.normal(key, (m, K), jnp.bfloat16)
         for name in variants:
             f = {"pallas16": w4a16_matmul, "pallas8": w4a8_matmul,
                  "xla": qlinear_xla}[name]
             try:
                 dt = timeit(f, x, qp)
-                flops = 2 * m * 4096 * 4096
+                N = (qp.codes.shape[0] if qp.codes.ndim == 2
+                     else qp.codes.shape[0] * qp.codes.shape[2])
+                flops = 2 * m * N * K
                 print(json.dumps({"M": m, "impl": name,
                                   "us": round(dt * 1e6, 1),
                                   "tflops": round(flops / dt / 1e12, 2)}),
