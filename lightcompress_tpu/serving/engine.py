@@ -28,6 +28,7 @@ from .kv_cache import (KVCache, PagedKVCache, PageAllocator, append_kv,
                        paged_append_prefill, paged_read, quantize_kv,
                        read_kv, read_mla)
 from .quantized_model import (ServingWeights, apply_qlinear,
+                              apply_qlinear_gathered,
                               apply_qlinear_stacked)
 from .sampler import SamplingParams, sample
 
@@ -73,15 +74,37 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
         preferred_element_type=jnp.float32)
     topi, topw = A.moe_route(m, logits.astype(jnp.float32),
                              entry.get("mlp.router_bias"))
-    g = apply_qlinear_stacked(entry["mlp.gate"], x2)       # (E, n, I) f32
-    u = apply_qlinear_stacked(entry["mlp.up"], x2)
-    mid = A._act(g, arch.act_fn) * u
-    d = apply_qlinear_stacked(entry["mlp.down"], mid.astype(jnp.bfloat16),
-                              pair=True)                   # (E, n, H) f32
     n = x2.shape[0]
-    w_full = jnp.zeros((n, m.num_experts), jnp.float32)
-    w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
-    y = jnp.einsum("enh,ne->nh", d, w_full)
+    import os as _os
+
+    gather_thresh = int(_os.environ.get(
+        "LCTPU_MOE_GATHER_MAX",
+        str(max(1, m.num_experts // max(1, m.top_k)))))
+    if n <= gather_thresh and not getattr(sw, "sharded", False):
+        # small-batch gathered path: read only the selected experts'
+        # weights (n*top_k slabs) instead of all E — wins below
+        # ~E/top_k active tokens (latency-sensitive serving); the dense
+        # path stays the roofline-honest layout at batch and under EP
+        # sharding (the gather would break the ep PartitionSpec)
+        y = jnp.zeros((n, H), jnp.float32)
+        for k in range(m.top_k):
+            e = topi[:, k]
+            gk = apply_qlinear_gathered(entry["mlp.gate"], x2, e)
+            uk = apply_qlinear_gathered(entry["mlp.up"], x2, e)
+            midk = A._act(gk, arch.act_fn) * uk
+            dk = apply_qlinear_gathered(entry["mlp.down"],
+                                        midk.astype(jnp.bfloat16), e)
+            y = y + topw[:, k:k + 1] * dk
+    else:
+        g = apply_qlinear_stacked(entry["mlp.gate"], x2)   # (E, n, I) f32
+        u = apply_qlinear_stacked(entry["mlp.up"], x2)
+        mid = A._act(g, arch.act_fn) * u
+        d = apply_qlinear_stacked(entry["mlp.down"],
+                                  mid.astype(jnp.bfloat16),
+                                  pair=True)               # (E, n, H) f32
+        w_full = jnp.zeros((n, m.num_experts), jnp.float32)
+        w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
+        y = jnp.einsum("enh,ne->nh", d, w_full)
     if "mlp.shared_gate" in entry:
         sg = apply_qlinear(entry["mlp.shared_gate"], x2, act_bits=ab)
         su = apply_qlinear(entry["mlp.shared_up"], x2, act_bits=ab)

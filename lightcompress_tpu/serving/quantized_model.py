@@ -40,6 +40,11 @@ class ServingWeights:
     # 16 = W4A16; 8 = W4A8 (per-token dynamic int8 acts on the MXU int8 path)
     act_bits: int = dataclasses.field(metadata=dict(static=True),
                                       default=16)
+    # True once shard_serving_weights placed the arrays on a mesh: the
+    # MoE small-batch gathered path disables itself (an expert gather
+    # would break the ep PartitionSpec)
+    sharded: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
     # True = RMSNorm gammas were folded into the pre-norm linears' weights
     # at quantization time (W' = W * gamma[None, :], exact since the fold
     # happens before quantization) and the stored ln weights are ones.
@@ -107,6 +112,39 @@ def apply_qlinear_stacked(qp, x: Array, pair: bool = False) -> Array:
         w = qp["weight"].astype(jnp.bfloat16)
     eq = "eni,eoi->eno" if pair else "ni,eoi->eno"
     return jnp.einsum(eq, x.astype(jnp.bfloat16), w,
+                      preferred_element_type=jnp.float32)
+
+
+def apply_qlinear_gathered(qp, x: Array, e_idx: Array) -> Array:
+    """Per-token expert-GATHERED linear: x (n, ic), e_idx (n,) expert id
+    per token -> (n, oc).
+
+    Small-batch MoE serving path (VERDICT r4 #7): below ~E/top_k active
+    tokens the dense all-expert read (apply_qlinear_stacked) streams
+    every expert's weights while only n*top_k are used; gathering reads
+    just the selected experts' packed codes (each a contiguous
+    (oc, ic/8) slab — one big DMA per token, TPU-friendly).  Dequant of
+    the gathered codes fuses into the batched-matvec read like the dense
+    path's."""
+    from ..ops.qlinear import _unpack_int4_u
+
+    if not isinstance(qp, QLinearParams):
+        w = qp["weight"].astype(jnp.bfloat16)[e_idx]  # (n, oc, ic)
+        return jnp.einsum("ni,noi->no", x.astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
+    codes = qp.codes[e_idx]  # (n, oc, icp)
+    if qp.bits == 4:
+        u = jax.vmap(_unpack_int4_u)(codes).astype(jnp.float32)
+    else:
+        u = codes.astype(jnp.float32)
+    n, oc, ic = u.shape
+    g = qp.group_size or ic
+    u = u.reshape(n, oc, ic // g, g)
+    s = qp.scales[e_idx].reshape(n, oc, -1, 1)
+    z = (qp.zeros[e_idx].reshape(n, oc, -1, 1)
+         if qp.zeros is not None else 0.0)
+    w = ((u - z) * s).reshape(n, oc, ic).astype(jnp.bfloat16)
+    return jnp.einsum("ni,noi->no", x.astype(jnp.bfloat16), w,
                       preferred_element_type=jnp.float32)
 
 

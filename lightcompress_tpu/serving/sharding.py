@@ -126,6 +126,7 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
     head_spec = NamedSharding(mesh, P("tp", None)) if vocab_ok else rep
     return dataclasses.replace(
         sw,
+        sharded=True,
         embed=jax.device_put(sw.embed, rep),
         embed_pos=jax.device_put(sw.embed_pos, rep)
         if sw.embed_pos is not None else None,

@@ -1,0 +1,105 @@
+"""MoE serving MLP: dense all-expert combine vs small-batch gathered
+path, on-chip (VERDICT r4 #7).  DeepSeek-ish stacked experts (E=64,
+moe_inter=1408, H=4096 — routed-expert shapes of a V2-Lite-class block),
+measured at n in {4, 8, 32} active tokens with the chained-iteration
+protocol.  Prints one JSON line per (n, impl)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+E = int(os.environ.get("E", "64"))
+I = int(os.environ.get("MOE_I", "1408"))
+H = int(os.environ.get("H", "4096"))
+TOPK = int(os.environ.get("TOPK", "6"))
+ITERS = int(os.environ.get("ITERS", "30"))
+
+
+def main():
+    from lightcompress_tpu.quant import QuantSpec
+    from lightcompress_tpu.serving.quantized_model import (
+        apply_qlinear_gathered, apply_qlinear_stacked,
+        quantize_linear_stacked)
+
+    key = jax.random.PRNGKey(0)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=128)
+    k1, k2, k3 = jax.random.split(key, 3)
+    gate = quantize_linear_stacked(
+        jax.random.normal(k1, (E, I, H), jnp.float32) * 0.02, spec)
+    up = quantize_linear_stacked(
+        jax.random.normal(k2, (E, I, H), jnp.float32) * 0.02, spec)
+    down = quantize_linear_stacked(
+        jax.random.normal(k3, (E, H, I), jnp.float32) * 0.02, spec)
+    bytes_all = sum(int(np.prod(q.codes.shape)) * q.codes.dtype.itemsize
+                    for q in (gate, up, down))
+
+    def dense_step(x, topi, topw):
+        n = x.shape[0]
+        g = apply_qlinear_stacked(gate, x)
+        u = apply_qlinear_stacked(up, x)
+        mid = jax.nn.silu(g) * u
+        d = apply_qlinear_stacked(down, mid.astype(jnp.bfloat16), pair=True)
+        w_full = jnp.zeros((n, E), jnp.float32)
+        w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
+        return jnp.einsum("enh,ne->nh", d, w_full)
+
+    def gather_step(x, topi, topw):
+        n = x.shape[0]
+        y = jnp.zeros((n, H), jnp.float32)
+        for k in range(TOPK):
+            e = topi[:, k]
+            g = apply_qlinear_gathered(gate, x, e)
+            u = apply_qlinear_gathered(up, x, e)
+            mid = jax.nn.silu(g) * u
+            y = y + topw[:, k:k + 1] * apply_qlinear_gathered(
+                down, mid.astype(jnp.bfloat16), e)
+        return y
+
+    rng = np.random.RandomState(0)
+    for n in [int(v) for v in os.environ.get("NS", "4,8,32").split(",")]:
+        topi = jnp.asarray(
+            np.stack([rng.choice(E, TOPK, replace=False)
+                      for _ in range(n)]), jnp.int32)
+        topw = jnp.asarray(rng.rand(n, TOPK) / TOPK, jnp.float32)
+        x0 = jax.random.normal(key, (n, H), jnp.bfloat16)
+        for name, f in (("dense", dense_step), ("gather", gather_step)):
+
+            @jax.jit
+            def chain(x, iters):
+                def body(i, xx):
+                    y = f(xx, topi, topw)
+                    return (y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
+                            ).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, iters, body, x)
+
+            try:
+                float(jnp.sum(chain(x0, ITERS)))
+                t0 = time.perf_counter()
+                float(jnp.sum(chain(x0, ITERS)))
+                t_lo = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(jnp.sum(chain(x0, 5 * ITERS)))
+                t_hi = time.perf_counter() - t0
+                dt = (t_hi - t_lo) / (4 * ITERS)
+                used = (bytes_all if name == "dense"
+                        else bytes_all * n * TOPK / E)
+                print(json.dumps({
+                    "n": n, "impl": name, "us": round(dt * 1e6, 1),
+                    "eff_gbs": round(min(used, bytes_all) / dt / 1e9, 1),
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({"n": n, "impl": name,
+                                  "error": str(e)[:120]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
