@@ -530,7 +530,7 @@ def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
     o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
 
 
-def _w4a8_kernel_mtiled(x_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
+def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
                         group: int, gpp: int):
     """PREFILL-regime variant of _w4a8_kernel_fullk_combined: grid is
     (N tiles, M tiles) with M innermost, so the packed weight tile and
@@ -578,12 +578,17 @@ def _w4a8_kernel_mtiled(x_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
     corr = jax.lax.dot_general(
         xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+    y = ((accs[0] + accs[1]) + (accs[2] + accs[3]) - corr) * xs_ref[:]
+    # the act-scale multiply + down-cast happen IN-KERNEL so the custom
+    # call's HBM output is bf16: an f32 (M, N) output at prefill M
+    # (e.g. 32768 x 28672 = 3.5GB for gateup) OOMed the 16G chip where
+    # XLA's dense path kept bf16 intermediates (engine probe r4)
+    o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group", "m_tile", "interpret"),
+    static_argnames=("group", "m_tile", "out_dtype", "interpret"),
 )
 def w4a8_matmul_planes_mtiled(
     xq: Array,
@@ -592,12 +597,14 @@ def w4a8_matmul_planes_mtiled(
     szs: Array,       # (N/NT, 2*gpp*8, NT) combined scale+zero slab
     group: int = 128,
     m_tile: int = 256,
+    out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> Array:
     """Prefill-regime W4A8 planes matmul: M-tiled grid, any M.
 
     xq (M, K) int8 natural order; x_scale (M, 1) f32.  Returns (M, N)
-    f32.  M is padded up to a multiple of ``m_tile`` internally."""
+    ``out_dtype`` (act scale applied in-kernel).  M is padded up to a
+    multiple of ``m_tile`` internally."""
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = xq.shape
@@ -607,13 +614,16 @@ def w4a8_matmul_planes_mtiled(
     Mp = -(-M // m_tile) * m_tile
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        x_scale = jnp.pad(x_scale, ((0, Mp - M), (0, 0)))
     xr = xq.reshape(Mp, 8, gpp, group).transpose(0, 2, 1, 3).reshape(Mp, K)
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel_mtiled, group=group, gpp=gpp),
-        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         grid=(n_blocks, Mp // m_tile),
         in_specs=[
             pl.BlockSpec((m_tile, K), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gpp, n_tile, group), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -630,13 +640,13 @@ def w4a8_matmul_planes_mtiled(
             + (2 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
-            bytes_accessed=N * K // 2 + Mp * K * n_blocks + Mp * N * 4,
+            bytes_accessed=N * K // 2 + Mp * K * n_blocks + Mp * N * 2,
             transcendentals=0,
         ),
-    )(xr, wp_t, szs)
+    )(xr, x_scale.astype(jnp.float32), wp_t, szs)
     if Mp != M:
         out = out[:M]
-    return out * x_scale
+    return out
 
 
 @functools.partial(
@@ -795,7 +805,7 @@ def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
             szs = tile_scales_combined(s_flat, zs_flat, n_tile, gpp)
         y = w4a8_matmul_planes_mtiled(
             xq, x_scale, wp_t, szs, group=qp.group_size,
-            interpret=interpret).astype(x.dtype)
+            out_dtype=x.dtype, interpret=interpret)
     else:
         y = w4a8_matmul_planes(
             xq, x_scale, qp.codes, qp.scales, qp.zeros,

@@ -552,7 +552,8 @@ def test_w4a8_mtiled_prefill_kernel_matches_decode_kernel():
     wp_t = tile_packed(packed, 128, g)
     szs = tile_scales_combined(scales, zeros * scales, 128, gpp)
     y = w4a8_matmul_planes_mtiled(xq, sx, wp_t, szs, group=g,
-                                  m_tile=256, interpret=True)
+                                  m_tile=256, out_dtype=jnp.float32,
+                                  interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
 
