@@ -1476,7 +1476,24 @@ class LLMEngine:
                     by_bucket.setdefault(
                         self._bucket(len(req.prompt)), []).append(
                             (slot, req))
-                for T, group in sorted(by_bucket.items()):
+                # cap rows-per-dispatch: a batched prefill of n*T rows
+                # materializes (rows, inter) bf16 activations per layer —
+                # 32 slots x 1024 ctx in ONE dispatch OOMed the 16G chip
+                # (r4 probe: 18.8G).  Chunk each bucket so rows <=
+                # LCTPU_PREFILL_ROWS (default 8192: gateup transient
+                # <= 448MB); chunk sizes stay powers of two so the
+                # compile-shape count stays bounded.
+                import os as _os
+
+                rows_cap = int(_os.environ.get("LCTPU_PREFILL_ROWS",
+                                               "8192"))
+                groups: List[Tuple[int, List[Tuple[int, Request]]]] = []
+                for T, full_group in sorted(by_bucket.items()):
+                    cap = max(1, rows_cap // T)
+                    cap = 1 << (cap.bit_length() - 1)  # pow2 floor
+                    for i in range(0, len(full_group), cap):
+                        groups.append((T, full_group[i:i + cap]))
+                for T, group in groups:
                     # pad N to a power of two by repeating row 0: bounded
                     # compile count, identical scatter writes
                     n = len(group)

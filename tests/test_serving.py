@@ -750,3 +750,19 @@ def test_append_loop_matches_vmapped(monkeypatch):
     for bits in (8, 16):
         cm = KC.KVCache.create_mla(2, S, T, 12, 4, bits=bits)
         both(lambda cm=cm: KC.append_mla(cm, 1, c_new, r_new, lengths))
+
+
+def test_prefill_rows_cap_identical(tiny_setup, monkeypatch):
+    """Chunked batched-prefill admission (LCTPU_PREFILL_ROWS): output is
+    identical to single-dispatch admission — the cap only splits the
+    dispatch, not the math."""
+    model, sw = tiny_setup
+    p = [[3, 17, 9, 2, 100], [5, 1, 7], [9, 9, 4, 4], [8, 2]]
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    ref = LLMEngine(sw, max_slots=4, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,)).generate(p, sp)
+    monkeypatch.setenv("LCTPU_PREFILL_ROWS", "16")  # 1 prompt per dispatch
+    got = LLMEngine(sw, max_slots=4, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,)).generate(p, sp)
+    monkeypatch.delenv("LCTPU_PREFILL_ROWS")
+    assert got == ref
