@@ -382,9 +382,11 @@ def _block_apply_decode_i8(
         # Numerics are identical to xla8: same int8 codes, same scales.
         from .kv_cache import append_kv_quantized
 
-        cache = append_kv_quantized(cache, li, kq, ks, vq, vs, lengths)
         import os as _os
-        if _os.environ.get("LCTPU_ABLATE_ATTN") == "1":
+        if _os.environ.get("LCTPU_ABLATE_ATTN") != "2":
+            cache = append_kv_quantized(cache, li, kq, ks, vq, vs,
+                                        lengths)
+        if _os.environ.get("LCTPU_ABLATE_ATTN") in ("1", "2"):
             # probe-only: fresh-token-only context (appends + weights +
             # head still run) — isolates the cache-read cost of the
             # engine step (tools/engine_step_probe.py); falls through to
