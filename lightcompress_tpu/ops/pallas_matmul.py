@@ -805,6 +805,7 @@ def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
             szs = tile_scales_combined(s_flat, zs_flat, n_tile, gpp)
         y = w4a8_matmul_planes_mtiled(
             xq, x_scale, wp_t, szs, group=qp.group_size,
+            m_tile=int(os.environ.get("LCTPU_MTILE", "256")),
             out_dtype=x.dtype, interpret=interpret)
     else:
         y = w4a8_matmul_planes(

@@ -4,6 +4,7 @@ moe_inter=1408, H=4096 — routed-expert shapes of a V2-Lite-class block),
 measured at n in {4, 8, 32} active tokens with the chained-iteration
 protocol.  Prints one JSON line per (n, impl)."""
 
+import functools
 import json
 import os
 import sys
@@ -42,7 +43,10 @@ def main():
     bytes_all = sum(int(np.prod(q.codes.shape)) * q.codes.dtype.itemsize
                     for q in (gate, up, down))
 
-    def dense_step(x, topi, topw):
+    # weights ride as traced jit ARGS (closure capture ships them as
+    # constants to the remote compiler -> HTTP 413)
+    def dense_step(W, x, topi, topw):
+        gate, up, down = W
         n = x.shape[0]
         g = apply_qlinear_stacked(gate, x)
         u = apply_qlinear_stacked(up, x)
@@ -52,7 +56,8 @@ def main():
         w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
         return jnp.einsum("enh,ne->nh", d, w_full)
 
-    def gather_step(x, topi, topw):
+    def gather_step(W, x, topi, topw):
+        gate, up, down = W
         n = x.shape[0]
         y = jnp.zeros((n, H), jnp.float32)
         for k in range(TOPK):
@@ -71,23 +76,24 @@ def main():
                       for _ in range(n)]), jnp.int32)
         topw = jnp.asarray(rng.rand(n, TOPK) / TOPK, jnp.float32)
         x0 = jax.random.normal(key, (n, H), jnp.bfloat16)
+        W = (gate, up, down)
         for name, f in (("dense", dense_step), ("gather", gather_step)):
 
-            @jax.jit
-            def chain(x, iters):
+            @functools.partial(jax.jit, static_argnames=("iters",))
+            def chain(W, x, iters, f=f):
                 def body(i, xx):
-                    y = f(xx, topi, topw)
+                    y = f(W, xx, topi, topw)
                     return (y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
                             ).astype(jnp.bfloat16)
                 return jax.lax.fori_loop(0, iters, body, x)
 
             try:
-                float(jnp.sum(chain(x0, ITERS)))
+                float(jnp.sum(chain(W, x0, ITERS)))
                 t0 = time.perf_counter()
-                float(jnp.sum(chain(x0, ITERS)))
+                float(jnp.sum(chain(W, x0, ITERS)))
                 t_lo = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(jnp.sum(chain(x0, 5 * ITERS)))
+                float(jnp.sum(chain(W, x0, 5 * ITERS)))
                 t_hi = time.perf_counter() - t0
                 dt = (t_hi - t_lo) / (4 * ITERS)
                 used = (bytes_all if name == "dense"
