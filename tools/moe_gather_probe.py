@@ -88,12 +88,12 @@ def main():
                 return jax.lax.fori_loop(0, iters, body, x)
 
             try:
-                float(jnp.sum(chain(W, x0, ITERS)))
+                float(jnp.sum(chain(W, x0, iters=ITERS)))
                 t0 = time.perf_counter()
-                float(jnp.sum(chain(W, x0, ITERS)))
+                float(jnp.sum(chain(W, x0, iters=ITERS)))
                 t_lo = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(jnp.sum(chain(W, x0, 5 * ITERS)))
+                float(jnp.sum(chain(W, x0, iters=5 * ITERS)))
                 t_hi = time.perf_counter() - t0
                 dt = (t_hi - t_lo) / (4 * ITERS)
                 used = (bytes_all if name == "dense"
