@@ -576,3 +576,22 @@ def append_kv_quantized(
     )
     return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
                                v_scale=v_scale)
+
+
+def flush_ring_to_cache(cache: KVCache, ring: Dict[str, Array],
+                        lengths0: Array) -> KVCache:
+    """Write a decode chunk's ring-buffer tokens into the main hhd cache
+    at each slot's chunk-entry position (engine attn_impl='xla8r').
+
+    ring: rk/rv (L, S, H, W, D) int8, rks/rvs (L, S, H, W) scales, where
+    column w holds the token generated at chunk step w (slot s's absolute
+    position lengths0[s] + w).  Inactive slots' columns land beyond their
+    length — masked until real tokens overwrite them.  Per-slot-loop dus
+    (_dus_slots) so the flush aliases in place; runs ONCE per chunk."""
+    k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+    for li in range(k.shape[0]):
+        k = _dus_slots(k, ring["rk"][li], li, lengths0, pos_axis=1)
+        v = _dus_slots(v, ring["rv"][li], li, lengths0, pos_axis=1)
+        ks = _dus_slots(ks, ring["rks"][li], li, lengths0, pos_axis=1)
+        vs = _dus_slots(vs, ring["rvs"][li], li, lengths0, pos_axis=1)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)

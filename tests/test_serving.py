@@ -766,3 +766,35 @@ def test_prefill_rows_cap_identical(tiny_setup, monkeypatch):
                     prefill_buckets=(16,)).generate(p, sp)
     monkeypatch.delenv("LCTPU_PREFILL_ROWS")
     assert got == ref
+
+
+def test_engine_xla8r_ring_chunk_decode(tiny_setup):
+    """Ring-chunk decode (attn_impl='xla8r'): fresh tokens ride a
+    chunk-shared ring column (4 appends per LAYER, not per slot-layer),
+    main cache read-only per chunk, flushed at chunk boundaries.  Same
+    quantized values as the default path; the flash-style softmax merge
+    reassociates floats, so allow rare argmax tie flips."""
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                    prefill_buckets=(16,), decode_chunk=4,
+                    attn_impl="xla8r")
+    assert eng.attn_impl == "xla8r"
+    ref = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
+                    prefill_buckets=(16,), decode_chunk=4)
+    # 5 prompts > 2 slots: retirement + re-admission across ring chunks
+    p = [[3, 17, 9, 2, 100], [5, 1, 7], [9, 9, 4, 4], [8, 2],
+         [60, 61, 62]]
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0)
+    g1 = eng.generate(p, sp)
+    g2 = ref.generate(p, sp)
+    total = sum(len(o) for o in g2)
+    agree = sum(a == b for o1, o2 in zip(g1, g2) for a, b in zip(o1, o2))
+    assert agree >= total - 3, (g1, g2)
+
+
+def test_engine_xla8r_requires_chunk(tiny_setup):
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(16,), decode_chunk=1,
+                    attn_impl="xla8r")
+    assert eng.attn_impl == "xla"  # falls back without a chunk window
