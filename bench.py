@@ -889,9 +889,13 @@ def _engine_level_numbers(bare_tps: float) -> dict:
                 os.path.dirname(os.path.abspath(__file__)),
                 "tools", "engine_step_probe.py")],
             capture_output=True, text=True, timeout=2700, env=env)
-        line = [ln for ln in r.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        probe = json.loads(line)
+        lines = [ln for ln in r.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if not lines:
+            tail = (r.stderr or "").strip().splitlines()[-6:]
+            return {"engine_tok_s": None,
+                    "engine_error": " | ".join(tail)[-400:]}
+        probe = json.loads(lines[-1])
         etps = float(probe["tok_per_s"])
         return {"engine_tok_s": round(etps, 1),
                 "engine_frac_of_loop": round(etps / bare_tps, 4),

@@ -67,10 +67,11 @@ def run_chain(fn, *args):
 
 
 def main():
+    os.environ.setdefault("BENCH_FUSED", "0")  # BEFORE bench import
+
     from bench import make_layer_qweights
     from lightcompress_tpu.ops.pallas_matmul import w4a8_matmul_planes
 
-    os.environ.setdefault("BENCH_FUSED", "0")
     key = jax.random.PRNGKey(0)
     lw = make_layer_qweights(key)
     which = os.environ.get("WHICH", "q,gate,down").split(",")
