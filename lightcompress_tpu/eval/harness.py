@@ -83,23 +83,30 @@ def make_lm_eval_adapter(model, batch_size: int = 1):
                 build_serving_weights
             from ..quant import QuantSpec
 
+            # ONE engine for the whole request set (weights quantized
+            # once); prompts stream through its continuous batching
+            ids_list = [
+                tok(req.args[0], return_tensors="np").input_ids[0].tolist()
+                for req in requests
+            ]
+            if not ids_list:
+                return []
+            max_ids = max(len(i) for i in ids_list)
+            sw = build_serving_weights(
+                model, QuantSpec(bit=8, symmetric=True,
+                                 granularity="per_channel"))
+            max_new = max(req.args[1].get("max_gen_toks", 128)
+                          for req in requests)
+            eng = LLMEngine(sw, max_slots=min(8, len(ids_list)),
+                            max_len=max_ids + max_new + 8)
+            outs = eng.generate(
+                ids_list, SamplingParams(max_new_tokens=max_new),
+                eos_token_id=getattr(tok, "eos_token_id", None))
             results = []
-            for req in requests:
-                context, gen_kwargs = req.args
-                ids = tok(context, return_tensors="np").input_ids[0].tolist()
-                sw = build_serving_weights(
-                    model, QuantSpec(bit=8, symmetric=True,
-                                     granularity="per_channel")
-                )
-                eng = LLMEngine(sw, max_slots=1,
-                                max_len=len(ids) + 256)
-                out = eng.generate(
-                    [ids],
-                    SamplingParams(max_new_tokens=gen_kwargs.get(
-                        "max_gen_toks", 128)),
-                    eos_token_id=getattr(tok, "eos_token_id", None),
-                )[0]
-                text = tok.decode(out)
+            for req, out in zip(requests, outs):
+                gen_kwargs = req.args[1]
+                text = tok.decode(out[:gen_kwargs.get("max_gen_toks",
+                                                      128)])
                 for stop in gen_kwargs.get("until", []):
                     if stop in text:
                         text = text.split(stop)[0]
