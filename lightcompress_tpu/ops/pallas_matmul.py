@@ -586,6 +586,121 @@ def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _w4a8_kernel_stacked(x_ref, xs_ref, wp_ref, szs_ref, o_ref, *,
+                         group: int, gpp: int, pair: bool):
+    """STACKED-EXPERT variant of _w4a8_kernel_fullk_combined: grid
+    (E, N tiles).  ``pair`` means x carries the expert dim (the MoE
+    down-proj, whose input differs per expert); otherwise all experts
+    share one activation block (gate/up).  Built because the XLA
+    dequant+einsum dense-MoE path measured 33 ms/layer on-chip — the
+    stacked int4 unpack never fuses (moe_gather_probe r4)."""
+    xb = x_ref[0] if pair else x_ref[:]
+    b, nt = o_ref.shape[-2:]
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, 0, gi]
+        sblk = szs_ref[0, 0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = (x_ref[0, :, pl.ds((gi * 8 + j) * group, group)] if pair
+                  else x_ref[:, pl.ds((gi * 8 + j) * group, group)])
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                sblk[j][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = szs_ref[0, 0, gpp * 8:, :].astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xs = xs_ref[0] if pair else xs_ref[:]
+    o_ref[0] = (((accs[0] + accs[1]) + (accs[2] + accs[3]) - corr)
+                * xs).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "pair", "interpret"),
+)
+def w4a8_stacked_matmul(
+    xq: Array,      # (B, K) int8 natural order, or (E, B, K) when pair
+    x_scale: Array,  # (B, 1) f32, or (E, B, 1)
+    wp_t: Array,    # (E, N/NT, gpp, NT, group) int32
+    szs: Array,     # (E, N/NT, 2*gpp*8, NT) combined scale+zero slabs
+    group: int = 128,
+    pair: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """Stacked-expert W4A8 planes matmul -> (E, B, N) f32.
+
+    Dense-MoE serving compute at kernel speed: ONE pallas_call with grid
+    (E, N tiles); the shared activation block stays VMEM-resident across
+    every expert's tiles (non-pair), weights stream as contiguous
+    tiles."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, n_blocks, gpp, n_tile, gw = wp_t.shape
+    assert gw == group
+    K = gpp * group * 8
+    B = xq.shape[-2]
+    N = n_blocks * n_tile
+
+    if pair:
+        xr = xq.reshape(E, B, 8, gpp, group).transpose(0, 1, 3, 2, 4) \
+            .reshape(E, B, K)
+        x_in = [
+            pl.BlockSpec((1, B, K), lambda e, i: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda e, i: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        xr = xq.reshape(B, 8, gpp, group).transpose(0, 2, 1, 3) \
+            .reshape(B, K)
+        x_in = [
+            pl.BlockSpec((B, K), lambda e, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda e, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_stacked, group=group, gpp=gpp,
+                          pair=pair),
+        out_shape=jax.ShapeDtypeStruct((E, B, N), jnp.float32),
+        grid=(E, n_blocks),
+        in_specs=x_in + [
+            pl.BlockSpec((1, 1, gpp, n_tile, group),
+                         lambda e, i: (e, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * gpp * 8, n_tile),
+                         lambda e, i: (e, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B, n_tile), lambda e, i: (e, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + 2 * B * K
+            + B * n_tile * 4 * 6 + (2 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E * B * N * K,
+            bytes_accessed=E * (N * K // 2 + 2 * N * (K // group) * 2)
+            + B * K + E * B * N * 4,
+            transcendentals=0,
+        ),
+    )(xr, x_scale.astype(jnp.float32), wp_t, szs)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "m_tile", "out_dtype", "interpret"),
@@ -596,7 +711,7 @@ def w4a8_matmul_planes_mtiled(
     wp_t: Array,      # (N/NT, gpp, NT, group) int32 (tile_packed)
     szs: Array,       # (N/NT, 2*gpp*8, NT) combined scale+zero slab
     group: int = 128,
-    m_tile: int = 256,
+    m_tile: int = 128,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> Array:
@@ -805,7 +920,7 @@ def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:
             szs = tile_scales_combined(s_flat, zs_flat, n_tile, gpp)
         y = w4a8_matmul_planes_mtiled(
             xq, x_scale, wp_t, szs, group=qp.group_size,
-            m_tile=int(os.environ.get("LCTPU_MTILE", "256")),
+            m_tile=int(os.environ.get("LCTPU_MTILE", "128")),
             out_dtype=x.dtype, interpret=interpret)
     else:
         y = w4a8_matmul_planes(

@@ -61,7 +61,8 @@ _LN1_LINEARS = ("attn.q", "attn.k", "attn.v", "attn.qkv")
 _LN2_LINEARS = ("mlp.gate", "mlp.up", "mlp.fc1", "mlp.gate_up")
 
 
-def quantize_linear_stacked(w3: Array, wspec: QuantSpec) -> QLinearParams:
+def quantize_linear_stacked(w3: Array, wspec: QuantSpec,
+                            layout: str = "auto") -> QLinearParams:
     """Per-expert quantization of a stacked (E, oc, ic) MoE weight.
 
     Serving analogue of the calibration side's per-expert loops: every
@@ -69,7 +70,29 @@ def quantize_linear_stacked(w3: Array, wspec: QuantSpec) -> QLinearParams:
     stacking cannot share statistics).  Codes keep the leading expert dim —
     the EP NamedSharding over axis 0 (serving/sharding.py) is then a pure
     data layout, no re-pack (reference topology:
-    /root/reference/llmc/models/deepseekv3.py:69-192)."""
+    /root/reference/llmc/models/deepseekv3.py:69-192).
+
+    ``layout="auto"`` picks the tiled PLANES layout (codes
+    (E, N/NT, gpp, NT, g) int32 + combined scale slabs) whenever the
+    shapes fit the W4A8 kernel — the dense-MoE serving matmuls then run
+    as ONE stacked pallas_call (w4a8_stacked_matmul) instead of the XLA
+    dequant+einsum, whose stacked int4 unpack never fuses (measured
+    33 ms/layer on-chip, moe_gather_probe r4).  "rows" forces the plain
+    int4-pair layout (export interop / non-TPU)."""
+    E, oc, ic = w3.shape
+    gs = wspec.group_size if wspec.granularity == "per_group" else 0
+    use_planes = (layout in ("auto", "planes") and wspec.bit == 4
+                  and not wspec.is_float and gs
+                  and ic % (8 * gs) == 0 and oc % 128 == 0)
+    if use_planes:
+        parts = [quantize_linear(w3[e].astype(jnp.float32), wspec,
+                                 layout="planes", scale_layout="contig")
+                 for e in range(E)]
+        assert parts[0].layout == "planes" and parts[0].zeros is None
+        return QLinearParams(
+            jnp.stack([p.codes for p in parts]),
+            jnp.stack([p.scales for p in parts]), None, None,
+            4, gs, False, "stacked_planes")
     parts = [quantize_linear(w3[e].astype(jnp.float32), wspec,
                              layout="rows")
              for e in range(w3.shape[0])]
@@ -82,6 +105,28 @@ def quantize_linear_stacked(w3: Array, wspec: QuantSpec) -> QLinearParams:
                          p0.group_size, p0.is_float, "stacked")
 
 
+def _dequant_expert_planes(codes5: Array, szs: Array, gs: int) -> Array:
+    """One expert's tiled-planes codes (nb, gpp, NT, g) + combined scale
+    slab (nb, 2*gpp*8, NT) -> (oc, ic) f32 weights (inverse of
+    tile_packed / tile_scales_combined + plane unpack)."""
+    from ..ops.pallas_matmul import unpack_int4_planes
+
+    nb, gpp, nt, g = codes5.shape
+    kp = gpp * g
+    wp = codes5.transpose(0, 2, 1, 3).reshape(nb * nt, kp)
+    u = unpack_int4_planes(wp, kp * 8).astype(jnp.float32)  # (N, K)
+    G = 8 * gpp
+    r = szs.reshape(nb, 2, gpp, 8, nt)
+
+    def back(t):  # (nb, gpp, 8, nt) -> (N, G)
+        return t.transpose(0, 3, 2, 1).reshape(nb * nt, G)
+
+    s = back(r[:, 0]).astype(jnp.float32)
+    zs = back(r[:, 1]).astype(jnp.float32)  # premultiplied z*s
+    ug = u.reshape(nb * nt, G, gs)
+    return (ug * s[:, :, None] - zs[:, :, None]).reshape(nb * nt, kp * 8)
+
+
 def dequant_weight_stacked(qp: QLinearParams,
                            dtype=jnp.bfloat16) -> Array:
     """(E, oc, ic) bf16 view of a stacked quantized expert weight.  At
@@ -90,6 +135,11 @@ def dequant_weight_stacked(qp: QLinearParams,
     from ..ops.qlinear import _unpack_int4_u
 
     E = qp.codes.shape[0]
+    if getattr(qp, "layout", "") == "stacked_planes":
+        w = jax.vmap(
+            lambda c, s: _dequant_expert_planes(c, s, qp.group_size)
+        )(qp.codes, qp.scales)
+        return w.astype(dtype)
     if qp.bits == 4:
         u = jax.vmap(_unpack_int4_u)(qp.codes).astype(jnp.float32)
     else:
@@ -103,9 +153,33 @@ def dequant_weight_stacked(qp: QLinearParams,
     return ((u - z) * s).reshape(E, oc, ic).astype(dtype)
 
 
-def apply_qlinear_stacked(qp, x: Array, pair: bool = False) -> Array:
+def apply_qlinear_stacked(qp, x: Array, pair: bool = False,
+                          interpret: bool = False) -> Array:
     """Stacked-expert linear: x (n, ic) -> (E, n, oc); ``pair`` means x
-    already carries the expert dim ((E, n, ic), the down-proj input)."""
+    already carries the expert dim ((E, n, ic), the down-proj input).
+
+    stacked_planes weights on TPU run the ONE-call stacked Pallas kernel
+    (w4a8_stacked_matmul) — the XLA dequant+einsum's stacked int4 unpack
+    never fuses and measured 33 ms/layer on-chip (moe_gather_probe r4).
+    Falls back to the dequant einsum on CPU or at B > 256 (MoE prefill:
+    the kernel holds the whole B slab in VMEM)."""
+    if isinstance(qp, QLinearParams) \
+            and getattr(qp, "layout", "") == "stacked_planes" \
+            and x.shape[-2] <= 256 \
+            and (interpret or jax.default_backend() != "cpu"):
+        from ..ops.pallas_matmul import (quantize_act_per_token,
+                                         w4a8_stacked_matmul)
+
+        if pair:
+            E, n, ic = x.shape
+            xq, xs = quantize_act_per_token(x.reshape(E * n, ic))
+            xq = xq.reshape(E, n, ic)
+            xs = xs.reshape(E, n, 1)
+        else:
+            xq, xs = quantize_act_per_token(x)
+        return w4a8_stacked_matmul(
+            xq, xs, qp.codes, qp.scales, group=qp.group_size, pair=pair,
+            interpret=interpret)
     if isinstance(qp, QLinearParams):
         w = dequant_weight_stacked(qp)
     else:
@@ -130,6 +204,12 @@ def apply_qlinear_gathered(qp, x: Array, e_idx: Array) -> Array:
 
     if not isinstance(qp, QLinearParams):
         w = qp["weight"].astype(jnp.bfloat16)[e_idx]  # (n, oc, ic)
+        return jnp.einsum("ni,noi->no", x.astype(jnp.bfloat16), w,
+                          preferred_element_type=jnp.float32)
+    if getattr(qp, "layout", "") == "stacked_planes":
+        w = jax.vmap(
+            lambda c, s: _dequant_expert_planes(c, s, qp.group_size)
+        )(qp.codes[e_idx], qp.scales[e_idx]).astype(jnp.bfloat16)
         return jnp.einsum("ni,noi->no", x.astype(jnp.bfloat16), w,
                           preferred_element_type=jnp.float32)
     codes = qp.codes[e_idx]  # (n, oc, icp)

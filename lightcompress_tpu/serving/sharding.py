@@ -62,7 +62,7 @@ def _qp_sharding(name: str, qp: QLinearParams, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     rep = ns(P())
-    if qp.layout == "stacked":
+    if qp.layout in ("stacked", "stacked_planes"):
         return _stacked_sharding(qp, mesh)
     if name in _REPLICATED:
         return jax.device_put(qp, rep)

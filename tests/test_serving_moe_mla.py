@@ -292,3 +292,48 @@ def test_moe_gathered_linear_matches_stacked():
     want = jnp.stack([dense[int(e_idx[i]), i] for i in range(n)])
     np.testing.assert_allclose(np.asarray(gathered), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_planes_kernel_matches_dequant():
+    """stacked_planes layout: (a) dequant equals the rows layout exactly
+    (same per-group quantization, different packing); (b) the one-call
+    stacked Pallas kernel (interpret) matches the dequant einsum for both
+    the shared-x (gate/up) and pair (down) modes; (c) the gathered path
+    handles the layout."""
+    from lightcompress_tpu.serving.quantized_model import (
+        apply_qlinear_gathered, apply_qlinear_stacked,
+        dequant_weight_stacked, quantize_linear_stacked)
+
+    rng = np.random.RandomState(2)
+    E, oc, ic, gs, n = 4, 128, 256, 32, 3
+    w3 = jnp.asarray(rng.randn(E, oc, ic) * 0.1, jnp.float32)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=gs)
+    qp_p = quantize_linear_stacked(w3, spec)  # auto -> planes
+    qp_r = quantize_linear_stacked(w3, spec, layout="rows")
+    assert qp_p.layout == "stacked_planes"
+    np.testing.assert_allclose(
+        np.asarray(dequant_weight_stacked(qp_p, jnp.float32)),
+        np.asarray(dequant_weight_stacked(qp_r, jnp.float32)),
+        atol=2e-3, rtol=1e-2)
+
+    x = jnp.asarray(rng.randn(n, ic) * 0.5, jnp.float32)
+    ref = apply_qlinear_stacked(qp_r, x)                  # (E, n, oc)
+    got = apply_qlinear_stacked(qp_p, x, interpret=True)  # kernel path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
+
+    xp = jnp.asarray(rng.randn(E, n, oc) * 0.5, jnp.float32)
+    qp_d = quantize_linear_stacked(
+        jnp.asarray(rng.randn(E, ic, oc) * 0.1, jnp.float32), spec)
+    ref_d = apply_qlinear_stacked(qp_d, xp, pair=True)  # dequant (cpu)
+    got_d = apply_qlinear_stacked(qp_d, xp, pair=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               atol=0.05, rtol=0.05)
+
+    e_idx = jnp.asarray([2, 0, 3])
+    gat = apply_qlinear_gathered(qp_p, x, e_idx)
+    dense = apply_qlinear_stacked(qp_r, x)
+    want = jnp.stack([dense[int(e_idx[i]), i] for i in range(n)])
+    np.testing.assert_allclose(np.asarray(gat), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)

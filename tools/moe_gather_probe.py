@@ -1,6 +1,6 @@
 """MoE serving MLP: dense all-expert combine vs small-batch gathered
 path, on-chip (VERDICT r4 #7).  DeepSeek-ish stacked experts (E=64,
-moe_inter=1408, H=4096 — routed-expert shapes of a V2-Lite-class block),
+moe_inter=2048 (planes-kernel eligible), H=4096 — routed-expert shapes of a V2-Lite-class block),
 measured at n in {4, 8, 32} active tokens with the chained-iteration
 protocol.  Prints one JSON line per (n, impl)."""
 
@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 E = int(os.environ.get("E", "64"))
-I = int(os.environ.get("MOE_I", "1408"))
+I = int(os.environ.get("MOE_I", "2048"))
 H = int(os.environ.get("H", "4096"))
 TOPK = int(os.environ.get("TOPK", "6"))
 ITERS = int(os.environ.get("ITERS", "30"))
