@@ -1308,7 +1308,8 @@ class LLMEngine:
             # attn_impl="xla8" keeps the concat variant reachable
             use_xla8 = (self.attn_impl == "xla8"
                         and cache.bits == 8 and cache.layout == "hhd")
-            use_xla8a = ((self._use_xla8 or self.attn_impl == "xla8a")
+            use_xla8a = ((self._use_xla8
+                          or self.attn_impl in ("xla8a", "xla8r"))
                          and cache.bits == 8 and cache.layout == "hhd")
             use_xlanc = (self.attn_impl.startswith("xlanc")
                          and cache.bits == 8 and cache.layout == "hhd")
@@ -1420,8 +1421,13 @@ class LLMEngine:
         S = self.max_slots
         buf0 = jnp.zeros((n_steps, S), jnp.int32)
 
-        if (self.attn_impl == "xla8r" and cache.bits == 8
-                and cache.layout == "hhd"):
+        # the ring chunk is the DEFAULT dense-int8 chunked-decode path
+        # (12.21 ms/step vs xla8a's 14.84 at 32x1024, r4 probes); the
+        # per-step engine stays on xla8a — outputs agree up to softmax
+        # reassociation ties (the exactness invariant chunk==per-step
+        # holds on attn_impl='xla8a', see tests)
+        if ((self.attn_impl == "xla8r" or self._use_xla8)
+                and cache.bits == 8 and cache.layout == "hhd"):
             arch = sw.arch
             L, H, D = arch.num_layers, arch.num_kv_heads, arch.head_dim
             sdt = (cache.k_scale.dtype if cache.k_scale is not None

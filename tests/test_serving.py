@@ -417,18 +417,28 @@ def test_engine_fused_qkv_weights(tiny_setup):
 
 def test_engine_chunked_decode_matches_per_step(tiny_setup):
     """decode_chunk>1 runs multiple decode steps + sampling on-device per
-    dispatch (chunked scheduling); greedy output must equal the per-step
-    engine exactly."""
+    dispatch (chunked scheduling); on attn_impl='xla8a' (the non-ring
+    path) greedy output must equal the per-step engine EXACTLY.  The
+    default chunked engine routes through the ring path (xla8r) whose
+    flash merge reassociates the softmax — near-agreement only."""
     model, sw = tiny_setup
     eng1 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
                      prefill_buckets=(16,))
     engc = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
-                     prefill_buckets=(16,), decode_chunk=4)
+                     prefill_buckets=(16,), decode_chunk=4,
+                     attn_impl="xla8a")
     p = [[3, 17, 9, 2, 100], [5, 1, 7]]
     sp = SamplingParams(max_new_tokens=9, temperature=0.0)
     g1 = eng1.generate(p, sp)
     gc = engc.generate(p, sp)
     assert g1 == gc, (g1, gc)
+    # the default chunked engine picks the ring path and near-agrees
+    engr = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                     prefill_buckets=(16,), decode_chunk=4)
+    gr = engr.generate(p, sp)
+    total = sum(len(o) for o in g1)
+    agree = sum(a == b for o1, o2 in zip(gr, g1) for a, b in zip(o1, o2))
+    assert agree >= total - 2, (gr, g1)
 
 
 def test_engine_chunked_decode_max_len_cap(tiny_setup):

@@ -74,7 +74,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
     lw = make_layer_qweights(key)
-    which = os.environ.get("WHICH", "q,gate,down").split(",")
+    # q (8MB) sits VMEM-resident across chained iters and reads fake
+    # >4TB/s — only >16MB slabs give honest DMA numbers
+    which = os.environ.get("WHICH", "gate,down").split(",")
     B = 32
     for name in which:
         qp = lw[name]
@@ -113,6 +115,8 @@ def main():
                         out_specs=pl.BlockSpec(
                             (1, nt), lambda i: (0, 0),
                             memory_space=pltpu.VMEM),
+                        compiler_params=pltpu.CompilerParams(
+                            vmem_limit_bytes=64 * 1024 * 1024),
                     )(wp)
 
                 dt = run_chain(fn, wp_t)
