@@ -653,6 +653,14 @@ def w4a8_stacked_matmul(
     K = gpp * group * 8
     B = xq.shape[-2]
     N = n_blocks * n_tile
+    # pad token rows to the 8-sublane minimum: B < 8 blocks lower
+    # pathologically on Mosaic (the r1 4-row GQA-dot class)
+    B0 = B
+    if B < 8:
+        padw = [(0, 0)] * (xq.ndim - 2) + [(0, 8 - B), (0, 0)]
+        xq = jnp.pad(xq, padw)
+        x_scale = jnp.pad(x_scale, padw)
+        B = 8
 
     if pair:
         xr = xq.reshape(E, B, 8, gpp, group).transpose(0, 1, 3, 2, 4) \
@@ -698,6 +706,8 @@ def w4a8_stacked_matmul(
             transcendentals=0,
         ),
     )(xr, x_scale.astype(jnp.float32), wp_t, szs)
+    if B0 != B:
+        out = out[:, :B0]
     return out
 
 

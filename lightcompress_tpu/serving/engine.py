@@ -81,6 +81,15 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
     gather_thresh = int(_os.environ.get(
         "LCTPU_MOE_GATHER_MAX",
         str(max(1, m.num_experts // max(1, m.top_k)))))
+    # the gathered path only pays with "stacked" (rows) storage; with
+    # stacked_planes the dense ONE-call kernel wins at every n and the
+    # XLA unpack of gathered plane codes is catastrophic (r4 probe:
+    # 51 ms vs dense-kernel 10.5 at n=4)
+    from ..ops.qlinear import QLinearParams as _QLP
+    gp = entry["mlp.gate"]
+    if isinstance(gp, _QLP) and gp.layout == "stacked_planes" \
+            and jax.default_backend() != "cpu":
+        gather_thresh = 0
     if n <= gather_thresh and not getattr(sw, "sharded", False):
         # small-batch gathered path: read only the selected experts'
         # weights (n*top_k slabs) instead of all E — wins below

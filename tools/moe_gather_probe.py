@@ -77,7 +77,9 @@ def main():
         topw = jnp.asarray(rng.rand(n, TOPK) / TOPK, jnp.float32)
         x0 = jax.random.normal(key, (n, H), jnp.bfloat16)
         W = (gate, up, down)
-        for name, f in (("dense", dense_step), ("gather", gather_step)):
+        impls = os.environ.get("IMPLS", "dense,gather").split(",")
+        table = {"dense": dense_step, "gather": gather_step}
+        for name, f in [(k, table[k]) for k in impls]:
 
             @functools.partial(jax.jit, static_argnames=("iters",))
             def chain(W, x, iters, f=f):
