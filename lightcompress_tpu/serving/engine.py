@@ -1629,8 +1629,11 @@ class LLMEngine:
                 # compile-shape count stays bounded.
                 import os as _os
 
+                # 4096 rows: at 8192 the per-layer bf16/int8 transients
+                # around the prefill matmul custom calls stack to ~8GB
+                # and OOM next to the weights+cache args (r4 T=2048 probe)
                 rows_cap = int(_os.environ.get("LCTPU_PREFILL_ROWS",
-                                               "8192"))
+                                               "4096"))
                 groups: List[Tuple[int, List[Tuple[int, Request]]]] = []
                 for T, full_group in sorted(by_bucket.items()):
                     cap = max(1, rows_cap // T)

@@ -50,10 +50,15 @@ def _unpack_kernel(wp_ref, o_ref, *, gpp):
 
 
 def run_chain(fn, *args):
+    # the probe output must DEPEND on the loop carry or XLA hoists the
+    # loop-invariant pallas_call out of the fori entirely (v1 reported
+    # 7.7 TB/s "copies"); an optimization_barrier ties the weight operand
+    # to the carry without copying it
     @jax.jit
     def chain(iters, *a):
         def body(i, acc):
-            return acc + fn(*a)[0, 0]
+            wp, acc2 = jax.lax.optimization_barrier((a[0], acc))
+            return fn(wp, *a[1:])[0, 0] + acc2 * 0.0
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(chain(ITERS, *args))
