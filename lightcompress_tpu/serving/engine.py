@@ -917,8 +917,16 @@ class LLMEngine:
                 layout = "bd"
             else:
                 layout = "hhd"
+            buf_len = self.max_len
+            if layout in ("bd", "bd4"):
+                # the S-split flash kernels (bds / bd4 at 8k+) tile the
+                # cache time axis in s_block=512 chunks — Mosaic requires
+                # the axis divisible by the block (r4: max_len+80=4176
+                # crashed lowering); round the BUFFER up, lengths masks
+                # keep the logical max_len
+                buf_len = -(-buf_len // 512) * 512
             self.cache = KVCache.create(
-                a.num_layers, self.max_slots, a.num_kv_heads, self.max_len,
+                a.num_layers, self.max_slots, a.num_kv_heads, buf_len,
                 a.head_dim, bits=self.kv_bits, layout=layout,
             )
         if getattr(self, "shadow", None) is not None:
