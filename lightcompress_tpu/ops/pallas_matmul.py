@@ -184,6 +184,14 @@ def pick_n_tile(N: int, kp: int, group: int,
     gpp = max(kp // group, 1)
     for nt in (4096, 2048, 1024, 512, 256, 128):
         if N % nt == 0 and gpp * nt * group * 4 <= max_bytes:
+            if nt < 1024 and N % 1024 == 0 \
+                    and gpp * 1024 * group * 4 <= 2 * max_bytes:
+                # high-gpp shapes (down: K=14336, gpp=14) at nt=512 issue
+                # 112 small dots per grid step and run at 0.59 of the
+                # copy floor; nt=1024 (7.3MB tile, scoped-VMEM override
+                # auto-engages) measured +13%: 62.5 vs 71.7 us
+                # (tools/down_tile_probe.py r4)
+                return 1024
             return nt
     return 128
 

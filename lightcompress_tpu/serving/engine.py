@@ -656,18 +656,20 @@ def _shadow_extra_mask(skv, extra, li: int, q: Array) -> Array:
 
 def pick_attn_impl(kv_bits: int, max_len: int, paged: bool, arch,
                    backend: str = "tpu") -> str:
-    """Measured long-context attention recipe (REPORT r3): kv4 -> the bd4
-    nibble kernel (beats the XLA two-term path at every ctx); kv8 -> XLA
-    below 4k ctx, S-split flash bd beyond (XLA materializes the f32
-    score/prob intermediates at long S).  Pallas kernels need the TPU
-    backend; paged/MLA/MoE engines use the XLA block path."""
+    """Measured ENGINE-side attention recipe (r4 revision): kv8 -> "xla"
+    at EVERY context — the default route is the ring-chunk path (xla8r)
+    whose read-only main cache beats the S-split flash kernel 2x at 4k
+    engine-side (15.27 vs 31.3 ms/step at 16 slots; the bds kernel's r3
+    win was a bench-loop result that does not transfer to the dus-carried
+    engine cache).  kv4 -> the bd4 nibble kernel (its XLA two-term
+    alternative loses at every ctx; bd4 degrades at 32 slots x 4k — use
+    <=16 slots at long context or kv8+ring).  Pallas kernels need the
+    TPU backend; paged/MLA/MoE engines use the XLA block path."""
     if paged or arch.mla is not None or arch.moe is not None \
             or backend == "cpu":
         return "xla"
     if kv_bits == 4:
         return "bd4"
-    if max_len >= 4096:
-        return "bds"
     return "xla"
 
 
