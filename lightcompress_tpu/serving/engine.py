@@ -439,6 +439,76 @@ def _block_apply_decode_i8(
         ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
             / denom[..., None]
         payload = (ring,)
+    elif impl == "xla4r":
+        # kv4 RING-CHUNK: the nibble-packed hhd cache rides the same
+        # ring design as xla8r — half the main-term KV bytes via the
+        # two-plane einsums (the nibble math fuses into the dot reads,
+        # bench kv4 path structure).  The ONLY engine path that serves
+        # 32 slots at 4k+ (kv8 ring's cache no longer fits and bd4
+        # degrades pathologically there, r4 probes).
+        from .kv_cache import kv4_planes, quantize_kv4
+
+        k4, k4s = quantize_kv4(k)   # (S, H, 1, D/2), (S, H, 1)
+        v4, v4s = quantize_kv4(v)
+        rk = jax.lax.dynamic_update_slice(
+            ring["rk"], k4[None], (li, 0, 0, ring_pos, 0))
+        rv = jax.lax.dynamic_update_slice(
+            ring["rv"], v4[None], (li, 0, 0, ring_pos, 0))
+        rks = jax.lax.dynamic_update_slice(
+            ring["rks"], k4s.astype(ring["rks"].dtype)[None],
+            (li, 0, 0, ring_pos))
+        rvs = jax.lax.dynamic_update_slice(
+            ring["rvs"], v4s.astype(ring["rvs"].dtype)[None],
+            (li, 0, 0, ring_pos))
+        ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
+        qb = qg.astype(jnp.bfloat16)
+        hd2 = hd // 2
+        kc, vc = cache.k[li], cache.v[li]   # (S, H, T, D/2) packed
+        ksc, vsc = cache.k_scale[li], cache.v_scale[li]
+        klo, khi = kv4_planes(kc)
+        sc1 = (jnp.einsum("skgd,sktd->skgt", qb[..., :hd2],
+                          klo.astype(jnp.bfloat16))
+               + jnp.einsum("skgd,sktd->skgt", qb[..., hd2:],
+                            khi.astype(jnp.bfloat16)))
+        sc1 = sc1 * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
+        col = jnp.arange(kc.shape[2])[None, None, None, :]
+        sc1 = jnp.where(col < lengths0[:, None, None, None],
+                        sc1.astype(jnp.float32), -jnp.inf)
+        m1 = jnp.maximum(jnp.max(sc1, axis=-1), -1e30)
+        p1 = jnp.exp(sc1 - m1[..., None])
+        l1 = jnp.sum(p1, axis=-1)
+        pv1 = (p1 * vsc[:, :, None, :].astype(jnp.float32)
+               ).astype(jnp.bfloat16)
+        vlo, vhi = kv4_planes(vc)
+        ctx1 = jnp.concatenate(
+            [jnp.einsum("skgt,sktd->skgd", pv1,
+                        vlo.astype(jnp.bfloat16)),
+             jnp.einsum("skgt,sktd->skgd", pv1,
+                        vhi.astype(jnp.bfloat16))],
+            axis=-1).astype(jnp.float32)
+        rlo, rhi = kv4_planes(rk[li])   # (S, H, W, D/2) tiny
+        qf = qb.astype(jnp.float32)
+        sc2 = (jnp.einsum("skgd,skwd->skgw", qf[..., :hd2], rlo)
+               + jnp.einsum("skgd,skwd->skgw", qf[..., hd2:], rhi))
+        sc2 = sc2 * rks[li][:, :, None, :].astype(jnp.float32) \
+            * (hd ** -0.5)
+        wcol = jnp.arange(rlo.shape[2])[None, None, None, :]
+        sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
+        m2 = jnp.maximum(jnp.max(sc2, axis=-1), -1e30)
+        p2 = jnp.exp(sc2 - m2[..., None])
+        l2 = jnp.sum(p2, axis=-1)
+        pv2 = p2 * rvs[li][:, :, None, :].astype(jnp.float32)
+        rvlo, rvhi = kv4_planes(rv[li])
+        ctx2 = jnp.concatenate(
+            [jnp.einsum("skgw,skwd->skgd", pv2, rvlo),
+             jnp.einsum("skgw,skwd->skgd", pv2, rvhi)], axis=-1)
+        m = jnp.maximum(m1, m2)
+        a1 = jnp.exp(m1 - m)
+        a2 = jnp.exp(m2 - m)
+        denom = l1 * a1 + l2 * a2
+        ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
+            / denom[..., None]
+        payload = (ring,)
     elif impl == "xla8a":
         # APPEND-FIRST masked attention: write the quantized fresh token
         # into the cache (per-slot-loop dus — aliases in place), then run
@@ -795,6 +865,10 @@ class LLMEngine:
                 or decode_chunk <= 1):
             # the ring-chunk path needs the dense int8 hhd cache and a
             # multi-step decode chunk (the ring IS the chunk window)
+            attn_impl = "xla"
+        if attn_impl == "xla4r" and (
+                paged or kv_bits != 4 or spec_decode or sparse_kv
+                or decode_chunk <= 1):
             attn_impl = "xla"
         self.attn_impl = attn_impl
         # dense int8-KV engines route 'xla' decode through the
@@ -1413,10 +1487,11 @@ class LLMEngine:
             cos, sin = A.rope_cos_sin(arch, lengths[:, None])
         else:
             cos = sin = None
+        rimpl = "xla8r" if cache.bits == 8 else "xla4r"
         for li, entry in enumerate(sw.blocks):
             x, ring = _block_apply_decode_i8(
                 sw, entry, x, cos, sin, cache, li, lengths,
-                impl="xla8r", ring=ring, lengths0=lengths0,
+                impl=rimpl, ring=ring, lengths0=lengths0,
                 ring_pos=ring_pos)
         xl = A.rmsnorm(
             x, sw.norm.get("weight"), arch.rms_eps
@@ -1445,10 +1520,14 @@ class LLMEngine:
         # per-step engine stays on xla8a — outputs agree up to softmax
         # reassociation ties (the exactness invariant chunk==per-step
         # holds on attn_impl='xla8a', see tests)
-        if ((self.attn_impl == "xla8r" or self._use_xla8)
-                and cache.bits == 8 and cache.layout == "hhd"):
+        if (((self.attn_impl in ("xla8r", "xla4r") or self._use_xla8)
+             and cache.bits == 8 and cache.layout == "hhd")
+                or (self.attn_impl == "xla4r" and cache.bits == 4
+                    and cache.layout == "hhd")):
             arch = sw.arch
             L, H, D = arch.num_layers, arch.num_kv_heads, arch.head_dim
+            if cache.bits == 4:
+                D = D // 2  # nibble-packed ring entries
             sdt = (cache.k_scale.dtype if cache.k_scale is not None
                    else jnp.bfloat16)
             ring = {

@@ -810,3 +810,28 @@ def test_engine_xla8r_requires_chunk(tiny_setup):
                     prefill_buckets=(16,), decode_chunk=1,
                     attn_impl="xla8r")
     assert eng.attn_impl == "xla"  # falls back without a chunk window
+
+
+def test_engine_xla4r_kv4_ring_chunk(tiny_setup):
+    """kv4 ring-chunk decode (attn_impl='xla4r'): the nibble-packed hhd
+    cache + ring — near-agreement with the generic kv4 engine (same
+    quantization; two-plane einsums + flash merge reassociate)."""
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=4,
+                    prefill_buckets=(16,), decode_chunk=4,
+                    attn_impl="xla4r")
+    assert eng.attn_impl == "xla4r" and eng.cache.bits == 4
+    ref = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=4,
+                    prefill_buckets=(16,), attn_impl="xla")
+    p = [[3, 17, 9, 2, 100], [5, 1, 7], [9, 9, 4, 4]]
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0)
+    g1 = eng.generate(p, sp)
+    g2 = ref.generate(p, sp)
+    total = sum(len(o) for o in g2)
+    agree = sum(a == b for o1, o2 in zip(g1, g2) for a, b in zip(o1, o2))
+    assert agree >= total - 3, (g1, g2)
+    # guard: xla4r demands kv_bits=4 + a chunk window
+    e2 = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                   prefill_buckets=(16,), decode_chunk=4,
+                   attn_impl="xla4r")
+    assert e2.attn_impl == "xla"
