@@ -184,14 +184,11 @@ def pick_n_tile(N: int, kp: int, group: int,
     gpp = max(kp // group, 1)
     for nt in (4096, 2048, 1024, 512, 256, 128):
         if N % nt == 0 and gpp * nt * group * 4 <= max_bytes:
-            if nt < 1024 and N % 1024 == 0 \
-                    and gpp * 1024 * group * 4 <= 2 * max_bytes:
-                # high-gpp shapes (down: K=14336, gpp=14) at nt=512 issue
-                # 112 small dots per grid step and run at 0.59 of the
-                # copy floor; nt=1024 (7.3MB tile, scoped-VMEM override
-                # auto-engages) measured +13%: 62.5 vs 71.7 us
-                # (tools/down_tile_probe.py r4)
-                return 1024
+            # NOTE (r4): nt=1024 for the high-gpp down shape wins
+            # STANDALONE (+13%, tools/down_tile_probe.py) but the 7.3MB
+            # tile's scoped-VMEM override taxes the whole stack —
+            # bench c2048 2624 -> 2063 (-21%).  The opaque-megakernel
+            # rule again: bigger standalone kernels lose in-stack.
             return nt
     return 128
 
