@@ -725,7 +725,7 @@ def _shadow_extra_mask(skv, extra, li: int, q: Array) -> Array:
 
 
 def pick_attn_impl(kv_bits: int, max_len: int, paged: bool, arch,
-                   backend: str = "tpu") -> str:
+                   backend: str = "tpu", chunked: bool = False) -> str:
     """Measured ENGINE-side attention recipe (r4 revision): kv8 -> "xla"
     at EVERY context — the default route is the ring-chunk path (xla8r)
     whose read-only main cache beats the S-split flash kernel 2x at 4k
@@ -739,7 +739,10 @@ def pick_attn_impl(kv_bits: int, max_len: int, paged: bool, arch,
             or backend == "cpu":
         return "xla"
     if kv_bits == 4:
-        return "bd4"
+        # chunked engines ride the kv4 ring (r4: 13.89 ms vs bd4's 17.55
+        # at 32x1024; 24.5 at 32x4096 where bd4 degrades to 514); the
+        # per-step engine keeps the bd4 kernel
+        return "xla4r" if chunked else "bd4"
     return "xla"
 
 
@@ -842,7 +845,8 @@ class LLMEngine:
         if attn_impl == "auto":
             attn_impl = pick_attn_impl(
                 kv_bits, max_len, paged, weights.arch,
-                backend=jax.default_backend())
+                backend=jax.default_backend(),
+                chunked=int(decode_chunk) > 1)
         # ShadowKV serving mode (VERDICT r2 #4 engine-side hook): per-query
         # landmark retrieval over a shadow (low-rank) K cache
         self.shadow = None

@@ -568,6 +568,8 @@ def test_attn_impl_auto_recipe(tiny_setup):
     assert pick_attn_impl(8, 1024, False, a) == "xla"
     assert pick_attn_impl(4, 1024, False, a) == "bd4"
     assert pick_attn_impl(4, 8192, False, a) == "bd4"
+    assert pick_attn_impl(4, 1024, False, a, chunked=True) == "xla4r"
+    assert pick_attn_impl(4, 8192, False, a, chunked=True) == "xla4r"
     # r4: kv8 stays on "xla" at EVERY ctx — the ring-chunk path beats
     # the bds kernel 2x engine-side at 4k
     assert pick_attn_impl(8, 4096, False, a) == "xla"
