@@ -168,6 +168,28 @@ def make_layer_qweights(key):
             out[name] = QLinearParams(packed, s_t, zs_t, None, 4, GROUP,
                                       False, "masked")
             continue
+        if name == "down" and os.environ.get("BENCH_DOWNSPLIT") == "1":
+            # K-split experiment: two half-K kernel calls at nt=1024
+            # (3.7MB tiles, no VMEM override) halve the down shape's
+            # per-step dot-issue count (112 -> 2x56 bigger dots)
+            from lightcompress_tpu.ops.pallas_matmul import (
+                tile_scales_combined as _tsc)
+
+            halves = []
+            for hk in (0, 1):
+                kp2 = ic // 16
+                c2 = jax.random.randint(ks[i], (oc, kp2), -(2**31),
+                                        2**31 - 1, dtype=jnp.int32)
+                nt2 = pick_n_tile(oc, kp2, GROUP)
+                c2 = tile_packed(c2, nt2, GROUP)
+                s2 = jnp.full((oc, ic // 2 // GROUP), 0.01, jnp.float32)
+                z2 = jnp.full((oc, ic // 2 // GROUP), 8.0, jnp.float32)
+                gpp2 = kp2 // GROUP
+                s2 = _tsc(s2, z2 * s2, nt2, gpp2).astype(jnp.bfloat16)
+                halves.append(QLinearParams(c2, s2, None, None, 4, GROUP,
+                                            False, "planes"))
+            out[name] = tuple(halves)
+            continue
         codes = jax.random.randint(ks[i], (oc, ic // 8), -(2**31), 2**31 - 1,
                                    dtype=jnp.int32)
         # library tile picker: largest output tile with a <=4MB full-K DMA
@@ -223,6 +245,11 @@ def decode_step(layers, x, k_cache, v_cache, kv_scales):
         """One decode linear; with_rms folds the pre-norm in.  FUSEDLIN
         runs norm+act-quant+rescale inside the kernel; otherwise they are
         XLA ops (identical HLO to the original h1-shared form via CSE)."""
+        if isinstance(qp, tuple):  # BENCH_DOWNSPLIT K-halves
+            hh = rms(h) if with_rms else h
+            half = hh.shape[-1] // 2
+            return qlinear_apply(hh[..., :half], qp[0]) + \
+                qlinear_apply(hh[..., half:], qp[1])
         if FUSEDLIN:
             fused = (w4a8_linear_bytes_fused if qp.layout == "s4"
                      else w4a8_linear_planes_fused)
