@@ -861,14 +861,15 @@ def main():
     tokens_per_s = BATCH / dt
 
     # roofline: bytes read per decode step
-    weight_bytes = sum(
-        int(np.prod(lw[n].codes.shape)) * lw[n].codes.dtype.itemsize
-        + lw[n].scales.size * lw[n].scales.dtype.itemsize
-        + (lw[n].zeros.size * lw[n].zeros.dtype.itemsize
-           if lw[n].zeros is not None else 0)
-        for lw in layers
-        for n in lw
-    )
+    def _qp_bytes(qp):
+        if isinstance(qp, tuple):  # BENCH_DOWNSPLIT halves
+            return sum(_qp_bytes(h) for h in qp)
+        return (int(np.prod(qp.codes.shape)) * qp.codes.dtype.itemsize
+                + qp.scales.size * qp.scales.dtype.itemsize
+                + (qp.zeros.size * qp.zeros.dtype.itemsize
+                   if qp.zeros is not None else 0))
+
+    weight_bytes = sum(_qp_bytes(lw[n]) for lw in layers for n in lw)
     kv_code_bytes = {4: HEAD_DIM // 2, 8: HEAD_DIM,
                      16: HEAD_DIM * 2}[KV_BITS]
     kv_bytes = 2 * LAYERS * BATCH * N_KV * CTX * (kv_code_bytes
