@@ -26,23 +26,37 @@ def main():
     ATTN = os.environ.get("ATTN", "auto")
     T = int(os.environ.get("T", "256"))
     KV = int(os.environ.get("KV", "8"))
+    PC = int(os.environ.get("PREFILL_CHUNK", "0"))  # 0 = whole-prompt
     sw = make_weights()
     eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=KV,
                     prefill_buckets=(T,), decode_chunk=16,
-                    attn_impl=ATTN)
+                    attn_impl=ATTN,
+                    prefill_chunk=(PC or None))
     rng = np.random.RandomState(0)
     prompts = [rng.randint(1, 32000, size=(T,)).tolist()
                for _ in range(SLOTS)]
     sp = SamplingParams(max_new_tokens=4, temperature=0.0)
-    eng.generate(prompts, sp)  # prefill all slots + tiny decode (compiles)
+    warm = ([p[:PC] for p in prompts[:2]] if PC else prompts)
+    eng.generate(warm, sp)  # prefill + tiny decode (compiles)
 
     # slots are retired now; re-prefill to refill
     eng.reset()
-    eng.generate(prompts, SamplingParams(max_new_tokens=1, temperature=0.0))
+    eng.generate(warm, SamplingParams(max_new_tokens=1, temperature=0.0))
     eng.reset()
 
     # manual: prefill via engine internals, then time raw chunk calls
     for slot, p in enumerate(prompts):
+        if PC:
+            # long prompts: chunked prefill (whole-prompt SDPA scores are
+            # O(T^2) f32 — 8GB at T=8192)
+            for off in range(0, len(p), PC):
+                chunk = p[off:off + PC]
+                ids = np.zeros((1, PC), np.int32)
+                ids[0, :len(chunk)] = chunk
+                eng.cache, eng.lengths, logits = eng._prefill_chunk_jit(
+                    eng.sw, eng.cache, eng.lengths, jnp.asarray(ids),
+                    jnp.asarray(slot), jnp.asarray(len(chunk)), T=PC)
+            continue
         ids = np.zeros((1, T), np.int32)
         ids[0, :len(p)] = p
         eng.cache, eng.lengths, logits = eng._prefill_jit(
