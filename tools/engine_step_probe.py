@@ -29,8 +29,8 @@ def main():
     PC = int(os.environ.get("PREFILL_CHUNK", "0"))  # 0 = whole-prompt
     sw = make_weights()
     eng = LLMEngine(sw, max_slots=SLOTS, max_len=T + 80, kv_bits=KV,
-                    prefill_buckets=(T,), decode_chunk=16,
-                    attn_impl=ATTN,
+                    prefill_buckets=((PC, T) if PC else (T,)),
+                    decode_chunk=16, attn_impl=ATTN,
                     prefill_chunk=(PC or None))
     rng = np.random.RandomState(0)
     prompts = [rng.randint(1, 32000, size=(T,)).tolist()
