@@ -574,35 +574,6 @@ def _block_apply_decode_i8(
         pv = (probs * vsc[:, :, None, :].astype(jnp.float32)
               ).astype(jnp.bfloat16)
         ctx = jnp.einsum("skgt,sktd->skgd", pv, vc.astype(jnp.bfloat16))
-    elif impl == "xla8nc":
-        # READ-ONLY cache attention: no cache concat at all — the fresh
-        # token is a separate score column merged flash-style.  At the
-        # bench this lost to concat (XLA fuses loop-invariant concats);
-        # engine-side the concat MATERIALIZES on the dus-carried cache,
-        # so read-only should win (engine probe r4 candidate)
-        kcache, vcache = cache.k[li], cache.v[li]
-        kssc = cache.k_scale[li]
-        vssc = cache.v_scale[li]
-        qb = qg.astype(jnp.bfloat16)
-        sc = jnp.einsum("skgd,sktd->skgt", qb, kcache.astype(jnp.bfloat16))
-        sc = sc * kssc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
-        Tm = kcache.shape[2]
-        col = jnp.arange(Tm)[None, None, None, :]
-        sc = jnp.where(col < lengths[:, None, None, None],
-                       sc.astype(jnp.float32), -jnp.inf)
-        sc_new = jnp.einsum("skgd,skd->skg", qb,
-                            kq[:, :, 0].astype(jnp.bfloat16))
-        sc_new = sc_new * ks[:, :, 0][:, :, None].astype(jnp.float32) \
-            * (hd ** -0.5)
-        allsc = jnp.concatenate([sc, sc_new[..., None]], axis=-1)
-        probs = jax.nn.softmax(allsc, axis=-1)
-        pv = (probs[..., :Tm] * vssc[:, :, None, :].astype(jnp.float32)
-              ).astype(jnp.bfloat16)
-        ctx = jnp.einsum("skgt,sktd->skgd", pv,
-                         vcache.astype(jnp.bfloat16))
-        pn = (probs[..., Tm] * vs[:, :, 0][:, :, None].astype(jnp.float32))
-        ctx = ctx + pn[..., None].astype(jnp.bfloat16) * \
-            vq[:, :, 0].astype(jnp.bfloat16)[:, :, None, :]
     else:
         ctx = decode_attention_i8(
             qg, cache.k[li], cache.k_scale[li], cache.v[li],
@@ -1419,16 +1390,13 @@ class LLMEngine:
             use_xla8a = ((self._use_xla8
                           or self.attn_impl in ("xla8a", "xla8r"))
                          and cache.bits == 8 and cache.layout == "hhd")
-            use_xlanc = (self.attn_impl.startswith("xlanc")
-                         and cache.bits == 8 and cache.layout == "hhd")
             if (self.attn_impl.startswith("pallas")
                     or self.attn_impl.startswith("bd")
-                    or use_xla8 or use_xla8a or use_xlanc) \
+                    or use_xla8 or use_xla8a) \
                     and not self.paged \
                     and (cache.bits == 8 or cache.layout == "bd4"):
                 base = self.attn_impl.replace("_interpret", "")
                 impl = ("xla8a" if use_xla8a
-                        else "xla8nc" if use_xlanc
                         else "xla8" if use_xla8
                         else base if base.startswith("bd") else "i8")
                 if impl == "xla8a":

@@ -697,23 +697,6 @@ def test_contig_scale_layout_serving(tiny_setup):
     assert g1 == g2
 
 
-def test_engine_xlanc_readonly_attention(tiny_setup):
-    """Read-only no-concat decode attention (attn_impl='xlanc'):
-    tracks the default engine's greedy output (same int8-KV numerics
-    class; the fresh token rides a separate merged score column)."""
-    model, sw = tiny_setup
-    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
-                    prefill_buckets=(16,), attn_impl="xlanc")
-    ref = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
-                    prefill_buckets=(16,))
-    p = [[3, 17, 9, 2, 100], [5, 1, 7]]
-    sp = SamplingParams(max_new_tokens=8, temperature=0.0)
-    g1 = eng.generate(p, sp)
-    g2 = ref.generate(p, sp)
-    agree = sum(a == b for o1, o2 in zip(g1, g2) for a, b in zip(o1, o2))
-    assert agree >= 12, (g1, g2)
-
-
 def test_engine_xla8a_appendfirst_attention(tiny_setup):
     """Append-first masked full-buffer decode attention
     (attn_impl='xla8a'): numerics are IDENTICAL to the default xla8
