@@ -39,10 +39,15 @@ def main():
     warm = ([p[:PC] for p in prompts[:2]] if PC else prompts)
     eng.generate(warm, sp)  # prefill + tiny decode (compiles)
 
-    # slots are retired now; re-prefill to refill
+    # slots are retired now; re-prefill to refill.  (At near-capacity
+    # shapes skip the second warmup cycle: reset() allocates a fresh
+    # multi-GB cache and the tunneled runtime frees the old one lazily —
+    # two caches alive transiently OOM at 8k ctx.)
     eng.reset()
-    eng.generate(warm, SamplingParams(max_new_tokens=1, temperature=0.0))
-    eng.reset()
+    if not PC:
+        eng.generate(warm,
+                     SamplingParams(max_new_tokens=1, temperature=0.0))
+        eng.reset()
 
     # manual: prefill via engine internals, then time raw chunk calls
     for slot, p in enumerate(prompts):
