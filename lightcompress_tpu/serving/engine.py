@@ -949,6 +949,7 @@ class LLMEngine:
                 from .sharding import shard_kv_cache
 
                 self.cache = shard_kv_cache(self.cache, self.mesh)
+            self.buf_len = self.max_len
             self.lengths = jnp.zeros((self.max_slots,), jnp.int32)
             self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
             self.slot_req = [None] * self.max_slots
@@ -960,6 +961,7 @@ class LLMEngine:
                 a.head_dim, bits=self.kv_bits,
             )  # +1: page 0 is the reserved scratch page
             self.allocator = PageAllocator(self.n_pages + 1)
+            self.buf_len = self.max_len
             self.slot_pages: List[List[int]] = [[] for _ in
                                                 range(self.max_slots)]
         else:
@@ -991,6 +993,10 @@ class LLMEngine:
                 a.num_layers, self.max_slots, a.num_kv_heads, buf_len,
                 a.head_dim, bits=self.kv_bits, layout=layout,
             )
+            # the PHYSICAL time-axis length: masks in every cache-reading
+            # jit must size from this, not max_len (ring headroom / bd
+            # s_block rounding make the buffer longer)
+            self.buf_len = buf_len
         if getattr(self, "shadow", None) is not None:
             a2 = self.arch
             C = self.max_len // self.shadow.chunk_size
@@ -1268,7 +1274,7 @@ class LLMEngine:
             x = x + sw.embed_pos[jnp.arange(T) + start + 2]
         cos, sin = (A.rope_cos_sin(arch, jnp.arange(T) + start)
                     if arch.family == "llama" else (None, None))
-        Tmax = self.max_len
+        Tmax = self.buf_len
         # mask over [cache rows | chunk rows]: cache col j visible iff
         # j < start; chunk causal + padding (cols >= true_len hidden)
         cache_vis = jnp.where(
@@ -1331,7 +1337,7 @@ class LLMEngine:
             cos, sin = A.rope_cos_sin(arch, pos)  # (S, K1, d)
         else:
             cos = sin = None
-        Tmax = self.max_len
+        Tmax = self.buf_len
         j = jnp.arange(Tmax)[None, None, None, :]
         cache_vis = jnp.where(j < lengths[:, None, None, None], 0.0,
                               jnp.finfo(jnp.float32).min)  # (S,1,1,T)
@@ -1371,7 +1377,7 @@ class LLMEngine:
         # attention mask over fixed cache length + the new token (the new
         # token sits at concat index T and is always visible)
         T = (self.max_pages_per_slot * self.page_size if self.paged
-             else self.max_len)
+             else self.buf_len)
         j = jnp.arange(T + 1)[None, None, None, :]
         visible = (j < lengths[:, None, None, None]) | (j == T)
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)

@@ -829,3 +829,24 @@ def test_engine_xla4r_kv4_ring_chunk(tiny_setup):
                    prefill_buckets=(16,), decode_chunk=4,
                    attn_impl="xla4r")
     assert e2.attn_impl == "xla"
+
+
+def test_chunked_prefill_with_ring_headroom(tiny_setup):
+    """Regression (r4 8k probe): with decode_chunk>1 the ring cache
+    carries flush headroom, so the PHYSICAL buffer is longer than
+    max_len — _prefill_chunk/_spec_verify/_decode_step masks must size
+    from buf_len or their concat shapes mismatch."""
+    model, sw = tiny_setup
+    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(8, 32), decode_chunk=8,
+                    prefill_chunk=8)
+    assert eng.buf_len == 64 + 8
+    p = [list(range(3, 30)), [5, 1, 7]]  # 27-token prompt -> 4 chunks
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
+    out = eng.generate(p, sp)
+    ref = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
+                    prefill_buckets=(8, 32),
+                    prefill_chunk=8).generate(p, sp)
+    total = sum(len(o) for o in ref)
+    agree = sum(a == b for o1, o2 in zip(out, ref) for a, b in zip(o1, o2))
+    assert agree >= total - 2, (out, ref)
