@@ -1294,6 +1294,11 @@ class LLMEngine:
             if self.kv_bits == 8:
                 kq, ks = quantize_kv(k_new)
                 vq, vs = quantize_kv(v_new)
+            elif self.kv_bits == 4:
+                from .kv_cache import quantize_kv4
+
+                kq, ks = quantize_kv4(k_new)   # packed (1, H, T, D/2)
+                vq, vs = quantize_kv4(v_new)
             else:
                 kq, vq = (k_new.astype(jnp.bfloat16),
                           v_new.astype(jnp.bfloat16))
@@ -1941,7 +1946,7 @@ def _append_one_slot_at(cache: KVCache, layer: int, slot, kq, ks, vq, vs,
         cache.k, kq.astype(cache.k.dtype)[None], (layer, slot, 0, off, 0))
     v = jax.lax.dynamic_update_slice(
         cache.v, vq.astype(cache.v.dtype)[None], (layer, slot, 0, off, 0))
-    if cache.bits != 8:
+    if cache.bits == 16:
         return dataclasses.replace(cache, k=k, v=v)
     k_scale = jax.lax.dynamic_update_slice(
         cache.k_scale, ks.astype(cache.k_scale.dtype)[None],
