@@ -439,53 +439,6 @@ def _block_apply_decode_i8(
         ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
             / denom[..., None]
         payload = (ring,)
-    elif impl == "bdr":
-        # bds-flash kernel as the RING's main term: within a ring chunk
-        # the bd slab cache is fori-loop-INVARIANT, which is exactly the
-        # regime where the kernel beat XLA in the bench loop (r3 c4096:
-        # 1655 vs 1334) — engine-side it previously lost because the
-        # custom call forced copies of the dus-carried cache.  The
-        # kernel's (ctx-unnormalized, m, denom) partials merge with the
-        # ring term like xla8r's main term.
-        from ..ops.pallas_attention import decode_attention_bd_flash
-
-        rk = jax.lax.dynamic_update_slice(
-            ring["rk"], kq[None], (li, 0, 0, ring_pos, 0))
-        rv = jax.lax.dynamic_update_slice(
-            ring["rv"], vq[None], (li, 0, 0, ring_pos, 0))
-        rks = jax.lax.dynamic_update_slice(
-            ring["rks"], ks.astype(ring["rks"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        rvs = jax.lax.dynamic_update_slice(
-            ring["rvs"], vs.astype(ring["rvs"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
-        ctx1, m1, l1 = decode_attention_bd_flash(
-            qg, cache.k[li], cache.k_scale[li], cache.v[li],
-            cache.v_scale[li], lengths=lengths0, s_block=512,
-            interpret=interpret)
-        m1 = jnp.maximum(m1, -1e30)
-        qf = qg.astype(jnp.float32)
-        sc2 = jnp.einsum("skgd,skwd->skgw", qf,
-                         rk[li].astype(jnp.float32))
-        sc2 = sc2 * rks[li][:, :, None, :].astype(jnp.float32) \
-            * (hd ** -0.5)
-        wcol = jnp.arange(rk.shape[3])[None, None, None, :]
-        sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
-        m2 = jnp.maximum(jnp.max(sc2, axis=-1), -1e30)
-        p2 = jnp.exp(sc2 - m2[..., None])
-        l2 = jnp.sum(p2, axis=-1)
-        ctx2 = jnp.einsum(
-            "skgw,skwd->skgd",
-            p2 * rvs[li][:, :, None, :].astype(jnp.float32),
-            rv[li].astype(jnp.float32))
-        m = jnp.maximum(m1, m2)
-        a1 = jnp.exp(m1 - m)
-        a2 = jnp.exp(m2 - m)
-        denom = l1 * a1 + l2 * a2
-        ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
-            / denom[..., None]
-        payload = (ring,)
     elif impl == "xla4r":
         # kv4 RING-CHUNK: the nibble-packed hhd cache rides the same
         # ring design as xla8r — half the main-term KV bytes via the
@@ -892,10 +845,6 @@ class LLMEngine:
                 paged or kv_bits != 4 or spec_decode or sparse_kv
                 or decode_chunk <= 1):
             attn_impl = "xla"
-        if attn_impl.replace("_interpret", "") == "bdr" and (
-                paged or kv_bits != 8 or spec_decode or sparse_kv
-                or decode_chunk <= 1):
-            attn_impl = "xla"
         self.attn_impl = attn_impl
         # dense int8-KV engines route 'xla' decode through the
         # quantized-concat attention (impl='xla8'): XLA fuses the int8
@@ -1019,13 +968,11 @@ class LLMEngine:
             base = self.attn_impl.replace("_interpret", "")
             if base == "bd4" and self.kv_bits == 4:
                 layout = "bd4"
-            elif base in ("bd", "bds", "bdr") and self.kv_bits == 8:
+            elif base in ("bd", "bds") and self.kv_bits == 8:
                 layout = "bd"
             else:
                 layout = "hhd"
             buf_len = self.max_len
-            if base == "bdr" and self.decode_chunk > 1:
-                buf_len += self.decode_chunk  # ring flush headroom
             if layout == "hhd" and self.decode_chunk > 1 and (
                     self._use_xla8
                     or self.attn_impl in ("xla8r", "xla4r")):
@@ -1462,7 +1409,6 @@ class LLMEngine:
                 base = self.attn_impl.replace("_interpret", "")
                 impl = ("xla8a" if use_xla8a
                         else "xla8" if use_xla8
-                        else "bd" if base == "bdr"
                         else base if base.startswith("bd") else "i8")
                 if impl == "xla8a":
                     x, cache = _block_apply_decode_i8(
@@ -1535,9 +1481,7 @@ class LLMEngine:
             cos, sin = A.rope_cos_sin(arch, lengths[:, None])
         else:
             cos = sin = None
-        base_ai = self.attn_impl.replace("_interpret", "")
-        rimpl = ("bdr" if base_ai == "bdr"
-                 else "xla8r" if cache.bits == 8 else "xla4r")
+        rimpl = "xla8r" if cache.bits == 8 else "xla4r"
         for li, entry in enumerate(sw.blocks):
             x, ring = _block_apply_decode_i8(
                 sw, entry, x, cos, sin, cache, li, lengths,
@@ -1575,9 +1519,7 @@ class LLMEngine:
         if (((base_ai in ("xla8r", "xla4r") or self._use_xla8)
              and cache.bits == 8 and cache.layout == "hhd")
                 or (base_ai == "xla4r" and cache.bits == 4
-                    and cache.layout == "hhd")
-                or (base_ai == "bdr" and cache.bits == 8
-                    and cache.layout == "bd")):
+                    and cache.layout == "hhd")):
             arch = sw.arch
             L, H, D = arch.num_layers, arch.num_kv_heads, arch.head_dim
             if cache.bits == 4:
@@ -1604,12 +1546,7 @@ class LLMEngine:
             ring, lengths, cur, key, buf = jax.lax.fori_loop(
                 0, n_steps, rbody,
                 (ring, lengths, cur_tokens, key, buf0))
-            if cache.layout == "bd":
-                from .kv_cache import flush_ring_to_cache_bd
-
-                cache = flush_ring_to_cache_bd(cache, ring, lengths0)
-            else:
-                cache = flush_ring_to_cache(cache, ring, lengths0)
+            cache = flush_ring_to_cache(cache, ring, lengths0)
             return (cache, lengths, cur, key, buf)
 
         def body(i, carry):

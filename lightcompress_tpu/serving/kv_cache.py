@@ -596,28 +596,3 @@ def flush_ring_to_cache(cache: KVCache, ring: Dict[str, Array],
         vs = _dus_slots(vs, ring["rvs"][li], li, lengths0, pos_axis=1)
     return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
 
-
-def flush_ring_to_cache_bd(cache: KVCache, ring: Dict[str, Array],
-                           lengths0: Array) -> KVCache:
-    """Ring flush for the bd slab layout (engine attn_impl='bdr'): ring
-    rk/rv are hhd-shaped (L, S, H, W, D); K lands feature-major
-    ((H*D, W) columns at each slot's chunk-entry position), V time-major
-    ((W, H*D) rows), scales (H, W)."""
-    k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
-    L, S, H, W, D = ring["rk"].shape
-    for li in range(L):
-        for s in range(S):
-            pos = lengths0[s]
-            kslab = ring["rk"][li, s].transpose(0, 2, 1).reshape(H * D, W)
-            vslab = ring["rv"][li, s].transpose(1, 0, 2).reshape(W, H * D)
-            k = jax.lax.dynamic_update_slice(
-                k, kslab[None, None].astype(k.dtype), (li, s, 0, pos))
-            v = jax.lax.dynamic_update_slice(
-                v, vslab[None, None].astype(v.dtype), (li, s, pos, 0))
-            ks = jax.lax.dynamic_update_slice(
-                ks, ring["rks"][li, s][None, None].astype(ks.dtype),
-                (li, s, 0, pos))
-            vs = jax.lax.dynamic_update_slice(
-                vs, ring["rvs"][li, s][None, None].astype(vs.dtype),
-                (li, s, 0, pos))
-    return dataclasses.replace(cache, k=k, v=v, k_scale=ks, v_scale=vs)
