@@ -869,41 +869,3 @@ def test_chunked_prefill_kv4(tiny_setup):
     total = sum(len(o) for o in ref)
     agree = sum(a == b for o1, o2 in zip(out, ref) for a, b in zip(o1, o2))
     assert agree >= total - 3, (out, ref)
-
-
-def test_chunked_prefill_kv4(tiny_setup):
-    """Regression (r4 8k probe): chunked prefill on a kv4 cache wrote
-    bf16 into the nibble-packed buffer (shape mismatch); it now
-    quantizes the chunk with quantize_kv4 like the other prefill paths."""
-    model, sw = tiny_setup
-    eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=4,
-                    prefill_buckets=(8, 32), decode_chunk=4,
-                    prefill_chunk=8, attn_impl="xla4r")
-    p = [list(range(3, 30)), [5, 1, 7]]
-    sp = SamplingParams(max_new_tokens=6, temperature=0.0)
-    out = eng.generate(p, sp)
-    ref = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=4,
-                    prefill_buckets=(32,),
-                    attn_impl="xla").generate(p, sp)
-    total = sum(len(o) for o in ref)
-    agree = sum(a == b for o1, o2 in zip(out, ref) for a, b in zip(o1, o2))
-    assert agree >= total - 3, (out, ref)
-
-
-def test_engine_bdr_kernel_ring_chunk(tiny_setup):
-    """bds-flash main term + ring chunk (attn_impl='bdr'): the kernel
-    sees a loop-invariant bd slab cache; near-agreement vs default."""
-    model, sw = tiny_setup
-    eng = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
-                    prefill_buckets=(16,), decode_chunk=4,
-                    attn_impl="bdr_interpret")
-    assert eng.cache.layout == "bd"
-    ref = LLMEngine(sw, max_slots=2, max_len=96, kv_bits=8,
-                    prefill_buckets=(16,))
-    p = [[3, 17, 9, 2, 100], [5, 1, 7], [9, 9, 4, 4]]
-    sp = SamplingParams(max_new_tokens=8, temperature=0.0)
-    g1 = eng.generate(p, sp)
-    g2 = ref.generate(p, sp)
-    total = sum(len(o) for o in g2)
-    agree = sum(a == b for o1, o2 in zip(g1, g2) for a, b in zip(o1, o2))
-    assert agree >= total - 3, (g1, g2)
