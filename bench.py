@@ -168,6 +168,25 @@ def make_layer_qweights(key):
             out[name] = QLinearParams(packed, s_t, zs_t, None, 4, GROUP,
                                       False, "masked")
             continue
+        if name == "down" and os.environ.get("BENCH_KSPLIT") == "1":
+            # in-kernel K-split: grid (N tiles, K halves) with output
+            # accumulation — nt doubles (512 -> 1024) at <=4MB tiles
+            from lightcompress_tpu.ops.pallas_matmul import (
+                tile_packed_ksplit, tile_scales_combined_ksplit)
+
+            kp = ic // 8
+            gpp = kp // GROUP
+            nt = pick_n_tile(oc, kp // 2, GROUP)  # tile by the HALF
+            c = jax.random.randint(ks[i], (oc, kp), -(2**31), 2**31 - 1,
+                                   dtype=jnp.int32)
+            wp5 = tile_packed_ksplit(c, nt, GROUP)
+            sc = jnp.full((oc, ic // GROUP), 0.01, jnp.float32)
+            zr = jnp.full((oc, ic // GROUP), 8.0, jnp.float32)
+            szs = tile_scales_combined_ksplit(
+                sc, zr * sc, nt, gpp).astype(jnp.bfloat16)
+            out[name] = QLinearParams(wp5, szs, None, None, 4, GROUP,
+                                      False, "planes_ks")
+            continue
         if name == "down" and os.environ.get("BENCH_DOWNSPLIT") == "1":
             # K-split experiment: two half-K kernel calls at nt=1024
             # (3.7MB tiles, no VMEM override) halve the down shape's

@@ -591,6 +591,142 @@ def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _w4a8_kernel_ksplit(x_ref, szs_ref, wp_ref, o_ref, *,
+                        group: int, gpp2: int):
+    """K-SPLIT variant of _w4a8_kernel_fullk_combined for high-gpp shapes
+    (down: K=14336, gpp=14): grid (N tiles, K halves) with OUTPUT
+    ACCUMULATION across the inner (half) dim.  Each step's tile is
+    (gpp/2, 2*nt, g) — n_tile doubles at the same <=4MB DMA block, so a
+    step issues half as many, twice-as-large MXU dots (the down shape
+    ran at 0.59 of its copy floor on dot-issue overhead).  Unlike the
+    nt=1024 single-tile variant (-21% in-stack: scoped-VMEM override
+    tax) the tiles here stay under Mosaic's 16MB default."""
+    h = pl.program_id(1)
+    xb = x_ref[0]  # (B, K2) — this half's plane-reordered activations
+    b, nt = o_ref.shape
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp2 * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        wpb = wp_ref[0, 0, gi]
+        sblk = szs_ref[0, 0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
+        news = list(accs)
+        for j in range(8):
+            cg = ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+            xg = x_ref[0, :, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                sblk[j][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp2, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = szs_ref[0, 0, gpp2 * 8:, :].astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    part = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
+
+    @pl.when(h == 0)
+    def _init():
+        o_ref[:] = part
+
+    @pl.when(h > 0)
+    def _acc():
+        o_ref[:] = o_ref[:] + part
+
+
+def tile_packed_ksplit(wp: Array, n_tile: int, group: int,
+                       splits: int = 2) -> Array:
+    """(N, kp) plane-packed -> (N/NT, splits, gpp/splits, NT, g): each
+    grid step DMAs one contiguous half-K tile."""
+    n, kp = wp.shape
+    kp2 = kp // splits
+    halves = [tile_packed(wp[:, h * kp2:(h + 1) * kp2], n_tile, group)
+              for h in range(splits)]
+    return jnp.stack(halves, axis=1)
+
+
+def _ksplit_group_idx(gpp: int, splits: int):
+    """Natural group indices covered by each K half, in the kernel's
+    (j-major, gi-minor) order: half h's word p holds K position
+    j*kp + h*kp2 + p_local, i.e. group j*gpp + h*gpp2 + gi."""
+    gpp2 = gpp // splits
+    return [[j * gpp + h * gpp2 + gi for j in range(8)
+             for gi in range(gpp2)] for h in range(splits)]
+
+
+def tile_scales_combined_ksplit(s: Array, zs: Array, n_tile: int,
+                                gpp: int, splits: int = 2) -> Array:
+    """-> (N/NT, splits, 2*(gpp/splits)*8, NT) combined slabs per half."""
+    out = []
+    for idx in _ksplit_group_idx(gpp, splits):
+        out.append(tile_scales_combined(s[:, idx], zs[:, idx], n_tile,
+                                        gpp // splits))
+    return jnp.stack(out, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret"),
+)
+def w4a8_matmul_planes_ksplit(
+    xq: Array,       # (B, K) int8 natural order
+    x_scale: Array,  # (B, 1) f32
+    wp_t: Array,     # (N/NT, splits, gpp2, NT, g) int32
+    szs: Array,      # (N/NT, splits, 2*gpp2*8, NT)
+    group: int = 128,
+    interpret: bool = False,
+) -> Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks, splits, gpp2, n_tile, gw = wp_t.shape
+    assert gw == group
+    K2 = gpp2 * group * 8
+    K = K2 * splits
+    B = xq.shape[0]
+    N = n_blocks * n_tile
+    gpp = gpp2 * splits
+    kp2 = K2 // 8
+    # per-half natural-K view: x_h[j*kp2 + p] = x[j*kp + h*kp2 + p],
+    # then the standard plane reorder within the half
+    xh = xq.reshape(B, 8, splits, kp2)
+    xr = jnp.stack(
+        [xh[:, :, h].reshape(B, 8, gpp2, group)
+         .transpose(0, 2, 1, 3).reshape(B, K2)
+         for h in range(splits)])  # (splits, B, K2)
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_ksplit, group=group, gpp2=gpp2),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        grid=(n_blocks, splits),
+        in_specs=[
+            pl.BlockSpec((1, B, K2), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * gpp2 * 8, n_tile),
+                         lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gpp2, n_tile, group),
+                         lambda i, h: (i, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, n_tile), lambda i, h: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=_maybe_vmem_params(
+            2 * gpp2 * n_tile * group * 4 + 2 * B * K2
+            + B * n_tile * 4 * 6 + (2 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K // 2 + 2 * N * gpp * 8 * 2 + B * K,
+            transcendentals=0,
+        ),
+    )(xr, szs, wp_t)
+    return out * x_scale
+
+
 def _w4a8_kernel_stacked(x_ref, xs_ref, wp_ref, szs_ref, o_ref, *,
                          group: int, gpp: int, pair: bool):
     """STACKED-EXPERT variant of _w4a8_kernel_fullk_combined: grid
@@ -893,6 +1029,21 @@ def w4a8_matmul_planes(
         ),
     )(xr, wp_t, sr, zsr)
     return out * x_scale
+
+
+def w4a8_matmul_ks(x: Array, qp, interpret: bool = False) -> Array:
+    """W4A8 apply for the K-split planes layout (layout='planes_ks',
+    codes (N/NT, splits, gpp2, NT, g))."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, x_scale = quantize_act_per_token(x2)
+    y = w4a8_matmul_planes_ksplit(
+        xq, x_scale, qp.codes, qp.scales, group=qp.group_size,
+        interpret=interpret).astype(x.dtype)
+    if qp.bias is not None:
+        y = y + qp.bias
+    return y.reshape(*lead, -1)
 
 
 def w4a8_matmul(x: Array, qp, interpret: bool = False) -> Array:

@@ -259,6 +259,10 @@ def qlinear_apply(
 
             if act_bits == 8 and s4_matmul_available(x, qp):
                 return w4a8_s4_matmul(x, qp)
+            if act_bits == 8 and getattr(qp, "layout", "") == "planes_ks":
+                from .pallas_matmul import w4a8_matmul_ks
+
+                return w4a8_matmul_ks(x, qp)
             if act_bits == 8 and w4a8_prefill_available(x, qp):
                 # batched/long prefill: the M-tiled kernel keeps large-M
                 # matmuls on the int8 MXU (weights unpacked once per tile)

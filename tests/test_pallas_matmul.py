@@ -595,3 +595,34 @@ def test_w4a8_matmul_routes_large_m_to_mtiled():
         ref = (xqa @ wd.T).reshape(2, 300, N)
         err = float(jnp.max(jnp.abs(y - ref)))
         assert err < 2e-2, err
+
+
+def test_w4a8_ksplit_kernel_matches_reference():
+    """K-split grid kernel (output accumulation over K halves) ==
+    the standard combined kernel bit-for-near on a high-gpp shape."""
+    import numpy as np
+
+    from lightcompress_tpu.ops.pallas_matmul import (
+        pack_int4_planes, quantize_act_per_token, tile_packed,
+        tile_packed_ksplit, tile_scales_combined,
+        tile_scales_combined_ksplit, w4a8_matmul_planes,
+        w4a8_matmul_planes_ksplit)
+
+    rng = np.random.RandomState(3)
+    N, K, g = 128, 2048, 64   # gpp = 4 -> gpp2 = 2
+    gpp = K // 8 // g
+    codes = jnp.asarray(rng.randint(0, 16, (N, K)), jnp.int32)
+    scales = jnp.asarray(rng.rand(N, K // g) * 0.1 + 0.01, jnp.float32)
+    zeros = jnp.asarray(rng.randint(0, 16, (N, K // g)), jnp.float32)
+    packed = pack_int4_planes(codes)
+    x = jnp.asarray(rng.randn(8, K), jnp.float32)
+    xq, sx = quantize_act_per_token(x)
+
+    ref = w4a8_matmul_planes(xq, sx, packed, scales, zeros, group=g,
+                             n_tile=128, interpret=True)
+    wp5 = tile_packed_ksplit(packed, 128, g)
+    szs = tile_scales_combined_ksplit(scales, zeros * scales, 128, gpp)
+    y = w4a8_matmul_planes_ksplit(xq, sx, wp5, szs, group=g,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
