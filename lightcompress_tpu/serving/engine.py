@@ -260,6 +260,71 @@ def _block_apply_mla_decode(sw: "ServingWeights", entry, x: Array,
     return y, c_n, r_new
 
 
+def _block_apply_mla_decode_a(sw: "ServingWeights", entry, x: Array,
+                              cos, sin, cache: KVCache, li: int,
+                              lengths: Array):
+    """APPEND-FIRST MLA decode (VERDICT r4 #3 — the dense xla8a lesson
+    applied to the compressed-latent cache): quantize the fresh latent
+    once, write it into the cache via the per-slot dus loop, then run ONE
+    masked absorbed-matmul softmax over the full T_max latent buffer with
+    the int8 dequant FUSED into the einsum reads.  The read_mla path
+    materialized a bf16 copy of the whole (S, T, r) latent every layer —
+    the same per-layer cache copy the dense engine deleted for +124%.
+    Topology parity: /root/reference/llmc/models/deepseekv3.py:84-126."""
+    from .kv_cache import append_mla_quantized
+
+    arch = sw.arch
+    mla = arch.mla
+    ab = getattr(sw, "act_bits", 16)
+    S = x.shape[0]
+    nh = arch.num_heads
+    nope, rope_d = mla.qk_nope_head_dim, mla.qk_rope_head_dim
+    vd = mla.v_head_dim
+    h1 = A.apply_norm(x, entry["ln1"], arch)
+    q, c_n, k_rot = _mla_qc(sw, entry, h1, ab)
+    q = q.reshape(S, 1, nh, mla.qk_head_dim).transpose(0, 2, 1, 3)
+    q_pass, q_rot = q[..., :nope], q[..., nope:]          # (S, nh, 1, .)
+    k_rot4 = k_rot.reshape(S, 1, 1, rope_d)
+    ropefn = (A.apply_rope_interleave if mla.rope_interleave
+              else A.apply_rope)
+    q_rot, k_rot4 = ropefn(q_rot, k_rot4, cos, sin)
+    cq, cs_n = quantize_kv(c_n)                           # (S,1,r),(S,1)
+    rq, rs_n = quantize_kv(k_rot4[:, 0])
+    cache = append_mla_quantized(cache, li, cq, cs_n, rq, rs_n, lengths)
+    w_kc = entry["attn.w_kc"].astype(jnp.float32)         # (nh, nope, r)
+    w_vc = entry["attn.w_vc"].astype(jnp.float32)         # (nh, r, vd)
+    q_eff = jnp.einsum("shd,hdr->shr",
+                       q_pass[:, :, 0, :].astype(jnp.float32), w_kc)
+    cC, csc = cache.k[li], cache.k_scale[li]   # (S,T,r) int8, (S,T)
+    rR, rsc = cache.v[li], cache.v_scale[li]
+    Tmax = cC.shape[1]
+    scale = mla.qk_head_dim ** -0.5
+    # per-token scales multiply OUTSIDE each dot (scale depends on t
+    # only), so the int8 codes stream straight into bf16 MXU dots
+    sc = jnp.einsum("shr,str->sht", q_eff.astype(jnp.bfloat16),
+                    cC.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) \
+        * csc[:, None, :].astype(jnp.float32)
+    sc = sc + jnp.einsum("shd,std->sht",
+                         q_rot[:, :, 0, :].astype(jnp.bfloat16),
+                         rR.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) \
+        * rsc[:, None, :].astype(jnp.float32)
+    sc = sc * scale
+    col = jnp.arange(Tmax)[None, None, :]
+    sc = jnp.where(col <= lengths[:, None, None], sc, -jnp.inf)
+    probs = jax.nn.softmax(sc, axis=-1)                   # (S, nh, T)
+    pv = (probs * csc[:, None, :].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    ctx_lat = jnp.einsum("sht,str->shr", pv, cC.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    ctx = jnp.einsum("shr,hrv->shv", ctx_lat, w_vc)
+    ctx = ctx.reshape(S, 1, nh * vd)
+    h = x + apply_qlinear(entry["attn.o"], ctx.astype(x.dtype), act_bits=ab)
+    y = _mlp_tail_serving(sw, entry, h, ab)
+    return y, cache
+
+
 def _block_apply_decode_i8(
     sw: ServingWeights, entry: Dict[str, Any], x: Array, cos, sin,
     cache: KVCache, li: int, lengths: Array, interpret: bool = False,
@@ -586,6 +651,11 @@ def _block_apply_decode_i8(
         h = x + flin(entry["attn.o"], ctx[:, 0, :], False)[:, None, :]
     else:
         h = x + apply_qlinear(entry["attn.o"], ctx, act_bits=ab)
+    if "mlp.router" in entry:
+        # MoE blocks ride the SAME fast attention as dense llama
+        # (VERDICT r4 #3); the stacked-expert MLP tail is shared with
+        # the prefill/generic path
+        return (_mlp_tail_serving(sw, entry, h, ab),) + payload
     if arch.family == "llama" and "mlp.gateup" in entry and \
             fused_ok(entry["mlp.gateup"]) and fused_ok(entry["mlp.down"]):
         gu = flin(entry["mlp.gateup"], h[:, 0, :], True)
@@ -847,16 +917,30 @@ class LLMEngine:
             attn_impl = "xla"
         self.attn_impl = attn_impl
         # dense int8-KV engines route 'xla' decode through the
-        # quantized-concat attention (impl='xla8'): XLA fuses the int8
+        # append-first masked attention (impl='xla8a'): XLA fuses the int8
         # dequant into the einsum reads; the read_kv-then-bf16-concat
-        # path materialized the whole cache per layer (engine probe r3)
+        # path materialized the whole cache per layer (engine probe r3).
+        # The gate holds under a mesh too (VERDICT r4 #1): the xla8a/xla8r
+        # ops are plain jit einsums + per-slot dus — NamedShardings on the
+        # weights/cache let GSPMD place them (heads on ``tp``), so the
+        # fast path IS the multi-chip path.  MoE dense engines ride the
+        # same attention (VERDICT r4 #3); their stacked-expert MLP tail
+        # dispatches inside _block_apply_decode_i8.
         # spec-decode engines stay on the read_kv path: the verify step
         # and the decode step must be numerics-IDENTICAL for lossless
         # greedy acceptance, and _spec_verify processes bf16 chunk KV
         self._use_xla8 = (
-            attn_impl == "xla" and not paged and mesh is None
-            and weights.arch.mla is None and weights.arch.moe is None
+            attn_impl == "xla" and not paged
+            and weights.arch.mla is None
             and sparse_kv is None and spec_decode is None)
+        # MLA engines get the analogous append-first absorbed path over
+        # the quantized latent cache (no read_mla materialization);
+        # LCTPU_MLA_APPEND=0 restores the read-then-concat form
+        import os as _os
+        self._use_mla8a = (
+            weights.arch.mla is not None and not paged
+            and kv_bits == 8 and sparse_kv is None and spec_decode is None
+            and _os.environ.get("LCTPU_MLA_APPEND", "1") != "0")
         self.mesh = mesh
         if mesh is not None:
             from .sharding import shard_serving_weights
@@ -936,15 +1020,39 @@ class LLMEngine:
             self.spec_stats = {"rounds": 0, "emitted": 0}
         self._spec_jit = jax.jit(self._spec_verify, donate_argnums=(1,))
 
+    def _fresh_or_reuse(self, create_fn):
+        """Cache-reuse reset (VERDICT r4 #4): when the live cache pytree
+        matches the new spec, zero it IN PLACE via a donated jit instead
+        of allocating a fresh multi-GB buffer.  The fresh-alloc form kept
+        two caches transiently alive across reset (lazy remote frees) —
+        what pushed the 32x8192 kv4 ring ~0.4GB over HBM and failed the
+        24-slot near-capacity probe (r4)."""
+        old = getattr(self, "cache", None)
+        if old is None:
+            return create_fn()
+        abs_new = jax.eval_shape(create_fn)
+        ol, ot = jax.tree_util.tree_flatten(old)
+        nl, nt = jax.tree_util.tree_flatten(abs_new)
+        if ot != nt or len(ol) != len(nl) or any(
+                o.shape != n.shape or o.dtype != n.dtype
+                for o, n in zip(ol, nl)):
+            self.cache = None  # drop the old reference before allocating
+            return create_fn()
+        if not hasattr(self, "_zero_cache_jit"):
+            self._zero_cache_jit = jax.jit(
+                lambda c: jax.tree_util.tree_map(jnp.zeros_like, c),
+                donate_argnums=0)
+        return self._zero_cache_jit(old)
+
     def reset(self):
         a = self.arch
         if a.mla is not None:
             assert not self.paged, "MLA serving uses the slot latent cache"
-            self.cache = KVCache.create_mla(
+            self.cache = self._fresh_or_reuse(lambda: KVCache.create_mla(
                 a.num_layers, self.max_slots, self.max_len,
                 a.mla.kv_lora_rank, a.mla.qk_rope_head_dim,
                 bits=8 if self.kv_bits == 8 else 16,
-            )
+            ))
             if self.mesh is not None:
                 from .sharding import shard_kv_cache
 
@@ -955,11 +1063,12 @@ class LLMEngine:
             self.slot_req = [None] * self.max_slots
             return
         if self.paged:
-            self.cache = PagedKVCache.create(
-                a.num_layers, self.n_pages + 1, self.max_slots,
-                self.max_pages_per_slot, a.num_kv_heads, self.page_size,
-                a.head_dim, bits=self.kv_bits,
-            )  # +1: page 0 is the reserved scratch page
+            self.cache = self._fresh_or_reuse(
+                lambda: PagedKVCache.create(
+                    a.num_layers, self.n_pages + 1, self.max_slots,
+                    self.max_pages_per_slot, a.num_kv_heads,
+                    self.page_size, a.head_dim, bits=self.kv_bits,
+                ))  # +1: page 0 is the reserved scratch page
             self.allocator = PageAllocator(self.n_pages + 1)
             self.buf_len = self.max_len
             self.slot_pages: List[List[int]] = [[] for _ in
@@ -989,23 +1098,27 @@ class LLMEngine:
                 # crashed lowering); round the BUFFER up, lengths masks
                 # keep the logical max_len
                 buf_len = -(-buf_len // 512) * 512
-            self.cache = KVCache.create(
-                a.num_layers, self.max_slots, a.num_kv_heads, buf_len,
-                a.head_dim, bits=self.kv_bits, layout=layout,
-            )
+            def _mk_dense():
+                cache = KVCache.create(
+                    a.num_layers, self.max_slots, a.num_kv_heads, buf_len,
+                    a.head_dim, bits=self.kv_bits, layout=layout,
+                )
+                if getattr(self, "shadow", None) is not None:
+                    C = self.max_len // self.shadow.chunk_size
+                    L, S, H = (a.num_layers, self.max_slots,
+                               a.num_kv_heads)
+                    cache = dataclasses.replace(cache, extra={
+                        "landmarks": jnp.zeros((L, S, H, C, a.head_dim),
+                                               jnp.bfloat16),
+                        "selectable": jnp.zeros((L, S, H, C), bool),
+                    })
+                return cache
+
+            self.cache = self._fresh_or_reuse(_mk_dense)
             # the PHYSICAL time-axis length: masks in every cache-reading
             # jit must size from this, not max_len (ring headroom / bd
             # s_block rounding make the buffer longer)
             self.buf_len = buf_len
-        if getattr(self, "shadow", None) is not None:
-            a2 = self.arch
-            C = self.max_len // self.shadow.chunk_size
-            L, S, H = a2.num_layers, self.max_slots, a2.num_kv_heads
-            self.cache = dataclasses.replace(self.cache, extra={
-                "landmarks": jnp.zeros((L, S, H, C, a2.head_dim),
-                                       jnp.bfloat16),
-                "selectable": jnp.zeros((L, S, H, C), bool),
-            })
         if self.mesh is not None:
             from .sharding import shard_kv_cache
 
@@ -1388,9 +1501,13 @@ class LLMEngine:
         mask = jnp.where(visible, 0.0, jnp.finfo(jnp.float32).min)
         for li, entry in enumerate(sw.blocks):
             if arch.mla is not None:
-                x, c_n, r_n = _block_apply_mla_decode(
-                    sw, entry, x, cos, sin, cache, li, lengths)
-                cache = append_mla(cache, li, c_n, r_n, lengths)
+                if self._use_mla8a and cache.bits == 8:
+                    x, cache = _block_apply_mla_decode_a(
+                        sw, entry, x, cos, sin, cache, li, lengths)
+                else:
+                    x, c_n, r_n = _block_apply_mla_decode(
+                        sw, entry, x, cos, sin, cache, li, lengths)
+                    cache = append_mla(cache, li, c_n, r_n, lengths)
                 continue
             # default dense-int8 route: append-first masked attention
             # (xla8a) — measured 14.84 ms/step vs 17.01 for the concat

@@ -282,6 +282,23 @@ def append_mla(cache: KVCache, layer: int, c_new: Array, r_new: Array,
                                v_scale=v_scale)
 
 
+def append_mla_quantized(cache: KVCache, layer: int, cq: Array, cs: Array,
+                         rq: Array, rs: Array, lengths: Array) -> KVCache:
+    """append_mla for ALREADY-quantized fresh latents (the append-first
+    MLA decode path quantizes once and reuses the codes for the cache
+    write AND the attention read — engine._block_apply_mla_decode_a).
+
+    cq: (S, T_new, r) int8 latent codes; cs: (S, T_new) scales;
+    rq/rs: same for the shared post-rope k_rot."""
+    assert cache.bits == 8 and cache.layout == "mla"
+    k = _dus_slots(cache.k, cq, layer, lengths, pos_axis=0)
+    v = _dus_slots(cache.v, rq, layer, lengths, pos_axis=0)
+    k_scale = _dus_slots(cache.k_scale, cs, layer, lengths, pos_axis=0)
+    v_scale = _dus_slots(cache.v_scale, rs, layer, lengths, pos_axis=0)
+    return dataclasses.replace(cache, k=k, v=v, k_scale=k_scale,
+                               v_scale=v_scale)
+
+
 def read_mla(cache: KVCache, layer: int) -> Tuple[Array, Array]:
     """Dequantized (S, T, r) latent + (S, T, rope_d) k_rot bf16 views."""
     if cache.bits == 8:
