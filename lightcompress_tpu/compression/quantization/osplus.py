@@ -28,7 +28,6 @@ class OsPlus(BaseBlockwiseQuantization):
     def __init__(self, model, quant_config, input, padding_mask=None,
                  config=None):
         super().__init__(model, quant_config, input, padding_mask, config)
-        self.n_grid = int(self.special_config.get("n_grid", 100))
         self._search_cache = {}
 
     def subset_transform(self, block_idx, bp, subset: Subset, input_feat):
@@ -41,6 +40,27 @@ class OsPlus(BaseBlockwiseQuantization):
         if self.act_static:
             self.update_input_feat(input_feat, subset, scale)
 
+    @staticmethod
+    def _grid(bound_hi: float) -> "jnp.ndarray":
+        """The reference's clipping-range grid EXACTLY (osplus.py:104-116):
+        num = max(100, int(amx/0.5)) points walked by float64 repeated
+        subtraction from bound_hi down to (and including) 1.0 — grid size
+        is DATA-dependent, and the fp drift of the subtraction walk is
+        part of the reference's semantics, so replicate rather than
+        linspace."""
+        import math as _math
+
+        num = max(100, int(bound_hi / 0.5)) if _math.isfinite(bound_hi) \
+            else 100
+        step = (bound_hi - 1.0) / num
+        sts, st = [], float(bound_hi)
+        if step <= 0:
+            return jnp.asarray([1.0], jnp.float32)
+        while st >= 1.0:
+            sts.append(st)
+            st -= step
+        return jnp.asarray(sts, jnp.float32)
+
     # ------------------------------------------------------------------
     def search_scale_shift_subset(self, block_idx, bp, subset: Subset,
                                   x: Array):
@@ -48,9 +68,21 @@ class OsPlus(BaseBlockwiseQuantization):
         has_bias = self.model.arch.family == "opt"  # LN has bias
         wspec, aspec, w_only = self.wspec, self.aspec, self.w_only
         layer_names = subset.layers
-        n_grid = self.n_grid
 
-        def search(bp, x):
+        # shift/amax are cheap eager reductions; the grid must be built
+        # host-side because its LENGTH is data-dependent (reference
+        # parity — the jit below is cached per grid length)
+        xf_h = x.astype(jnp.float32).reshape(-1, x.shape[-1])
+        if has_bias:
+            shift_h = (jnp.max(xf_h, axis=0) + jnp.min(xf_h, axis=0)) / 2.0
+            xs_h = xf_h - shift_h
+        else:
+            xs_h = xf_h
+        amx_h = float(jnp.maximum(jnp.max(xs_h), 0.0))
+        amn_h = float(jnp.minimum(jnp.min(xs_h), 0.0))
+        sts_host = self._grid(max(-amn_h, amx_h))
+
+        def search(bp, x, sts):
             xf = x.astype(jnp.float32)
             flat = xf.reshape(-1, xf.shape[-1])
             if has_bias:
@@ -63,9 +95,6 @@ class OsPlus(BaseBlockwiseQuantization):
             flat_s = x_shift.reshape(-1, x_shift.shape[-1])
             cmx = jnp.max(flat_s, axis=0)
             cmn = jnp.min(flat_s, axis=0)
-            amx = jnp.maximum(jnp.max(flat_s), 0.0)
-            amn = jnp.minimum(jnp.min(flat_s), 0.0)
-            bound_hi = jnp.maximum(-amn, amx)
             org_out = model.inspect_forward(block_idx, subset, x, block_params=bp)
 
             def scale_for(st):
@@ -100,17 +129,14 @@ class OsPlus(BaseBlockwiseQuantization):
                     )
                 )
 
-            # grid from bound_hi down to 1.0 (osplus.py:110-140)
-            steps = jnp.arange(n_grid, dtype=jnp.float32)
-            sts = jnp.maximum(bound_hi - steps * (bound_hi - 1.0) / n_grid, 1.0)
             losses = jax.lax.map(eval_range, sts)
             best_st = sts[jnp.argmin(losses)]
             return scale_for(best_st), shift
 
-        key = (subset.input, x.shape)
+        key = (subset.input, x.shape, int(sts_host.shape[0]))
         if key not in self._search_cache:
             self._search_cache[key] = jax.jit(search)
-        scale, shift = self._search_cache[key](bp, x)
+        scale, shift = self._search_cache[key](bp, x, sts_host)
         return scale, (shift if has_bias else None)
 
 

@@ -456,37 +456,93 @@ def _block_apply_decode_i8(
         # flash-style merge of the masked main term (cols < chunk-entry
         # length) and the masked ring term (cols <= ring_pos) — same
         # quantized values as xla8a, reassociated softmax.
-        rk = jax.lax.dynamic_update_slice(
-            ring["rk"], kq[None], (li, 0, 0, ring_pos, 0))
-        rv = jax.lax.dynamic_update_slice(
-            ring["rv"], vq[None], (li, 0, 0, ring_pos, 0))
-        rks = jax.lax.dynamic_update_slice(
-            ring["rks"], ks.astype(ring["rks"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        rvs = jax.lax.dynamic_update_slice(
-            ring["rvs"], vs.astype(ring["rvs"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
+        # FUSED ring layout (VERDICT r5 engine-gap item): k and v share
+        # one (L, S, 2H, W, D) buffer (k = head rows [0, H), v = [H, 2H))
+        # and the scales one (L, S, 2H, W) buffer — 2 dus per layer
+        # instead of 4; the k/v views are free slices on the read side.
+        if "rkv" in ring:
+            kv = jnp.concatenate([kq, vq], axis=1)        # (S, 2H, 1, D)
+            svals = jnp.concatenate(
+                [ks, vs], axis=1).astype(ring["rs"].dtype)  # (S, 2H, 1)
+            rkv = jax.lax.dynamic_update_slice(
+                ring["rkv"], kv[None], (li, 0, 0, ring_pos, 0))
+            rs = jax.lax.dynamic_update_slice(
+                ring["rs"], svals[None], (li, 0, 0, ring_pos))
+            ring = dict(ring, rkv=rkv, rs=rs)
+            H = kq.shape[1]
+            rkl, rvl = rkv[li, :, :H], rkv[li, :, H:]
+            rksl, rvsl = rs[li, :, :H], rs[li, :, H:]
+        else:
+            rk = jax.lax.dynamic_update_slice(
+                ring["rk"], kq[None], (li, 0, 0, ring_pos, 0))
+            rv = jax.lax.dynamic_update_slice(
+                ring["rv"], vq[None], (li, 0, 0, ring_pos, 0))
+            rks = jax.lax.dynamic_update_slice(
+                ring["rks"], ks.astype(ring["rks"].dtype)[None],
+                (li, 0, 0, ring_pos))
+            rvs = jax.lax.dynamic_update_slice(
+                ring["rvs"], vs.astype(ring["rvs"].dtype)[None],
+                (li, 0, 0, ring_pos))
+            ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
+            rkl, rvl = rk[li], rv[li]  # (S, H, W, D) int8
+            rksl, rvsl = rks[li], rvs[li]
         qb = qg.astype(jnp.bfloat16)
         kc, vc = cache.k[li], cache.v[li]
         ksc, vsc = cache.k_scale[li], cache.v_scale[li]
-        sc1 = jnp.einsum("skgd,sktd->skgt", qb, kc.astype(jnp.bfloat16))
-        sc1 = sc1 * ksc[:, :, None, :].astype(jnp.float32) * (hd ** -0.5)
-        col = jnp.arange(kc.shape[2])[None, None, None, :]
-        sc1 = jnp.where(col < lengths0[:, None, None, None],
-                        sc1.astype(jnp.float32), -jnp.inf)
-        m1 = jnp.maximum(jnp.max(sc1, axis=-1), -1e30)
-        p1 = jnp.exp(sc1 - m1[..., None])
-        l1 = jnp.sum(p1, axis=-1)
-        ctx1 = jnp.einsum(
-            "skgt,sktd->skgd",
-            (p1 * vsc[:, :, None, :].astype(jnp.float32)
-             ).astype(jnp.bfloat16),
-            vc.astype(jnp.bfloat16)).astype(jnp.float32)
-        rkl = rk[li]  # (S, H, W, D) int8 — includes this step's column
+        import os as _os
+
+        TB = int(_os.environ.get("LCTPU_MAIN_BLOCK", "0"))
+        Tm = kc.shape[2]
+        if TB and Tm > TB and Tm % TB == 0:
+            # BLOCKWISE (flash-style) main term: per-block masked
+            # score/exp/accumulate keeps the f32 intermediates at
+            # (S, H, G, TB) instead of materializing the full
+            # (S, H, G, T_max) score+prob buffers (engine-gap item:
+            # softmax f32 intermediates at >=2k)
+            S_, K_, G_ = qb.shape[0], qb.shape[1], qb.shape[2]
+            m1 = jnp.full((S_, K_, G_), -1e30, jnp.float32)
+            l1 = jnp.zeros((S_, K_, G_), jnp.float32)
+            ctx1 = jnp.zeros((S_, K_, G_, hd), jnp.float32)
+            for b in range(Tm // TB):
+                sl = slice(b * TB, (b + 1) * TB)
+                scb = jnp.einsum("skgd,sktd->skgt", qb,
+                                 kc[:, :, sl].astype(jnp.bfloat16))
+                scb = scb * ksc[:, :, None, sl].astype(jnp.float32) \
+                    * (hd ** -0.5)
+                colb = (b * TB + jnp.arange(TB))[None, None, None, :]
+                scb = jnp.where(colb < lengths0[:, None, None, None],
+                                scb.astype(jnp.float32), -jnp.inf)
+                mb = jnp.maximum(jnp.max(scb, axis=-1), -1e30)
+                mn = jnp.maximum(m1, mb)
+                al = jnp.exp(m1 - mn)
+                pb = jnp.exp(scb - mn[..., None])
+                l1 = l1 * al + jnp.sum(pb, axis=-1)
+                ctx1 = ctx1 * al[..., None] + jnp.einsum(
+                    "skgt,sktd->skgd",
+                    (pb * vsc[:, :, None, sl].astype(jnp.float32)
+                     ).astype(jnp.bfloat16),
+                    vc[:, :, sl].astype(jnp.bfloat16)
+                ).astype(jnp.float32)
+                m1 = mn
+        else:
+            sc1 = jnp.einsum("skgd,sktd->skgt", qb,
+                             kc.astype(jnp.bfloat16))
+            sc1 = sc1 * ksc[:, :, None, :].astype(jnp.float32) \
+                * (hd ** -0.5)
+            col = jnp.arange(kc.shape[2])[None, None, None, :]
+            sc1 = jnp.where(col < lengths0[:, None, None, None],
+                            sc1.astype(jnp.float32), -jnp.inf)
+            m1 = jnp.maximum(jnp.max(sc1, axis=-1), -1e30)
+            p1 = jnp.exp(sc1 - m1[..., None])
+            l1 = jnp.sum(p1, axis=-1)
+            ctx1 = jnp.einsum(
+                "skgt,sktd->skgd",
+                (p1 * vsc[:, :, None, :].astype(jnp.float32)
+                 ).astype(jnp.bfloat16),
+                vc.astype(jnp.bfloat16)).astype(jnp.float32)
         sc2 = jnp.einsum("skgd,skwd->skgw", qb.astype(jnp.float32),
                          rkl.astype(jnp.float32))
-        sc2 = sc2 * rks[li][:, :, None, :].astype(jnp.float32) \
+        sc2 = sc2 * rksl[:, :, None, :].astype(jnp.float32) \
             * (hd ** -0.5)
         wcol = jnp.arange(rkl.shape[2])[None, None, None, :]
         sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
@@ -495,8 +551,8 @@ def _block_apply_decode_i8(
         l2 = jnp.sum(p2, axis=-1)
         ctx2 = jnp.einsum(
             "skgw,skwd->skgd",
-            p2 * rvs[li][:, :, None, :].astype(jnp.float32),
-            rv[li].astype(jnp.float32))
+            p2 * rvsl[:, :, None, :].astype(jnp.float32),
+            rvl.astype(jnp.float32))
         m = jnp.maximum(m1, m2)
         a1 = jnp.exp(m1 - m)
         a2 = jnp.exp(m2 - m)
@@ -1643,12 +1699,21 @@ class LLMEngine:
                 D = D // 2  # nibble-packed ring entries
             sdt = (cache.k_scale.dtype if cache.k_scale is not None
                    else jnp.bfloat16)
-            ring = {
-                "rk": jnp.zeros((L, S, H, n_steps, D), jnp.int8),
-                "rv": jnp.zeros((L, S, H, n_steps, D), jnp.int8),
-                "rks": jnp.zeros((L, S, H, n_steps), sdt),
-                "rvs": jnp.zeros((L, S, H, n_steps), sdt),
-            }
+            import os as _os
+            if cache.bits == 8 and _os.environ.get(
+                    "LCTPU_RING_FUSED", "1") != "0":
+                # fused ring: k/v share one buffer (2 dus/layer, r5)
+                ring = {
+                    "rkv": jnp.zeros((L, S, 2 * H, n_steps, D), jnp.int8),
+                    "rs": jnp.zeros((L, S, 2 * H, n_steps), sdt),
+                }
+            else:
+                ring = {
+                    "rk": jnp.zeros((L, S, H, n_steps, D), jnp.int8),
+                    "rv": jnp.zeros((L, S, H, n_steps, D), jnp.int8),
+                    "rks": jnp.zeros((L, S, H, n_steps), sdt),
+                    "rvs": jnp.zeros((L, S, H, n_steps), sdt),
+                }
             lengths0 = lengths
 
             def rbody(i, carry):

@@ -600,12 +600,28 @@ def flush_ring_to_cache(cache: KVCache, ring: Dict[str, Array],
     """Write a decode chunk's ring-buffer tokens into the main hhd cache
     at each slot's chunk-entry position (engine attn_impl='xla8r').
 
-    ring: rk/rv (L, S, H, W, D) int8, rks/rvs (L, S, H, W) scales, where
-    column w holds the token generated at chunk step w (slot s's absolute
-    position lengths0[s] + w).  Inactive slots' columns land beyond their
-    length — masked until real tokens overwrite them.  Per-slot-loop dus
-    (_dus_slots) so the flush aliases in place; runs ONCE per chunk."""
+    ring: rk/rv (L, S, H, W, D) int8, rks/rvs (L, S, H, W) scales — or the
+    FUSED layout rkv (L, S, 2H, W, D) / rs (L, S, 2H, W) where k occupies
+    head rows [0, H) and v rows [H, 2H) (engine LCTPU_RING_FUSED, 2 dus
+    per layer on the append side).  Column w holds the token generated at
+    chunk step w (slot s's absolute position lengths0[s] + w).  Inactive
+    slots' columns land beyond their length — masked until real tokens
+    overwrite them.  Per-slot-loop dus (_dus_slots) so the flush aliases
+    in place; runs ONCE per chunk."""
     k, v, ks, vs = cache.k, cache.v, cache.k_scale, cache.v_scale
+    if "rkv" in ring:
+        H = k.shape[2]
+        for li in range(k.shape[0]):
+            k = _dus_slots(k, ring["rkv"][li, :, :H], li, lengths0,
+                           pos_axis=1)
+            v = _dus_slots(v, ring["rkv"][li, :, H:], li, lengths0,
+                           pos_axis=1)
+            ks = _dus_slots(ks, ring["rs"][li, :, :H], li, lengths0,
+                            pos_axis=1)
+            vs = _dus_slots(vs, ring["rs"][li, :, H:], li, lengths0,
+                            pos_axis=1)
+        return dataclasses.replace(cache, k=k, v=v, k_scale=ks,
+                                   v_scale=vs)
     for li in range(k.shape[0]):
         k = _dus_slots(k, ring["rk"][li], li, lengths0, pos_axis=1)
         v = _dus_slots(v, ring["rv"][li], li, lengths0, pos_axis=1)
