@@ -44,8 +44,14 @@ def export_serving(sw: ServingWeights, save_dir: str) -> None:
     os.makedirs(save_dir, exist_ok=True)
     tensors: Dict[str, np.ndarray] = {
         "embed": np.asarray(sw.embed.astype(jnp.float32)),
-        "lm_head": np.asarray(sw.lm_head.astype(jnp.float32)),
+        # int8 head codes save as-is (+ scale); bf16 heads as f32
+        "lm_head": (np.asarray(sw.lm_head)
+                    if sw.lm_head_scale is not None
+                    else np.asarray(sw.lm_head.astype(jnp.float32))),
     }
+    if sw.lm_head_scale is not None:
+        tensors["lm_head_scale"] = np.asarray(
+            sw.lm_head_scale.astype(jnp.float32))
     if sw.embed_pos is not None:
         tensors["embed_pos"] = np.asarray(sw.embed_pos.astype(jnp.float32))
     for k, v in sw.norm.items():
@@ -116,7 +122,11 @@ def load_serving(save_dir: str) -> ServingWeights:
                    if "embed_pos" in tensors else None),
         norm={k.split(".", 1)[1]: jnp.asarray(v)
               for k, v in tensors.items() if k.startswith("norm.")},
-        lm_head=jnp.asarray(tensors["lm_head"], jnp.bfloat16),
+        lm_head=(jnp.asarray(tensors["lm_head"])
+                 if "lm_head_scale" in tensors
+                 else jnp.asarray(tensors["lm_head"], jnp.bfloat16)),
+        lm_head_scale=(jnp.asarray(tensors["lm_head_scale"])
+                       if "lm_head_scale" in tensors else None),
         blocks=blocks,
         wbits=meta["wbits"],
     )

@@ -30,7 +30,7 @@ from .kv_cache import (KVCache, PagedKVCache, PageAllocator,
                        read_kv, read_mla)
 from .quantized_model import (ServingWeights, apply_qlinear,
                               apply_qlinear_gathered,
-                              apply_qlinear_stacked)
+                              apply_qlinear_stacked, head_logits)
 from .sampler import SamplingParams, sample
 
 Array = jax.Array
@@ -81,16 +81,45 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
     gather_thresh = int(_os.environ.get(
         "LCTPU_MOE_GATHER_MAX",
         str(max(1, m.num_experts // max(1, m.top_k)))))
-    # the gathered path only pays with "stacked" (rows) storage; with
-    # stacked_planes the dense ONE-call kernel wins at every n and the
-    # XLA unpack of gathered plane codes is catastrophic (r4 probe:
-    # 51 ms vs dense-kernel 10.5 at n=4)
     from ..ops.qlinear import QLinearParams as _QLP
     gp = entry["mlp.gate"]
-    if isinstance(gp, _QLP) and gp.layout == "stacked_planes" \
-            and jax.default_backend() != "cpu":
-        gather_thresh = 0
-    if n <= gather_thresh and not getattr(sw, "sharded", False):
+    # r5 measurement: the scalar-prefetch gathered kernel carries a
+    # ~1.1 ms/selection fixed cost (dynamically-indexed weight tiles
+    # defeat Mosaic's pipeline prefetch — 30 GB/s effective vs the dense
+    # kernel's 79), so it only pays when selections read well under half
+    # the dense traffic (tools/r5logs/moe_pgather*.log: 1.29x at
+    # n*top_k/E = 12.5%, parity at 37%, loses at 75%)
+    planes_gather = (isinstance(gp, _QLP)
+                     and gp.layout == "stacked_planes"
+                     and jax.default_backend() != "cpu"
+                     and n * m.top_k * 2 <= m.num_experts)
+    if n <= gather_thresh and not getattr(sw, "sharded", False) \
+            and planes_gather:
+        # scalar-prefetch gathered KERNEL (VERDICT r4 #5): only the
+        # selected experts' packed tiles DMA from HBM — n*top_k/E of
+        # the dense kernel's weight traffic AND MXU array-fill passes
+        # (the dense stacked kernel is fill-bound at small M; the XLA
+        # gathered unpack materializes per-selection copies, r4 probe)
+        from ..ops.pallas_matmul import (quantize_act_per_token,
+                                         w4a8_gathered_matmul)
+
+        n_sel = n * m.top_k
+        e_flat = topi.reshape(-1).astype(jnp.int32)
+        t_flat = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m.top_k)
+        xq, xs = quantize_act_per_token(x2)
+        g = w4a8_gathered_matmul(xq, xs, gp.codes, gp.scales, e_flat,
+                                 t_flat, group=gp.group_size)
+        upp = entry["mlp.up"]
+        u = w4a8_gathered_matmul(xq, xs, upp.codes, upp.scales, e_flat,
+                                 t_flat, group=upp.group_size)
+        midk = A._act(g, arch.act_fn) * u                  # (n_sel, I)
+        mq, ms = quantize_act_per_token(midk.astype(jnp.bfloat16))
+        dp = entry["mlp.down"]
+        d = w4a8_gathered_matmul(
+            mq, ms, dp.codes, dp.scales, e_flat,
+            jnp.arange(n_sel, dtype=jnp.int32), group=dp.group_size)
+        y = jnp.einsum("nkh,nk->nh", d.reshape(n, m.top_k, H), topw)
+    elif n <= gather_thresh and not getattr(sw, "sharded", False):
         # small-batch gathered path: read only the selected experts'
         # weights (n*top_k slabs) instead of all E — wins below
         # ~E/top_k active tokens (latency-sensitive serving); the dense
@@ -944,6 +973,21 @@ class LLMEngine:
                 kv_bits, max_len, paged, weights.arch,
                 backend=jax.default_backend(),
                 chunked=int(decode_chunk) > 1)
+        elif attn_impl.replace("_interpret", "") in (
+                "bd", "bds", "pallas", "i8"):
+            # PROBE-ONLY paths (VERDICT r4 #7 demotion): bd loses at 16
+            # slots (13.16 vs 9.79 ms), bds loses 2x engine-side at 4k
+            # (31.3 vs 15.27), pallas-i8 loses at 16 slots (13.85 vs
+            # 13.3) — their r2/r3 wins were bench-loop results on
+            # loop-invariant caches that do not transfer to the
+            # dus-carried engine cache.  bd4 keeps its per-step kv4
+            # niche.  Kept for kernel regression tests + probes.
+            import warnings
+
+            warnings.warn(
+                f"attn_impl='{attn_impl}' is probe-only (loses to the "
+                "auto-picked path engine-side at every measured shape; "
+                "REPORT r4); use attn_impl='auto'", stacklevel=2)
         # ShadowKV serving mode (VERDICT r2 #4 engine-side hook): per-query
         # landmark retrieval over a shadow (low-rank) K cache
         self.shadow = None
@@ -1242,10 +1286,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        logits = head_logits(sw, xl)
         last = logits[0, true_len - 1]
         lengths = lengths.at[slot].set(true_len)
         return cache, lengths, last
@@ -1309,10 +1350,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        logits = head_logits(sw, xl)
         last = logits[jnp.arange(N), true_lens - 1]
         lengths = lengths.at[slots].set(true_lens)
         return cache, lengths, last
@@ -1419,10 +1457,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        logits = head_logits(sw, xl)
         last = logits[0, true_len - 1]
         lengths = lengths.at[slot].set(Tp + true_len)
         return cache, lengths, last
@@ -1481,10 +1516,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        logits = head_logits(sw, xl)
         last = logits[0, true_len - 1]
         lengths = lengths.at[slot].set(start + true_len)
         return cache, lengths, last
@@ -1530,10 +1562,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )
+        logits = head_logits(sw, xl)
         return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # ------------------------------------------------------------------
@@ -1628,16 +1657,15 @@ class LLMEngine:
                         sw.norm.get("bias"), 1e-5)
         )
         import os as _os
-        head = sw.lm_head
         if _os.environ.get("LCTPU_ABLATE_HEAD") == "1":
             # probe-only ablation: 256-row head isolates the lm_head
             # read's contribution to the engine step (tools/
             # engine_step_probe.py; never set in production)
-            head = sw.lm_head[:256]
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), head,
-            preferred_element_type=jnp.float32,
-        )[:, 0]
+            sw = dataclasses.replace(
+                sw, lm_head=sw.lm_head[:256],
+                lm_head_scale=(sw.lm_head_scale[:256]
+                               if sw.lm_head_scale is not None else None))
+        logits = head_logits(sw, xl)[:, 0]
         lengths = jnp.where(active_mask, lengths + 1, lengths)
         return cache, lengths, logits
 
@@ -1667,10 +1695,7 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = jnp.einsum(
-            "bth,vh->btv", xl.astype(jnp.bfloat16), sw.lm_head,
-            preferred_element_type=jnp.float32,
-        )[:, 0]
+        logits = head_logits(sw, xl)[:, 0]
         lengths = jnp.where(active_mask, lengths + 1, lengths)
         return ring, lengths, logits
 

@@ -70,7 +70,11 @@ class PPDecoder:
         self.stage_params = jax.tree.map(put, stacked)
         rep = NamedSharding(mesh, P())
         self.embed = jax.device_put(sw.embed, rep)
-        self.lm_head = jax.device_put(sw.lm_head, rep)
+        head = sw.lm_head
+        if sw.lm_head_scale is not None:  # dequant int8 serving heads
+            head = (head.astype(jnp.float32)
+                    * sw.lm_head_scale[:, None]).astype(jnp.bfloat16)
+        self.lm_head = jax.device_put(head, rep)
         self.norm = jax.device_put(sw.norm, rep)
         a = sw.arch
         kv_shape = (self.pp, self.per, max_slots, a.num_kv_heads, max_len,

@@ -35,6 +35,12 @@ class ServingWeights:
     embed_pos: Optional[Array] = None
     norm: Dict[str, Array] = None
     lm_head: Array = None
+    # int8 head (build_serving_weights head_bits=8): lm_head holds int8
+    # per-channel codes and this the (vocab,) scale — the head read is
+    # ~1.05 GB bf16 at 128k vocab, ~1.3 ms of every decode step at HBM
+    # rate, and the engine-vs-bare-loop gap's single largest term (r5);
+    # int8 halves it.  None = bf16 head.
+    lm_head_scale: Optional[Array] = None
     blocks: List[Dict[str, Any]] = None  # name -> QLinearParams | {...}
     wbits: int = dataclasses.field(metadata=dict(static=True), default=4)
     # 16 = W4A16; 8 = W4A8 (per-token dynamic int8 acts on the MXU int8 path)
@@ -180,10 +186,14 @@ def apply_qlinear_stacked(qp, x: Array, pair: bool = False,
             xs = xs.reshape(E, n, 1)
         else:
             xq, xs = quantize_act_per_token(x)
-        # serving-M regime: the bf16 block-dot variant issues gpp+1 dots
-        # per grid step instead of 8*gpp+1 (VERDICT r4 #5 — the stacked
-        # kernel is dot-issue bound at small M)
-        smallm_max = int(_os.environ.get("LCTPU_MOE_SMALLM", "32"))
+        # r5 NEGATIVE RESULT (probe-only, default off): the bf16
+        # block-dot variant (gpp+1 dot issues vs 8*gpp+1) measured
+        # 29.2 ms vs 10.2 base at n=4-8 and 100 ms at n=32 — the
+        # stacked kernel is MXU array-FILL bound (every weight element
+        # streams into the systolic array once; fewer/bigger dots do
+        # not reduce passes) and the in-kernel unpack-to-bf16 + scale
+        # fold adds VPU cost on top (tools/r5logs/moe_ab.log)
+        smallm_max = int(_os.environ.get("LCTPU_MOE_SMALLM", "0"))
         kern = (w4a8_stacked_matmul_smallm
                 if x.shape[-2] <= smallm_max else w4a8_stacked_matmul)
         return kern(
@@ -246,6 +256,7 @@ def build_serving_weights(
     fused_rms: bool = False,
     fuse_qkv: bool = False,
     scale_layout: str = "split",
+    head_bits: int = 8,
 ) -> ServingWeights:
     """Quantize every block linear for serving.  If ``algo`` is given, its
     searched static qparams (GPTQ/TesseraQ/clip) are honored by quantizing
@@ -357,6 +368,22 @@ def build_serving_weights(
             if "router_bias" in mp:
                 entry["mlp.router_bias"] = mp["router_bias"]
         blocks_out.append(entry)
+    head_w = (params["embed"]["weight"] if arch.tie_word_embeddings
+              else params["lm_head"]["weight"])
+    head_scale = None
+    if head_bits == 8:
+        # int8 per-channel head: the (vocab, hidden) read is the single
+        # largest engine-vs-bare-loop gap term (~1.05 GB bf16 at 128k
+        # vocab = ~1.3 ms/decode step); int8 halves it and the codes
+        # stream as bf16 einsum operands (head_logits) — XLA int8 dots
+        # at small M are pathological (int4_xla_experiments r3)
+        hw = head_w.astype(jnp.float32)
+        amax = jnp.clip(jnp.max(jnp.abs(hw), axis=1), 1e-6, None)
+        head_scale = (amax / 127.0).astype(jnp.float32)
+        head_w = jnp.clip(jnp.round(hw / head_scale[:, None]),
+                          -127, 127).astype(jnp.int8)
+    else:
+        head_w = head_w.astype(jnp.bfloat16)
     return ServingWeights(
         arch=arch,
         embed=params["embed"]["weight"].astype(jnp.bfloat16),
@@ -365,15 +392,26 @@ def build_serving_weights(
             if "embed_pos" in params else None
         ),
         norm={k: v for k, v in params["norm"].items()},
-        lm_head=(
-            params["embed"]["weight"] if arch.tie_word_embeddings
-            else params["lm_head"]["weight"]
-        ).astype(jnp.bfloat16),
+        lm_head=head_w,
+        lm_head_scale=head_scale,
         blocks=blocks_out,
         wbits=wspec.bit if isinstance(wspec.bit, int) else 8,
         act_bits=act_bits,
         fused_rms=fold,
     )
+
+
+def head_logits(sw: "ServingWeights", xl: Array) -> Array:
+    """lm_head matmul with the optional int8 per-channel head dequant
+    FUSED into the einsum read (codes stream as bf16 MXU operands, the
+    KV-cache pattern): logits (..., vocab) f32."""
+    logits = jnp.einsum(
+        "...h,vh->...v", xl.astype(jnp.bfloat16),
+        sw.lm_head.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    if sw.lm_head_scale is not None:
+        logits = logits * sw.lm_head_scale.astype(jnp.float32)
+    return logits
 
 
 def apply_qlinear(entry: Any, x: Array, act_bits: int = 16) -> Array:

@@ -124,6 +124,7 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
     vocab_ok = sw.lm_head.ndim == 2 and \
         sw.lm_head.shape[0] % mesh.shape["tp"] == 0
     head_spec = NamedSharding(mesh, P("tp", None)) if vocab_ok else rep
+    hs_spec = NamedSharding(mesh, P("tp")) if vocab_ok else rep
     return dataclasses.replace(
         sw,
         sharded=True,
@@ -132,6 +133,8 @@ def shard_serving_weights(sw: ServingWeights, mesh: Mesh) -> ServingWeights:
         if sw.embed_pos is not None else None,
         norm=jax.device_put(sw.norm, rep),
         lm_head=jax.device_put(sw.lm_head, head_spec),
+        lm_head_scale=jax.device_put(sw.lm_head_scale, hs_spec)
+        if sw.lm_head_scale is not None else None,
         blocks=blocks,
     )
 

@@ -247,6 +247,27 @@ def test_stacked_smallm_kernel_matches_base():
                                atol=0.05, rtol=0.05)
 
 
+def test_multihost_launcher_dryrun_and_smoke(tmp_path, capsys):
+    """VERDICT r4 #9: the launch wrapper detects the (non-)distributed
+    env, builds the (dp, tp) mesh, and drives ReplicatedEngine."""
+    import json
+
+    from lightcompress_tpu.launch import main as launch_main
+
+    launch_main(["--dryrun", "--dp", "2", "--tp", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["devices"] == 8 and out["local_replicas"] == 2
+
+    from helpers import make_tiny_hf_llama
+
+    d, _ = make_tiny_hf_llama(str(tmp_path))
+    launch_main(["--serve", d, "--dp", "2", "--tp", "2", "--max-slots",
+                 "2", "--max-len", "32", "--max-new", "3", "--w-bit",
+                 "8", "--smoke"])
+    out = capsys.readouterr().out
+    assert "2 local replica(s)" in out and "smoke generate ok" in out
+
+
 def test_ring_decode_fidelity_rate(tiny_setup):
     """VERDICT r4 #10: the default chunked path's (xla8r) numerics as a
     NUMBER, not an adjective — teacher-forced per-step comparison vs the

@@ -56,6 +56,28 @@ def main():
         w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
         return jnp.einsum("enh,ne->nh", d, w_full)
 
+    def pgather_step(W, x, topi, topw):
+        # scalar-prefetch gathered kernel (r5): selected tiles only
+        from lightcompress_tpu.ops.pallas_matmul import (
+            quantize_act_per_token, w4a8_gathered_matmul)
+
+        gate, up, down = W
+        n = x.shape[0]
+        n_sel = n * TOPK
+        e_flat = topi.reshape(-1).astype(jnp.int32)
+        t_flat = jnp.repeat(jnp.arange(n, dtype=jnp.int32), TOPK)
+        xq, xs = quantize_act_per_token(x)
+        g = w4a8_gathered_matmul(xq, xs, gate.codes, gate.scales, e_flat,
+                                 t_flat, group=gate.group_size)
+        u = w4a8_gathered_matmul(xq, xs, up.codes, up.scales, e_flat,
+                                 t_flat, group=up.group_size)
+        mid = jax.nn.silu(g) * u
+        mq, ms = quantize_act_per_token(mid.astype(jnp.bfloat16))
+        d = w4a8_gathered_matmul(
+            mq, ms, down.codes, down.scales, e_flat,
+            jnp.arange(n_sel, dtype=jnp.int32), group=down.group_size)
+        return jnp.einsum("nkh,nk->nh", d.reshape(n, TOPK, H), topw)
+
     def gather_step(W, x, topi, topw):
         gate, up, down = W
         n = x.shape[0]
@@ -78,7 +100,8 @@ def main():
         x0 = jax.random.normal(key, (n, H), jnp.bfloat16)
         W = (gate, up, down)
         impls = os.environ.get("IMPLS", "dense,gather").split(",")
-        table = {"dense": dense_step, "gather": gather_step}
+        table = {"dense": dense_step, "gather": gather_step,
+                 "pgather": pgather_step}
         for name, f in [(k, table[k]) for k in impls]:
 
             @functools.partial(jax.jit, static_argnames=("iters",))
