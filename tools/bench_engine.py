@@ -56,10 +56,19 @@ def make_weights():
                           "mlp.up": lw["up"]})
         blocks.append(entry)
     emb = jax.random.normal(key, (VOCAB, HIDDEN), jnp.bfloat16) * 0.02
+    head, hs = emb, None
+    if os.environ.get("HEAD_BITS", "8") == "8":
+        # int8 per-channel head — the build_serving_weights default
+        hf = emb.astype(jnp.float32)
+        amax = jnp.clip(jnp.max(jnp.abs(hf), axis=1), 1e-6, None)
+        hs = (amax / 127.0).astype(jnp.float32)
+        head = jnp.clip(jnp.round(hf / hs[:, None]), -127, 127
+                        ).astype(jnp.int8)
     return ServingWeights(
         arch=arch, embed=emb, embed_pos=None,
         norm={"weight": jnp.ones((HIDDEN,), jnp.bfloat16)},
-        lm_head=emb, blocks=blocks, wbits=4, act_bits=ACT_BITS,
+        lm_head=head, lm_head_scale=hs, blocks=blocks, wbits=4,
+        act_bits=ACT_BITS,
     )
 
 
