@@ -600,17 +600,32 @@ def _block_apply_decode_i8(
 
         k4, k4s = quantize_kv4(k)   # (S, H, 1, D/2), (S, H, 1)
         v4, v4s = quantize_kv4(v)
-        rk = jax.lax.dynamic_update_slice(
-            ring["rk"], k4[None], (li, 0, 0, ring_pos, 0))
-        rv = jax.lax.dynamic_update_slice(
-            ring["rv"], v4[None], (li, 0, 0, ring_pos, 0))
-        rks = jax.lax.dynamic_update_slice(
-            ring["rks"], k4s.astype(ring["rks"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        rvs = jax.lax.dynamic_update_slice(
-            ring["rvs"], v4s.astype(ring["rvs"].dtype)[None],
-            (li, 0, 0, ring_pos))
-        ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
+        if "rkv" in ring:           # fused ring layout (2 dus/layer)
+            kv = jnp.concatenate([k4, v4], axis=1)
+            svals = jnp.concatenate(
+                [k4s, v4s], axis=1).astype(ring["rs"].dtype)
+            rkv = jax.lax.dynamic_update_slice(
+                ring["rkv"], kv[None], (li, 0, 0, ring_pos, 0))
+            rs = jax.lax.dynamic_update_slice(
+                ring["rs"], svals[None], (li, 0, 0, ring_pos))
+            ring = dict(ring, rkv=rkv, rs=rs)
+            H4 = k4.shape[1]
+            rkl, rvl = rkv[li, :, :H4], rkv[li, :, H4:]
+            rksl, rvsl = rs[li, :, :H4], rs[li, :, H4:]
+        else:
+            rk = jax.lax.dynamic_update_slice(
+                ring["rk"], k4[None], (li, 0, 0, ring_pos, 0))
+            rv = jax.lax.dynamic_update_slice(
+                ring["rv"], v4[None], (li, 0, 0, ring_pos, 0))
+            rks = jax.lax.dynamic_update_slice(
+                ring["rks"], k4s.astype(ring["rks"].dtype)[None],
+                (li, 0, 0, ring_pos))
+            rvs = jax.lax.dynamic_update_slice(
+                ring["rvs"], v4s.astype(ring["rvs"].dtype)[None],
+                (li, 0, 0, ring_pos))
+            ring = dict(ring, rk=rk, rv=rv, rks=rks, rvs=rvs)
+            rkl, rvl = rk[li], rv[li]
+            rksl, rvsl = rks[li], rvs[li]
         qb = qg.astype(jnp.bfloat16)
         hd2 = hd // 2
         kc, vc = cache.k[li], cache.v[li]   # (S, H, T, D/2) packed
@@ -636,19 +651,19 @@ def _block_apply_decode_i8(
              jnp.einsum("skgt,sktd->skgd", pv1,
                         vhi.astype(jnp.bfloat16))],
             axis=-1).astype(jnp.float32)
-        rlo, rhi = kv4_planes(rk[li])   # (S, H, W, D/2) tiny
+        rlo, rhi = kv4_planes(rkl)      # (S, H, W, D/2) tiny
         qf = qb.astype(jnp.float32)
         sc2 = (jnp.einsum("skgd,skwd->skgw", qf[..., :hd2], rlo)
                + jnp.einsum("skgd,skwd->skgw", qf[..., hd2:], rhi))
-        sc2 = sc2 * rks[li][:, :, None, :].astype(jnp.float32) \
+        sc2 = sc2 * rksl[:, :, None, :].astype(jnp.float32) \
             * (hd ** -0.5)
         wcol = jnp.arange(rlo.shape[2])[None, None, None, :]
         sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
         m2 = jnp.maximum(jnp.max(sc2, axis=-1), -1e30)
         p2 = jnp.exp(sc2 - m2[..., None])
         l2 = jnp.sum(p2, axis=-1)
-        pv2 = p2 * rvs[li][:, :, None, :].astype(jnp.float32)
-        rvlo, rvhi = kv4_planes(rv[li])
+        pv2 = p2 * rvsl[:, :, None, :].astype(jnp.float32)
+        rvlo, rvhi = kv4_planes(rvl)
         ctx2 = jnp.concatenate(
             [jnp.einsum("skgw,skwd->skgd", pv2, rvlo),
              jnp.einsum("skgw,skwd->skgd", pv2, rvhi)], axis=-1)
@@ -1725,9 +1740,9 @@ class LLMEngine:
             sdt = (cache.k_scale.dtype if cache.k_scale is not None
                    else jnp.bfloat16)
             import os as _os
-            if cache.bits == 8 and _os.environ.get(
-                    "LCTPU_RING_FUSED", "1") != "0":
-                # fused ring: k/v share one buffer (2 dus/layer, r5)
+            if _os.environ.get("LCTPU_RING_FUSED", "1") != "0":
+                # fused ring: k/v share one buffer (2 dus/layer, r5);
+                # kv4 rings carry nibble-packed D/2 entries, same layout
                 ring = {
                     "rkv": jnp.zeros((L, S, 2 * H, n_steps, D), jnp.int8),
                     "rs": jnp.zeros((L, S, 2 * H, n_steps), sdt),
