@@ -489,7 +489,18 @@ def _block_apply_decode_i8(
         # one (L, S, 2H, W, D) buffer (k = head rows [0, H), v = [H, 2H))
         # and the scales one (L, S, 2H, W) buffer — 2 dus per layer
         # instead of 4; the k/v views are free slices on the read side.
-        if "rkv" in ring:
+        # DEFERRED mode (impl from _decode_step_ring with defer=True):
+        # the ring stays READ-ONLY inside the layer loop — the fresh
+        # token is a third in-register flash term and ALL layers' tokens
+        # are written in ONE stacked dus per step (2 ops vs 2*L).
+        defer = ring_pos is not None and isinstance(ring_pos, tuple)
+        if defer:
+            ring_pos = ring_pos[0]
+            rkl = ring["rkv"][li, :, :kq.shape[1]]
+            rvl = ring["rkv"][li, :, kq.shape[1]:]
+            rksl = ring["rs"][li, :, :kq.shape[1]]
+            rvsl = ring["rs"][li, :, kq.shape[1]:]
+        elif "rkv" in ring:
             kv = jnp.concatenate([kq, vq], axis=1)        # (S, 2H, 1, D)
             svals = jnp.concatenate(
                 [ks, vs], axis=1).astype(ring["rs"].dtype)  # (S, 2H, 1)
@@ -574,7 +585,10 @@ def _block_apply_decode_i8(
         sc2 = sc2 * rksl[:, :, None, :].astype(jnp.float32) \
             * (hd ** -0.5)
         wcol = jnp.arange(rkl.shape[2])[None, None, None, :]
-        sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
+        # defer mode: the fresh token is NOT in the ring yet — strictly
+        # earlier columns only; it joins as a third in-register term
+        vis2 = wcol < ring_pos if defer else wcol <= ring_pos
+        sc2 = jnp.where(vis2, sc2, -jnp.inf)
         m2 = jnp.maximum(jnp.max(sc2, axis=-1), -1e30)
         p2 = jnp.exp(sc2 - m2[..., None])
         l2 = jnp.sum(p2, axis=-1)
@@ -582,13 +596,30 @@ def _block_apply_decode_i8(
             "skgw,skwd->skgd",
             p2 * rvsl[:, :, None, :].astype(jnp.float32),
             rvl.astype(jnp.float32))
-        m = jnp.maximum(m1, m2)
-        a1 = jnp.exp(m1 - m)
-        a2 = jnp.exp(m2 - m)
-        denom = l1 * a1 + l2 * a2
-        ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
-            / denom[..., None]
-        payload = (ring,)
+        if defer:
+            sc3 = jnp.einsum("skgd,skd->skg", qb,
+                             kq[:, :, 0].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            sc3 = sc3 * ks[:, :, 0][:, :, None].astype(jnp.float32) \
+                * (hd ** -0.5)
+            v3 = vq[:, :, 0].astype(jnp.float32) \
+                * vs[:, :, 0][..., None].astype(jnp.float32)  # (S, K, D)
+            m = jnp.maximum(jnp.maximum(m1, m2), sc3)
+            a1 = jnp.exp(m1 - m)
+            a2 = jnp.exp(m2 - m)
+            a3 = jnp.exp(sc3 - m)
+            denom = l1 * a1 + l2 * a2 + a3
+            ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]
+                   + v3[:, :, None, :] * a3[..., None]) / denom[..., None]
+            payload = ((kq, ks, vq, vs),)
+        else:
+            m = jnp.maximum(m1, m2)
+            a1 = jnp.exp(m1 - m)
+            a2 = jnp.exp(m2 - m)
+            denom = l1 * a1 + l2 * a2
+            ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
+                / denom[..., None]
+            payload = (ring,)
     elif impl == "xla4r":
         # kv4 RING-CHUNK: the nibble-packed hhd cache rides the same
         # ring design as xla8r — half the main-term KV bytes via the
@@ -1698,12 +1729,34 @@ class LLMEngine:
         else:
             cos = sin = None
         rimpl = "xla8r" if cache.bits == 8 else "xla4r"
+        import os as _os
+        # deferred ring write (r5, LCTPU_RING_DEFER=1): ring read-only in
+        # the layer loop, one stacked whole-L dus per step (2 ops vs 2*L)
+        defer = (rimpl == "xla8r" and "rkv" in ring
+                 and _os.environ.get("LCTPU_RING_DEFER", "0") == "1")
+        pend = []
         for li, entry in enumerate(sw.blocks):
-            x, ring = _block_apply_decode_i8(
+            x, out = _block_apply_decode_i8(
                 sw, entry, x, cos, sin, cache, li, lengths,
                 impl=rimpl, ring=ring, lengths0=lengths0,
-                ring_pos=ring_pos,
+                ring_pos=(ring_pos,) if defer else ring_pos,
                 interpret=self.attn_impl.endswith("interpret"))
+            if defer:
+                pend.append(out)
+            else:
+                ring = out
+        if defer:
+            kv = jnp.stack([jnp.concatenate([kq, vq], axis=1)
+                            for kq, ks, vq, vs in pend])   # (L,S,2H,1,D)
+            sv = jnp.stack([jnp.concatenate([ks, vs], axis=1)
+                            for kq, ks, vq, vs in pend]
+                           ).astype(ring["rs"].dtype)      # (L,S,2H,1)
+            ring = dict(
+                ring,
+                rkv=jax.lax.dynamic_update_slice(
+                    ring["rkv"], kv, (0, 0, 0, ring_pos, 0)),
+                rs=jax.lax.dynamic_update_slice(
+                    ring["rs"], sv, (0, 0, 0, ring_pos)))
         xl = A.rmsnorm(
             x, sw.norm.get("weight"), arch.rms_eps
         ) if (arch.family == "llama" or arch.norm_type == "rmsnorm") else (
