@@ -114,9 +114,9 @@ def sp_serving_prefill(
             if (arch.family == "llama" or arch.norm_type == "rmsnorm") \
             else A.layernorm(x, sw.norm.get("weight"),
                              sw.norm.get("bias"), 1e-5)
-        logits = jnp.einsum("bth,vh->btv", xl.astype(jnp.bfloat16),
-                            sw.lm_head,
-                            preferred_element_type=jnp.float32)
+        from ..serving.quantized_model import head_logits
+
+        logits = head_logits(sw, xl)
         lengths = lengths.at[slot].set(true_len)
         return cache, lengths, logits[0, true_len - 1]
 

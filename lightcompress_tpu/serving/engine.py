@@ -1763,6 +1763,12 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
+        if _os.environ.get("LCTPU_ABLATE_HEAD") == "1":
+            # probe-only: isolate the head read (engine_step_probe)
+            sw = dataclasses.replace(
+                sw, lm_head=sw.lm_head[:256],
+                lm_head_scale=(sw.lm_head_scale[:256]
+                               if sw.lm_head_scale is not None else None))
         logits = head_logits(sw, xl)[:, 0]
         lengths = jnp.where(active_mask, lengths + 1, lengths)
         return ring, lengths, logits
