@@ -268,6 +268,38 @@ def test_multihost_launcher_dryrun_and_smoke(tmp_path, capsys):
     assert "2 local replica(s)" in out and "smoke generate ok" in out
 
 
+def test_w4a16_contig_slab_routes_to_kernel():
+    """r5 W4A16 gate finding: with the combined contiguous scale slab
+    (the W4A8 serving default) act_bits=16 fell back to the XLA dequant
+    (0.03 of roofline); qlinear_apply now splits the slab into the A16
+    kernel's tile layout on the fly — bit-identical to the split
+    build."""
+    from lightcompress_tpu.ops.pallas_matmul import w4a16_matmul
+    from lightcompress_tpu.ops.qlinear import (QLinearParams,
+                                               quantize_linear)
+
+    rng = np.random.RandomState(2)
+    N, K, gs = 256, 1024, 128
+    w = jnp.asarray(rng.randn(N, K) * 0.1, jnp.float32)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=gs)
+    qp_c = quantize_linear(w, spec, layout="planes",
+                           scale_layout="contig")
+    qp_s = quantize_linear(w, spec, layout="planes",
+                           scale_layout="split")
+    assert qp_c.scales.ndim == 3 and qp_s.scales.ndim == 4
+    nb, rows, nt = qp_c.scales.shape
+    gpp = rows // 16
+    comb = qp_c.scales.reshape(nb, 2, gpp, 8, nt)
+    qp16 = QLinearParams(qp_c.codes, comb[:, 0].transpose(1, 0, 2, 3),
+                         comb[:, 1].transpose(1, 0, 2, 3), None, 4, gs,
+                         False, "planes")
+    x = jnp.asarray(rng.randn(4, K) * 0.5, jnp.bfloat16)
+    a = np.asarray(w4a16_matmul(x, qp16, interpret=True))
+    b = np.asarray(w4a16_matmul(x, qp_s, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_ring_decode_fidelity_rate(tiny_setup):
     """VERDICT r4 #10: the default chunked path's (xla8r) numerics as a
     NUMBER, not an adjective — teacher-forced per-step comparison vs the
