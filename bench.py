@@ -79,6 +79,12 @@ if SCALES == "raw":
 # the bf16 dot dominates (gate 68.6 vs 63.2us) — so route ONLY the small
 # projections.
 MASKED = set(filter(None, os.environ.get("BENCH_MASKED", "").split(",")))
+# 1 -> store the (loop-invariant) KV cache as ONE stacked
+# (L, B, H, T, D) buffer indexed [li] per layer instead of a per-layer
+# LIST of arrays — isolates whether buffer granularity alone explains
+# the engine's main-term read rate (the engine's slot cache is stacked;
+# the bench's list form is what XLA prefetches at full rate)
+KV_STACKED = os.environ.get("BENCH_KV_STACKED", "0") == "1"
 # "planes" -> int32 plane-packed codes, VPU shift+mask unpack in-kernel;
 # "s4" -> byte-packed codes stored int8, nibbles bitcast to s4 IN-KERNEL
 # (w4a8_matmul_bytes: int8 HBM stream at the DMA floor, ~1 VPU op/elem
@@ -649,6 +655,12 @@ def build_inputs():
          jnp.full((BATCH, N_KV, CTX), 0.01, jnp.bfloat16))
         for _ in range(LAYERS)
     ] if KV_BITS in (4, 8) else [None] * LAYERS
+    if KV_STACKED:
+        # one stacked (L, B, H, T, D) buffer per side, layer rows read as
+        # static slices — decode_step's k_cache[li] works unchanged; the
+        # per-layer scale pairs stay a list (≈1% of the cache bytes)
+        k_cache = jnp.stack(k_cache)
+        v_cache = jnp.stack(v_cache)
     return layers, x, k_cache, v_cache, kv_scales
 
 

@@ -533,7 +533,15 @@ def _block_apply_decode_i8(
 
         TB = int(_os.environ.get("LCTPU_MAIN_BLOCK", "0"))
         Tm = kc.shape[2]
-        if TB and Tm > TB and Tm % TB == 0:
+        if _os.environ.get("LCTPU_ABLATE_ATTN") == "1":
+            # probe-only: skip the main-cache term entirely (ring + fresh
+            # token still attend) — isolates the read-only cache stream's
+            # cost in the ring step (tools/engine_step_probe.py)
+            S_, K_, G_ = qb.shape[0], qb.shape[1], qb.shape[2]
+            m1 = jnp.full((S_, K_, G_), -1e30, jnp.float32)
+            l1 = jnp.zeros((S_, K_, G_), jnp.float32)
+            ctx1 = jnp.zeros((S_, K_, G_, hd), jnp.float32)
+        elif TB and Tm > TB and Tm % TB == 0:
             # BLOCKWISE (flash-style) main term: per-block masked
             # score/exp/accumulate keeps the f32 intermediates at
             # (S, H, G, TB) instead of materializing the full
