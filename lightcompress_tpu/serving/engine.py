@@ -1823,10 +1823,38 @@ class LLMEngine:
                 }
             lengths0 = lengths
 
+            rcache = cache
+            if (_os.environ.get("LCTPU_RING_SPLITCACHE", "0") == "1"
+                    and cache.bits == 8 and cache.k_scale is not None
+                    and cache.extra is None):
+                # experiment (r5 engine-gap): materialize each layer's
+                # cache slab as its OWN buffer (one barrier'd copy per
+                # layer, amortized over the chunk) so the chunk loop
+                # reads L separate loop-invariant operands — the bench's
+                # per-layer-list form whose reads XLA overlaps with the
+                # weight kernels; the stacked slot buffer may not get
+                # that overlap (REPORT r5).  Flush still targets the
+                # original stacked cache.
+                import dataclasses as _dc
+
+                rcache = _dc.replace(
+                    cache,
+                    k=tuple(jax.lax.optimization_barrier(cache.k[li])
+                            for li in range(L)),
+                    v=tuple(jax.lax.optimization_barrier(cache.v[li])
+                            for li in range(L)),
+                    k_scale=tuple(
+                        jax.lax.optimization_barrier(cache.k_scale[li])
+                        for li in range(L)),
+                    v_scale=tuple(
+                        jax.lax.optimization_barrier(cache.v_scale[li])
+                        for li in range(L)),
+                )
+
             def rbody(i, carry):
                 ring, lengths, cur, key, buf = carry
                 ring, lengths, logits = self._decode_step_ring(
-                    sw, cache, ring, lengths0, lengths, cur,
+                    sw, rcache, ring, lengths0, lengths, cur,
                     active_mask, i)
                 key, sk = jax.random.split(key)
                 nxt = sample(logits, sp, sk)
