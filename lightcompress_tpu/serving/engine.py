@@ -27,7 +27,7 @@ from .kv_cache import (KVCache, PagedKVCache, PageAllocator,
                        flush_ring_to_cache, append_kv,
                        append_kv_quantized, append_mla, paged_append_decode,
                        paged_append_prefill, paged_read, quantize_kv,
-                       read_kv, read_mla)
+                       read_kv, read_kv_slot, read_mla)
 from .quantized_model import (ServingWeights, apply_qlinear,
                               apply_qlinear_gathered,
                               apply_qlinear_stacked, head_logits)
@@ -1545,10 +1545,9 @@ class LLMEngine:
             [jnp.broadcast_to(cache_vis, (T, Tmax)), cmask],
             axis=1)[None, None]
         for li, entry in enumerate(sw.blocks):
-            k_full, v_full = read_kv(cache, li)
+            k_slot, v_slot = read_kv_slot(cache, li, slot)
             x, k_new, v_new = _block_apply(
-                sw, entry, x, cos, sin, k_full[slot][None],
-                v_full[slot][None], mask)
+                sw, entry, x, cos, sin, k_slot, v_slot, mask)
             if self.kv_bits == 8:
                 kq, ks = quantize_kv(k_new)
                 vq, vs = quantize_kv(v_new)

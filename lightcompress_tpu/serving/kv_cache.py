@@ -310,6 +310,33 @@ def read_mla(cache: KVCache, layer: int) -> Tuple[Array, Array]:
     return cache.k[layer], cache.v[layer]
 
 
+def read_kv_slot(cache: KVCache, layer: int, slot) -> Tuple[Array, Array]:
+    """Dequantized (1, H, T, D) bf16 views of ONE slot of one layer.
+
+    Chunked prefill attends only over its own slot's history;
+    dequantizing the whole (S, ...) layer first (read_kv) materializes
+    S× the needed bf16 rows per layer and blows the prefill-chunk
+    program's HBM reservation at long contexts (r5 on-chip: kv4 32x4096
+    PC=1024 failed AOT with "program 10.33G" — per-layer full-cache
+    dequant transients)."""
+    idx = jax.lax.dynamic_index_in_dim
+    ks = idx(cache.k[layer], slot, 0, keepdims=True)
+    vs = idx(cache.v[layer], slot, 0, keepdims=True)
+    if cache.bits == 4:
+        k = unpack_kv4(ks) * idx(cache.k_scale[layer], slot, 0,
+                                 keepdims=True)[..., None]
+        v = unpack_kv4(vs) * idx(cache.v_scale[layer], slot, 0,
+                                 keepdims=True)[..., None]
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    if cache.bits == 8:
+        k = ks.astype(jnp.float32) * idx(cache.k_scale[layer], slot, 0,
+                                         keepdims=True)[..., None]
+        v = vs.astype(jnp.float32) * idx(cache.v_scale[layer], slot, 0,
+                                         keepdims=True)[..., None]
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    return ks, vs
+
+
 def read_kv(cache: KVCache, layer: int) -> Tuple[Array, Array]:
     """Dequantized (S, H, T, D) bf16 views of one layer."""
     if cache.bits == 4:
