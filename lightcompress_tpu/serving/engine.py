@@ -1737,10 +1737,13 @@ class LLMEngine:
             cos = sin = None
         rimpl = "xla8r" if cache.bits == 8 else "xla4r"
         import os as _os
-        # deferred ring write (r5, LCTPU_RING_DEFER=1): ring read-only in
-        # the layer loop, one stacked whole-L dus per step (2 ops vs 2*L)
+        # deferred ring write (r5 default): ring read-only in the layer
+        # loop, one stacked whole-L dus per step (2 ops vs 2*L); the
+        # fresh token joins attention as a third in-register flash term.
+        # Measured 15.23 vs 15.37 ms/step at 32x2048 (tools/r5logs);
+        # LCTPU_RING_DEFER=0 restores the per-layer ring write.
         defer = (rimpl == "xla8r" and "rkv" in ring
-                 and _os.environ.get("LCTPU_RING_DEFER", "0") == "1")
+                 and _os.environ.get("LCTPU_RING_DEFER", "1") == "1")
         pend = []
         for li, entry in enumerate(sw.blocks):
             x, out = _block_apply_decode_i8(

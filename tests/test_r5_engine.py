@@ -300,25 +300,24 @@ def test_w4a16_contig_slab_routes_to_kernel():
     np.testing.assert_array_equal(a, b)
 
 
-def test_ring_defer_mode_near_agrees(tiny_setup, monkeypatch):
-    """r5 LCTPU_RING_DEFER=1: the ring stays read-only inside the layer
-    loop (the fresh token joins attention as a third in-register flash
-    term) and all L layers' ring entries land in ONE stacked dus per
-    step.  Same codes/scales as the per-layer-write ring — outputs
-    near-agree with the default chunked engine (softmax reassociation
-    only) and exactly hit the requested token counts."""
-    monkeypatch.setenv("LCTPU_RING_DEFER", "1")
+@pytest.mark.parametrize("defer", ["1", "0"])
+def test_ring_defer_mode_near_agrees(tiny_setup, monkeypatch, defer):
+    """r5 deferred ring write (LCTPU_RING_DEFER, default ON): the ring
+    stays read-only inside the layer loop (the fresh token joins
+    attention as a third in-register flash term) and all L layers' ring
+    entries land in ONE stacked dus per step.  Same codes/scales as the
+    per-layer-write ring (defer=0) — both modes near-agree with the
+    per-step engine (softmax reassociation only) and exactly hit the
+    requested token counts."""
+    monkeypatch.setenv("LCTPU_RING_DEFER", defer)
     model, sw = tiny_setup
     eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
                     prefill_buckets=(16,), decode_chunk=4)
-    monkeypatch.delenv("LCTPU_RING_DEFER")
     ref = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
                     prefill_buckets=(16,))
     p = [[3, 17, 9, 2, 100], [5, 1, 7], [42, 11]]
     sp = SamplingParams(max_new_tokens=9, temperature=0.0)
-    monkeypatch.setenv("LCTPU_RING_DEFER", "1")
     gd = eng.generate(p, sp)
-    monkeypatch.delenv("LCTPU_RING_DEFER")
     gr = ref.generate(p, sp)
     assert [len(o) for o in gd] == [len(o) for o in gr]
     total = sum(len(o) for o in gr)
