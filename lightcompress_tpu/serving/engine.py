@@ -1826,17 +1826,25 @@ class LLMEngine:
             lengths0 = lengths
 
             rcache = cache
-            if (_os.environ.get("LCTPU_RING_SPLITCACHE", "0") == "1"
-                    and cache.bits == 8 and cache.k_scale is not None
+            sc_env = _os.environ.get("LCTPU_RING_SPLITCACHE", "auto")
+            cache_gb = (cache.k.size + cache.v.size) / 2**30
+            split = (sc_env == "1"
+                     or (sc_env == "auto" and cache.bits == 8
+                         and cache_gb <= 6.0))
+            if (split and cache.k_scale is not None
                     and cache.extra is None):
-                # experiment (r5 engine-gap): materialize each layer's
-                # cache slab as its OWN buffer (one barrier'd copy per
-                # layer, amortized over the chunk) so the chunk loop
-                # reads L separate loop-invariant operands — the bench's
-                # per-layer-list form whose reads XLA overlaps with the
-                # weight kernels; the stacked slot buffer may not get
-                # that overlap (REPORT r5).  Flush still targets the
-                # original stacked cache.
+                # r5 engine-gap WIN (measured 15.23 -> 14.11 ms/step at
+                # 32x2048 WITH defer): materialize each layer's cache
+                # slab as its OWN buffer (one barrier'd copy per layer,
+                # amortized over the chunk — ~0.13 ms/step at chunk 48)
+                # so the chunk loop reads L separate loop-invariant
+                # operands that XLA overlaps with the weight kernels.
+                # Split alone (without the deferred ring) is a WASH —
+                # the overlap only appears once the layer loop carries
+                # no per-layer ring writes.  auto: on for kv8 rings
+                # whose extra copy fits next to the live cache (<=6 GB
+                # codes); kv4 rides the same branch via =1 (unmeasured).
+                # Flush still targets the original stacked cache.
                 import dataclasses as _dc
 
                 rcache = _dc.replace(
