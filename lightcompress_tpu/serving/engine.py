@@ -639,7 +639,17 @@ def _block_apply_decode_i8(
 
         k4, k4s = quantize_kv4(k)   # (S, H, 1, D/2), (S, H, 1)
         v4, v4s = quantize_kv4(v)
-        if "rkv" in ring:           # fused ring layout (2 dus/layer)
+        # deferred ring write (mirrors xla8r): ring read-only in the
+        # layer loop, fresh nibble token joins as a third flash term
+        defer4 = ring_pos is not None and isinstance(ring_pos, tuple)
+        if defer4:
+            ring_pos = ring_pos[0]
+            H4 = k4.shape[1]
+            rkl = ring["rkv"][li, :, :H4]
+            rvl = ring["rkv"][li, :, H4:]
+            rksl = ring["rs"][li, :, :H4]
+            rvsl = ring["rs"][li, :, H4:]
+        elif "rkv" in ring:         # fused ring layout (2 dus/layer)
             kv = jnp.concatenate([k4, v4], axis=1)
             svals = jnp.concatenate(
                 [k4s, v4s], axis=1).astype(ring["rs"].dtype)
@@ -697,7 +707,10 @@ def _block_apply_decode_i8(
         sc2 = sc2 * rksl[:, :, None, :].astype(jnp.float32) \
             * (hd ** -0.5)
         wcol = jnp.arange(rlo.shape[2])[None, None, None, :]
-        sc2 = jnp.where(wcol <= ring_pos, sc2, -jnp.inf)
+        # defer mode: the fresh token is NOT in the ring yet — strictly
+        # earlier columns only; it joins as a third in-register term
+        vis2 = wcol < ring_pos if defer4 else wcol <= ring_pos
+        sc2 = jnp.where(vis2, sc2, -jnp.inf)
         m2 = jnp.maximum(jnp.max(sc2, axis=-1), -1e30)
         p2 = jnp.exp(sc2 - m2[..., None])
         l2 = jnp.sum(p2, axis=-1)
@@ -706,13 +719,31 @@ def _block_apply_decode_i8(
         ctx2 = jnp.concatenate(
             [jnp.einsum("skgw,skwd->skgd", pv2, rvlo),
              jnp.einsum("skgw,skwd->skgd", pv2, rvhi)], axis=-1)
-        m = jnp.maximum(m1, m2)
-        a1 = jnp.exp(m1 - m)
-        a2 = jnp.exp(m2 - m)
-        denom = l1 * a1 + l2 * a2
-        ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
-            / denom[..., None]
-        payload = (ring,)
+        if defer4:
+            from .kv_cache import unpack_kv4 as _unp4
+
+            kf = _unp4(k4[:, :, 0]) * \
+                k4s[:, :, 0].astype(jnp.float32)[..., None]
+            vf = _unp4(v4[:, :, 0]) * \
+                v4s[:, :, 0].astype(jnp.float32)[..., None]
+            sc3 = jnp.einsum("skgd,skd->skg", qb.astype(jnp.float32),
+                             kf) * (hd ** -0.5)
+            m = jnp.maximum(jnp.maximum(m1, m2), sc3)
+            a1 = jnp.exp(m1 - m)
+            a2 = jnp.exp(m2 - m)
+            a3 = jnp.exp(sc3 - m)
+            denom = l1 * a1 + l2 * a2 + a3
+            ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]
+                   + vf[:, :, None, :] * a3[..., None]) / denom[..., None]
+            payload = ((k4, k4s, v4, v4s),)
+        else:
+            m = jnp.maximum(m1, m2)
+            a1 = jnp.exp(m1 - m)
+            a2 = jnp.exp(m2 - m)
+            denom = l1 * a1 + l2 * a2
+            ctx = (ctx1 * a1[..., None] + ctx2 * a2[..., None]) \
+                / denom[..., None]
+            payload = (ring,)
     elif impl == "xla8a":
         # APPEND-FIRST masked attention: write the quantized fresh token
         # into the cache (per-slot-loop dus — aliases in place), then run
@@ -1742,7 +1773,7 @@ class LLMEngine:
         # fresh token joins attention as a third in-register flash term.
         # Measured 15.23 vs 15.37 ms/step at 32x2048 (tools/r5logs);
         # LCTPU_RING_DEFER=0 restores the per-layer ring write.
-        defer = (rimpl == "xla8r" and "rkv" in ring
+        defer = (rimpl in ("xla8r", "xla4r") and "rkv" in ring
                  and _os.environ.get("LCTPU_RING_DEFER", "1") == "1")
         pend = []
         for li, entry in enumerate(sw.blocks):
