@@ -1371,8 +1371,12 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = head_logits(sw, xl)
-        last = logits[0, true_len - 1]
+        # head only on the last true row: the full (T, V) logits is a
+        # pure transient (T * 128k * 4B = 4.2 GB at T=8192 — an HBM OOM
+        # term at long-context admission; only ``last`` leaves the jit)
+        xl_last = jax.lax.dynamic_index_in_dim(xl[0], true_len - 1, 0,
+                                               keepdims=True)[None]
+        last = head_logits(sw, xl_last)[0, 0]
         lengths = lengths.at[slot].set(true_len)
         return cache, lengths, last
 
@@ -1435,8 +1439,10 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = head_logits(sw, xl)
-        last = logits[jnp.arange(N), true_lens - 1]
+        # gather each row's last true hidden state BEFORE the head: the
+        # full (N, T, V) logits is a pure transient (see _prefill)
+        xl_last = xl[jnp.arange(N), true_lens - 1][:, None]  # (N, 1, H)
+        last = head_logits(sw, xl_last)[:, 0]
         lengths = lengths.at[slots].set(true_lens)
         return cache, lengths, last
 
@@ -1542,8 +1548,9 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = head_logits(sw, xl)
-        last = logits[0, true_len - 1]
+        xl_last = jax.lax.dynamic_index_in_dim(xl[0], true_len - 1, 0,
+                                               keepdims=True)[None]
+        last = head_logits(sw, xl_last)[0, 0]
         lengths = lengths.at[slot].set(Tp + true_len)
         return cache, lengths, last
 
@@ -1600,8 +1607,9 @@ class LLMEngine:
             A.layernorm(x, sw.norm.get("weight"),
                         sw.norm.get("bias"), 1e-5)
         )
-        logits = head_logits(sw, xl)
-        last = logits[0, true_len - 1]
+        xl_last = jax.lax.dynamic_index_in_dim(xl[0], true_len - 1, 0,
+                                               keepdims=True)[None]
+        last = head_logits(sw, xl_last)[0, 0]
         lengths = lengths.at[slot].set(start + true_len)
         return cache, lengths, last
 
