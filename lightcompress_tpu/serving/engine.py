@@ -135,15 +135,30 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
                                         midk.astype(jnp.bfloat16), e)
             y = y + topw[:, k:k + 1] * dk
     else:
-        g = apply_qlinear_stacked(entry["mlp.gate"], x2)   # (E, n, I) f32
-        u = apply_qlinear_stacked(entry["mlp.up"], x2)
-        mid = A._act(g, arch.act_fn) * u
-        d = apply_qlinear_stacked(entry["mlp.down"],
-                                  mid.astype(jnp.bfloat16),
-                                  pair=True)               # (E, n, H) f32
+        def _dense_block(xb, wb):
+            """Dense all-expert compute on one token block: bounds the
+            (E, n_blk, I) f32 transients — at batched prefill n can be
+            S*T tokens and the unchunked form is (E, n, I) f32
+            (~17 GB at 32k tokens, E=64, I=2048)."""
+            g = apply_qlinear_stacked(entry["mlp.gate"], xb)
+            u = apply_qlinear_stacked(entry["mlp.up"], xb)
+            mid = A._act(g, arch.act_fn) * u
+            d = apply_qlinear_stacked(entry["mlp.down"],
+                                      mid.astype(jnp.bfloat16),
+                                      pair=True)           # (E, nb, H)
+            return jnp.einsum("enh,ne->nh", d, wb)
+
         w_full = jnp.zeros((n, m.num_experts), jnp.float32)
         w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
-        y = jnp.einsum("enh,ne->nh", d, w_full)
+        NB = int(_os.environ.get("LCTPU_MOE_DENSE_BLOCK", "2048"))
+        if n > NB and n % NB == 0:
+            xb = x2.reshape(n // NB, NB, H)
+            wb = w_full.reshape(n // NB, NB, m.num_experts)
+            y = jax.lax.map(
+                lambda args: _dense_block(*args), (xb, wb)
+            ).reshape(n, H)
+        else:
+            y = _dense_block(x2, w_full)
     if "mlp.shared_gate" in entry:
         sg = apply_qlinear(entry["mlp.shared_gate"], x2, act_bits=ab)
         su = apply_qlinear(entry["mlp.shared_up"], x2, act_bits=ab)

@@ -184,6 +184,37 @@ def test_moe_engine_takes_fast_path():
     assert agree >= total - 2, (gf, gs)
 
 
+def test_moe_dense_block_chunking_identical(monkeypatch):
+    """The MoE dense-stacked branch chunks over token blocks at batch
+    (bounds the (E, n_blk, I) f32 transients — unchunked it is
+    (E, n, I), ~17 GB at 32k prefill tokens): outputs bit-match the
+    unchunked form."""
+    from lightcompress_tpu.models import Llama, init_params
+    from lightcompress_tpu.models.arch import ArchSpec, MoESpec
+    from lightcompress_tpu.serving.engine import _moe_mlp
+
+    arch = ArchSpec(
+        family="llama", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2, num_kv_heads=2,
+        head_dim=16, act_fn="silu",
+        moe=MoESpec(num_experts=4, top_k=2, moe_intermediate_size=32,
+                    gating="softmax", norm_topk_prob=True),
+        dtype=jnp.bfloat16,
+    )
+    model = Llama(arch, init_params(jax.random.PRNGKey(7), arch))
+    wspec = QuantSpec(bit=8, symmetric=True, granularity="per_channel")
+    sw = build_serving_weights(model, wspec)
+    entry = sw.blocks[0]
+    h2 = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 32),
+                           jnp.bfloat16)
+    monkeypatch.setenv("LCTPU_MOE_GATHER_MAX", "0")  # force dense branch
+    monkeypatch.setenv("LCTPU_MOE_DENSE_BLOCK", "16")
+    chunked = _moe_mlp(sw, entry, h2, 16)
+    monkeypatch.setenv("LCTPU_MOE_DENSE_BLOCK", "4096")
+    full = _moe_mlp(sw, entry, h2, 16)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
+
 def test_reset_reuses_cache_buffer(tiny_setup):
     """VERDICT r4 #4: reset() zeroes the existing cache in place (donated
     jit) instead of allocating a fresh one — single residency across
