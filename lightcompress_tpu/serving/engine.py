@@ -1884,10 +1884,14 @@ class LLMEngine:
             cache_gb = (cache.k.size + cache.v.size) / 2**30
             # auto: on for kv8 AND kv4 rings whose extra copy fits next
             # to the live cache (measured wins: kv8 15.23->14.11 at
-            # 32x2048; kv4 24.23->22.44 at 32x4096, both with defer)
+            # 32x2048; kv4 24.23->22.44 at 32x4096, both with defer).
+            # The once-per-chunk copy (~cache_gb/0.7 ms) only amortizes
+            # at decode_chunk >= 8 (at chunk 4 it exceeds the ~1.1 ms
+            # marginal win) — small-chunk engines stay unsplit.
             split = (sc_env == "1"
                      or (sc_env == "auto" and cache.bits in (4, 8)
-                         and cache_gb <= 6.0))
+                         and cache_gb <= 6.0
+                         and self.decode_chunk >= 8))
             if (split and cache.k_scale is not None
                     and cache.extra is None):
                 # r5 engine-gap WIN (measured 15.23 -> 14.11 ms/step at

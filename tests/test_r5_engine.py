@@ -331,8 +331,10 @@ def test_w4a16_contig_slab_routes_to_kernel():
     np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("defer", ["1", "0"])
-def test_ring_defer_mode_near_agrees(tiny_setup, monkeypatch, defer):
+@pytest.mark.parametrize("defer,split", [("1", "auto"), ("0", "auto"),
+                                         ("1", "1")])
+def test_ring_defer_mode_near_agrees(tiny_setup, monkeypatch, defer,
+                                     split):
     """r5 deferred ring write (LCTPU_RING_DEFER, default ON): the ring
     stays read-only inside the layer loop (the fresh token joins
     attention as a third in-register flash term) and all L layers' ring
@@ -341,6 +343,7 @@ def test_ring_defer_mode_near_agrees(tiny_setup, monkeypatch, defer):
     per-step engine (softmax reassociation only) and exactly hit the
     requested token counts."""
     monkeypatch.setenv("LCTPU_RING_DEFER", defer)
+    monkeypatch.setenv("LCTPU_RING_SPLITCACHE", split)
     model, sw = tiny_setup
     eng = LLMEngine(sw, max_slots=2, max_len=64, kv_bits=8,
                     prefill_buckets=(16,), decode_chunk=4)
