@@ -67,6 +67,10 @@ def _ref_bbq():
             "llmc.compression.quantization.hadamard_utils")
     finally:
         sys.path.remove("/root/reference")
+    # hadamard_utils may be cached from an earlier parity test that ran
+    # before the stub existed (its guarded import leaves the name
+    # unbound) — bind the stub on the module unconditionally
+    had.fast_hadamard_transform = sys.modules["fast_hadamard_transform"]
     return bbq, had
 
 
