@@ -79,6 +79,30 @@ def test_wanda_prune_parity(monkeypatch):
     np.testing.assert_array_equal(ours_w, ref_w)
 
 
+def test_shortgpt_bi_parity():
+    """ShortGPT block-influence parity (llmc shortgpt.py:39-67): the
+    per-token 1 - cos(input, output) sum matches the reference's
+    compute_bi on the same (input, output) pair."""
+    import torch
+
+    (ref_s_mod, ) = _ref_sparse("shortgpt")
+    rng = np.random.RandomState(41)
+    B, T, D = 2, 9, 32
+    x = rng.randn(B, T, D).astype(np.float32)
+    y = (x + 0.3 * rng.randn(B, T, D)).astype(np.float32)
+
+    ref = object.__new__(ref_s_mod.ShortGPT)
+    ref_bi = float(ref.compute_bi(torch.from_numpy(x),
+                                  torch.from_numpy(y)).sum())
+
+    xf = jnp.asarray(x).reshape(-1, D)
+    yf = jnp.asarray(y).reshape(-1, D)
+    sim = jnp.sum(xf * yf, axis=-1) / (
+        jnp.linalg.norm(xf, axis=-1) * jnp.linalg.norm(yf, axis=-1))
+    ours_bi = float(jnp.sum(1 - jnp.nan_to_num(sim, nan=0.5)))
+    np.testing.assert_allclose(ours_bi, ref_bi, rtol=1e-5)
+
+
 def test_magnitude_prune_parity():
     import torch
 
