@@ -1088,6 +1088,134 @@ def w4a8_gathered_matmul(
     return out[:, 0]
 
 
+def _w4a8_kernel_grouped(eid_ref, x_ref, xs_ref, wp_ref, szs_ref, o_ref,
+                         wun_scr, *, group: int, gpp: int):
+    """Body for w4a8_grouped_matmul: the _w4a8_kernel_mtiled math with an
+    expert-indexed weight tile.  Grid (N tiles, M blocks), M innermost;
+    the scalar-prefetched ``eid_ref`` names each M block's expert, so the
+    nibble unpack into ``wun_scr`` re-runs only when the weight tile
+    actually changed (m == 0 after an N step, or an expert transition —
+    Pallas skips the tile re-fetch itself when the block index map output
+    is unchanged between consecutive steps)."""
+    m_idx = pl.program_id(1)
+    b, nt = o_ref.shape
+    prev_e = eid_ref[jnp.maximum(m_idx - 1, 0)]
+
+    @pl.when((m_idx == 0) | (eid_ref[m_idx] != prev_e))
+    def _unpack():
+        for gi in range(gpp):
+            wpb = wp_ref[0, 0, gi]
+            for j in range(8):
+                wun_scr[gi * 8 + j] = \
+                    ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
+
+    xb = x_ref[:]
+    xsum = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
+    ).astype(jnp.float32)
+
+    def gi_body(gi, accs):
+        sblk = szs_ref[0, 0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
+        news = list(accs)
+        for j in range(8):
+            cg = wun_scr[gi * 8 + j]
+            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            partial = jax.lax.dot_general(
+                xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            news[j % 4] = news[j % 4] + partial.astype(jnp.float32) * \
+                sblk[j][None, :]
+        return tuple(news)
+
+    accs = jax.lax.fori_loop(
+        0, gpp, gi_body,
+        tuple(jnp.zeros((b, nt), jnp.float32) for _ in range(4)))
+    zsb = szs_ref[0, 0, gpp * 8:, :].astype(jnp.float32)
+    corr = jax.lax.dot_general(
+        xsum, zsb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = ((accs[0] + accs[1]) + (accs[2] + accs[3]) - corr) * xs_ref[:]
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group", "m_tile", "out_dtype", "interpret"),
+)
+def w4a8_grouped_matmul(
+    xq: Array,        # (Mp, K) int8 natural order, expert-sorted rows
+    x_scale: Array,   # (Mp, 1) f32
+    wp_t: Array,      # (E, N/NT, gpp, NT, group) int32 (stacked_planes)
+    szs: Array,       # (E, N/NT, 2*gpp*8, NT) combined scale+zero slabs
+    block_eid: Array,  # (Mp/m_tile,) int32 expert id per M block
+    group: int = 128,
+    m_tile: int = 128,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Array:
+    """Capacity-grouped (megablocks-style) stacked-expert W4A8 matmul:
+    out[r] = x[r] @ W[block_eid[r // m_tile]].T -> (Mp, N).
+
+    The MoE BATCH-regime kernel (the r5 design sketch, built): selection
+    rows arrive pre-sorted by expert into m_tile-aligned segments
+    (moe_group_selections), so each M block belongs to exactly ONE
+    expert and the grid runs (N tiles, M blocks) with M innermost —
+    consecutive blocks of the same expert leave the weight tile's block
+    index unchanged, so Pallas skips the re-fetch and the unpack scratch
+    survives.  Per full pass: ~E full-weight reads (vs the dense stacked
+    kernel's E reads per token BLOCK) and top_k/E of its MXU passes —
+    the dense kernel computes every expert for every token.  With
+    M >= m_tile tokens per live expert the weight stream amortizes over
+    real work, which the array-fill floor analysis said needs the batch
+    regime (REPORT r5 "MoE small-M").  Dropless-exact: per-expert
+    padding rows read a zeroed dummy token and are dropped on unsort.
+    Reference topology: deepseekv3.py:128-167 sequential expert loop."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, n_blocks, gpp, n_tile, gw = wp_t.shape
+    assert gw == group
+    K = gpp * group * 8
+    Mp = xq.shape[0]
+    n_mblocks = Mp // m_tile
+    assert n_mblocks * m_tile == Mp and block_eid.shape[0] == n_mblocks
+    N = n_blocks * n_tile
+    xr = xq.reshape(Mp, 8, gpp, group).transpose(0, 2, 1, 3).reshape(Mp, K)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_mblocks),
+        in_specs=[
+            pl.BlockSpec((m_tile, K), lambda i, j, e: (j, 0)),
+            pl.BlockSpec((m_tile, 1), lambda i, j, e: (j, 0)),
+            pl.BlockSpec((1, 1, gpp, n_tile, group),
+                         lambda i, j, e: (e[j], i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * gpp * 8, n_tile),
+                         lambda i, j, e: (e[j], i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, e: (j, i)),
+        scratch_shapes=[pltpu.VMEM((gpp * 8, n_tile, group), jnp.int8)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_w4a8_kernel_grouped, group=group, gpp=gpp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        interpret=interpret,
+        compiler_params=_maybe_vmem_params(
+            2 * gpp * n_tile * group * 4 + 2 * m_tile * K
+            + m_tile * n_tile * 4 * 6 + gpp * 8 * n_tile * group
+            + (2 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=min(E, n_mblocks) * n_blocks
+            * (n_tile * K // 2 + 2 * gpp * 8 * n_tile * 2)
+            + n_blocks * Mp * K + Mp * N
+            * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(block_eid.astype(jnp.int32), xr, x_scale.astype(jnp.float32),
+      wp_t, szs)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "m_tile", "out_dtype", "interpret"),

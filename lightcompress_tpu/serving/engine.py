@@ -134,6 +134,22 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
             dk = apply_qlinear_gathered(entry["mlp.down"],
                                         midk.astype(jnp.bfloat16), e)
             y = y + topw[:, k:k + 1] * dk
+    elif (isinstance(gp, _QLP) and gp.layout == "stacked_planes"
+          and not getattr(sw, "sharded", False)
+          and (ge := _os.environ.get("LCTPU_MOE_GROUPED", "auto")) != "0"
+          and (ge in ("1", "interpret")
+               or (ge == "auto" and jax.default_backend() != "cpu"
+                   and n >= int(_os.environ.get(
+                       "LCTPU_MOE_GROUPED_MIN", "512"))))):
+        # BATCH-regime capacity-grouped kernel (r5): selections sorted
+        # by expert into m_tile segments -> top_k/E of the dense stacked
+        # kernel's MXU passes and ~one weight read per live expert
+        # (the dense kernel computes every expert for every token, and
+        # re-reads all E weights per LCTPU_MOE_DENSE_BLOCK chunk).
+        # Dropless-exact; parity-tested vs dense (test_serving_moe_mla).
+        from .quantized_model import moe_mlp_grouped
+        y = moe_mlp_grouped(entry, x2, topi, topw, arch.act_fn,
+                            interpret=(ge == "interpret"))
     else:
         def _dense_block(xb, wb):
             """Dense all-expert compute on one token block: bounds the

@@ -247,6 +247,89 @@ def apply_qlinear_gathered(qp, x: Array, e_idx: Array) -> Array:
                       preferred_element_type=jnp.float32)
 
 
+def moe_group_selections(topi: Array, num_experts: int,
+                         m_tile: int = 128):
+    """Static-shape dropless grouping of MoE selections by expert.
+
+    Sorts the (n, top_k) routing selections by expert id and pads each
+    expert's run to an ``m_tile`` boundary, so every M block of the
+    grouped activation matrix belongs to exactly one expert — the layout
+    w4a8_grouped_matmul's scalar-prefetched index maps need.  All shapes
+    are static (Mp = (ceil(S/m_tile) + E) * m_tile bounds the worst-case
+    per-expert padding), so the whole grouping jits; no token is ever
+    dropped (capacity is a LAYOUT bound here, not a routing bound — the
+    reference's sequential expert loop, deepseekv3.py:128-167, is also
+    dropless).
+
+    Returns ``(gather_row, sel_pos, block_eid)``: ``gather_row`` (Mp,)
+    source token row per grouped row (== n for padding rows — point it
+    at a zeroed dummy row); ``sel_pos`` (S,) destination row of
+    selection s in token-major order; ``block_eid`` (Mp/m_tile,) expert
+    id per M block."""
+    n, top_k = topi.shape
+    S = n * top_k
+    E = num_experts
+    Mp = (-(-S // m_tile) + E) * m_tile
+    e_flat = topi.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(e_flat, stable=True)
+    e_sorted = e_flat[order]
+    counts = jnp.zeros((E,), jnp.int32).at[e_flat].add(1)
+    padded = -(-counts // m_tile) * m_tile
+    start = jnp.cumsum(counts) - counts
+    pstart = jnp.cumsum(padded) - padded
+    pos_sorted = (jnp.arange(S, dtype=jnp.int32) - start[e_sorted]
+                  + pstart[e_sorted])
+    gather_row = jnp.full((Mp,), n, jnp.int32).at[pos_sorted].set(
+        (order // top_k).astype(jnp.int32))
+    sel_pos = jnp.zeros((S,), jnp.int32).at[order].set(pos_sorted)
+    pend = jnp.cumsum(padded)
+    block_eid = jnp.searchsorted(
+        pend, jnp.arange(Mp // m_tile, dtype=jnp.int32) * m_tile,
+        side="right")
+    return gather_row, sel_pos, jnp.minimum(block_eid, E - 1).astype(
+        jnp.int32)
+
+
+def moe_mlp_grouped(entry: Dict[str, Any], x2: Array, topi: Array,
+                    topw: Array, act_fn: str, m_tile: int = 128,
+                    interpret: bool = False) -> Array:
+    """MoE MLP via the capacity-grouped batch kernel: (n, H) tokens +
+    (n, top_k) routing -> (n, H) combined expert outputs.
+
+    The BATCH-regime MoE path (r5): gathers each selection's token row
+    into expert-sorted m_tile segments, runs gate/up/down as THREE
+    grouped kernel calls over only the selected experts' weights
+    (top_k/E of the dense stacked kernel's MXU passes, ~one full weight
+    read per live expert), and unsorts + router-weights the result.
+    The intermediate is (top_k*n, I) instead of the dense path's
+    (E, n, I).  Requires stacked_planes entries (gate/up/down)."""
+    from ..ops.pallas_matmul import (quantize_act_per_token,
+                                     w4a8_grouped_matmul)
+
+    gp, up, dp = entry["mlp.gate"], entry["mlp.up"], entry["mlp.down"]
+    E = gp.codes.shape[0]
+    n, H = x2.shape
+    top_k = topi.shape[1]
+    gather_row, sel_pos, block_eid = moe_group_selections(
+        topi, E, m_tile)
+    xpad = jnp.concatenate(
+        [x2.astype(jnp.bfloat16), jnp.zeros((1, H), jnp.bfloat16)], axis=0)
+    xq, xs = quantize_act_per_token(xpad[gather_row])
+    g = w4a8_grouped_matmul(xq, xs, gp.codes, gp.scales, block_eid,
+                            group=gp.group_size, m_tile=m_tile,
+                            interpret=interpret)
+    u = w4a8_grouped_matmul(xq, xs, up.codes, up.scales, block_eid,
+                            group=up.group_size, m_tile=m_tile,
+                            interpret=interpret)
+    mid = A._act(g, act_fn) * u
+    mq, ms = quantize_act_per_token(mid.astype(jnp.bfloat16))
+    d = w4a8_grouped_matmul(mq, ms, dp.codes, dp.scales, block_eid,
+                            group=dp.group_size, m_tile=m_tile,
+                            interpret=interpret)
+    y_sel = d[sel_pos].reshape(n, top_k, H)
+    return jnp.einsum("nkh,nk->nh", y_sel, topw)
+
+
 def build_serving_weights(
     model: BaseModel,
     wspec: QuantSpec,

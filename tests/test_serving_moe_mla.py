@@ -337,3 +337,121 @@ def test_stacked_planes_kernel_matches_dequant():
     want = jnp.stack([dense[int(e_idx[i]), i] for i in range(n)])
     np.testing.assert_allclose(np.asarray(gat), np.asarray(want),
                                atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# capacity-grouped batch kernel (r5: megablocks-style sorted selections)
+# ---------------------------------------------------------------------------
+
+def test_moe_group_selections_invariants():
+    """Grouping layout invariants: every selection lands in a block owned
+    by its expert, gather_row inverts sel_pos back to the source token,
+    and padding rows point at the dummy token row."""
+    from lightcompress_tpu.serving.quantized_model import (
+        moe_group_selections)
+
+    rng = np.random.RandomState(0)
+    n, top_k, E, m_tile = 37, 3, 5, 8
+    topi = jnp.asarray(
+        np.stack([rng.choice(E, top_k, replace=False) for _ in range(n)]),
+        jnp.int32)
+    gather_row, sel_pos, block_eid = moe_group_selections(topi, E, m_tile)
+    Mp = gather_row.shape[0]
+    assert Mp % m_tile == 0 and block_eid.shape[0] == Mp // m_tile
+    gr, sp, be = (np.asarray(gather_row), np.asarray(sel_pos),
+                  np.asarray(block_eid))
+    ti = np.asarray(topi)
+    S = n * top_k
+    # unique destination rows, each in its expert's block
+    assert len(set(sp.tolist())) == S
+    for s in range(S):
+        t, k = divmod(s, top_k)
+        assert gr[sp[s]] == t
+        assert be[sp[s] // m_tile] == ti[t, k]
+    # padding rows point at the dummy row n
+    pad_rows = set(range(Mp)) - set(sp.tolist())
+    assert all(gr[r] == n for r in pad_rows)
+    # rows are expert-sorted: positions of each expert's selections are
+    # contiguous within that expert's padded segment
+    e_of_row = np.full(Mp, -1)
+    for s in range(S):
+        e_of_row[sp[s]] = ti[s // top_k, s % top_k]
+    for b in range(Mp // m_tile):
+        blk = e_of_row[b * m_tile:(b + 1) * m_tile]
+        assert set(blk[blk >= 0].tolist()) <= {be[b]}
+
+
+def test_grouped_matmul_matches_dequant():
+    """w4a8_grouped_matmul (interpret) == per-row dequant matmul with the
+    block's expert weight, for rows already in grouped layout."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        quantize_act_per_token, w4a8_grouped_matmul)
+    from lightcompress_tpu.serving.quantized_model import (
+        dequant_weight_stacked, quantize_linear_stacked)
+
+    rng = np.random.RandomState(1)
+    E, oc, ic, gs, m_tile = 4, 128, 256, 16, 8
+    w3 = jnp.asarray(rng.randn(E, oc, ic) * 0.1, jnp.float32)
+    qp = quantize_linear_stacked(
+        w3, QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=gs))
+    assert qp.layout == "stacked_planes"
+    n_mb = 6
+    Mp = n_mb * m_tile
+    block_eid = jnp.asarray(rng.choice(E, n_mb), jnp.int32)
+    x = jnp.asarray(rng.randn(Mp, ic) * 0.5, jnp.float32)
+    xq, xs = quantize_act_per_token(x)
+    got = w4a8_grouped_matmul(xq, xs, qp.codes, qp.scales, block_eid,
+                              group=gs, m_tile=m_tile, interpret=True)
+    wde = dequant_weight_stacked(qp, jnp.float32)
+    xdq = np.asarray(xq, np.float32) * np.asarray(xs)
+    want = np.stack([
+        xdq[r] @ np.asarray(wde)[int(block_eid[r // m_tile])].T
+        for r in range(Mp)])
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.05, rtol=0.05)
+
+
+def _tiny_moe_planes(seed=11):
+    """MoE model whose expert shapes satisfy the stacked_planes layout
+    (oc % 128 == 0, ic % (8*gs) == 0 at gs=16) so the grouped/stacked
+    kernels engage."""
+    arch = ArchSpec(
+        family="llama", vocab_size=128, hidden_size=256,
+        intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=16, act_fn="silu",
+        moe=MoESpec(num_experts=4, top_k=2, moe_intermediate_size=128,
+                    gating="softmax", norm_topk_prob=True),
+        dtype=jnp.bfloat16,
+    )
+    params = init_params(jax.random.PRNGKey(seed), arch)
+    _sharpen_router(params)
+    return Llama(arch, params)
+
+
+def test_moe_mlp_grouped_matches_dense(monkeypatch):
+    """Engine _moe_mlp routed through the capacity-grouped kernel equals
+    the dense all-expert path (same routing, same quantized weights; the
+    only numeric delta is the kernel's int8 act quant, bounded like the
+    stacked-kernel parity test)."""
+    from lightcompress_tpu.serving import engine as eng
+
+    model = _tiny_moe_planes()
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=16)
+    sw = build_serving_weights(model, wspec)
+    entry = sw.blocks[0]
+    assert entry["mlp.gate"].layout == "stacked_planes"
+    rng = np.random.RandomState(5)
+    h2 = jnp.asarray(rng.randn(2, 8, 256) * 0.3, jnp.bfloat16)
+
+    monkeypatch.setenv("LCTPU_MOE_GATHER_MAX", "0")
+    monkeypatch.setenv("LCTPU_MOE_GROUPED", "0")
+    y_dense = eng._moe_mlp(sw, entry, h2, 16)
+    monkeypatch.setenv("LCTPU_MOE_GROUPED", "interpret")
+    y_grp = eng._moe_mlp(sw, entry, h2, 16)
+    d = np.asarray(y_dense, np.float32)
+    g = np.asarray(y_grp, np.float32)
+    cos = (d * g).sum() / (np.linalg.norm(d) * np.linalg.norm(g) + 1e-9)
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(g, d, atol=0.08, rtol=0.08)

@@ -48,13 +48,37 @@ def main():
     def dense_step(W, x, topi, topw):
         gate, up, down = W
         n = x.shape[0]
-        g = apply_qlinear_stacked(gate, x)
-        u = apply_qlinear_stacked(up, x)
-        mid = jax.nn.silu(g) * u
-        d = apply_qlinear_stacked(down, mid.astype(jnp.bfloat16), pair=True)
+
+        def blk(xb, wb):
+            g = apply_qlinear_stacked(gate, xb)
+            u = apply_qlinear_stacked(up, xb)
+            mid = jax.nn.silu(g) * u
+            d = apply_qlinear_stacked(down, mid.astype(jnp.bfloat16),
+                                      pair=True)
+            return jnp.einsum("enh,ne->nh", d, wb)
+
         w_full = jnp.zeros((n, E), jnp.float32)
         w_full = w_full.at[jnp.arange(n)[:, None], topi].set(topw)
-        return jnp.einsum("enh,ne->nh", d, w_full)
+        NB = 2048  # the engine's LCTPU_MOE_DENSE_BLOCK transient bound
+        if n > NB and n % NB == 0:
+            return jax.lax.map(
+                lambda a: blk(*a),
+                (x.reshape(n // NB, NB, H),
+                 w_full.reshape(n // NB, NB, E))).reshape(n, H)
+        return blk(x, w_full)
+
+    def grouped_step(W, x, topi, topw):
+        # capacity-grouped batch kernel (r5): sorted selections,
+        # top_k/E of the dense MXU passes.  NOTE the grouping indices
+        # depend only on topi (loop-invariant in the chain) so XLA
+        # hoists them — their cost (an argsort of n*top_k int32) is
+        # measured separately below as group_us.
+        from lightcompress_tpu.serving.quantized_model import (
+            moe_mlp_grouped)
+
+        gate, up, down = W
+        entry = {"mlp.gate": gate, "mlp.up": up, "mlp.down": down}
+        return moe_mlp_grouped(entry, x, topi, topw, "silu")
 
     def pgather_step(W, x, topi, topw):
         # scalar-prefetch gathered kernel (r5): selected tiles only
@@ -101,7 +125,7 @@ def main():
         W = (gate, up, down)
         impls = os.environ.get("IMPLS", "dense,gather").split(",")
         table = {"dense": dense_step, "gather": gather_step,
-                 "pgather": pgather_step}
+                 "pgather": pgather_step, "grouped": grouped_step}
         for name, f in [(k, table[k]) for k in impls]:
 
             @functools.partial(jax.jit, static_argnames=("iters",))
