@@ -559,16 +559,19 @@ def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
                     ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
 
     xb = x_ref[:]
+    # NATURAL-order x (see _w4a8_kernel_grouped): no host-side int8
+    # lane-regroup transpose; the zero-correction sums are permuted to
+    # the szs slab's (gi, j) row order via a tiny transpose instead
     xsum = jnp.sum(
-        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
-    ).astype(jnp.float32)
+        xb.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3
+    ).transpose(0, 2, 1).reshape(b, gpp * 8).astype(jnp.float32)
 
     def gi_body(gi, accs):
         sblk = szs_ref[0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
         news = list(accs)
         for j in range(8):
             cg = wun_scr[gi * 8 + j]
-            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            xg = x_ref[:, pl.ds((j * gpp + gi) * group, group)]
             partial = jax.lax.dot_general(
                 xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -1110,16 +1113,21 @@ def _w4a8_kernel_grouped(eid_ref, x_ref, xs_ref, wp_ref, szs_ref, o_ref,
                     ((wpb >> (4 * j)) & 0xF).astype(jnp.int8)
 
     xb = x_ref[:]
+    # NATURAL-order x: column group g covers plane j = g // gpp, group
+    # gi = g % gpp; the szs slab rows are (gi, j)-ordered, so the
+    # zero-correction row sums are permuted via a tiny (b, 8, gpp)
+    # transpose (the host-side (MP, K) int8 lane-regroup transpose this
+    # replaces measured 18 ms = 26 GB/s at MP=57344, grouped_decomp r5)
     xsum = jnp.sum(
-        xb.astype(jnp.int32).reshape(b, gpp * 8, group), axis=2
-    ).astype(jnp.float32)
+        xb.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3
+    ).transpose(0, 2, 1).reshape(b, gpp * 8).astype(jnp.float32)
 
     def gi_body(gi, accs):
         sblk = szs_ref[0, 0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
         news = list(accs)
         for j in range(8):
             cg = wun_scr[gi * 8 + j]
-            xg = x_ref[:, pl.ds((gi * 8 + j) * group, group)]
+            xg = x_ref[:, pl.ds((j * gpp + gi) * group, group)]
             partial = jax.lax.dot_general(
                 xg, cg, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -1179,7 +1187,7 @@ def w4a8_grouped_matmul(
     n_mblocks = Mp // m_tile
     assert n_mblocks * m_tile == Mp and block_eid.shape[0] == n_mblocks
     N = n_blocks * n_tile
-    xr = xq.reshape(Mp, 8, gpp, group).transpose(0, 2, 1, 3).reshape(Mp, K)
+    xr = xq  # natural order — the kernel slices (j*gpp + gi)*group
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks, n_mblocks),
@@ -1245,7 +1253,7 @@ def w4a8_matmul_planes_mtiled(
     if Mp != M:
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
         x_scale = jnp.pad(x_scale, ((0, Mp - M), (0, 0)))
-    xr = xq.reshape(Mp, 8, gpp, group).transpose(0, 2, 1, 3).reshape(Mp, K)
+    xr = xq  # natural order — the kernel slices (j*gpp + gi)*group
     out = pl.pallas_call(
         functools.partial(_w4a8_kernel_mtiled, group=group, gpp=gpp),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
