@@ -535,6 +535,26 @@ def _w4a8_kernel_fullk_combined(x_ref, wp_ref, szs_ref, o_ref, *,
     o_ref[:] = (accs[0] + accs[1]) + (accs[2] + accs[3]) - corr
 
 
+def _xsum_slab_order(xb, gpp: int, group: int):
+    """Per-group activation sums of a NATURAL-order int8 block, permuted
+    to the combined scale slab's (gi, j) row order: natural column group
+    g holds plane j = g // gpp, group gi = g % gpp, while slab row
+    r = gi*8 + j.  The permutation runs as a constant one-hot matmul
+    ((b, G) @ (G, G), G = 8*gpp — trivial work) because Mosaic cannot
+    lower a minor-dim transpose of the summed (b, 8, gpp) tensor."""
+    b = xb.shape[0]
+    G = gpp * 8
+    xsum_nat = jnp.sum(
+        xb.astype(jnp.int32).reshape(b, G, group), axis=2
+    ).astype(jnp.float32)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)   # source s
+    cc = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)   # slab row r
+    perm = (rr == (cc % 8) * gpp + cc // 8).astype(jnp.float32)
+    return jax.lax.dot_general(
+        xsum_nat, perm, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
                         group: int, gpp: int):
     """PREFILL-regime variant of _w4a8_kernel_fullk_combined: grid is
@@ -561,10 +581,8 @@ def _w4a8_kernel_mtiled(x_ref, xs_ref, wp_ref, szs_ref, o_ref, wun_scr, *,
     xb = x_ref[:]
     # NATURAL-order x (see _w4a8_kernel_grouped): no host-side int8
     # lane-regroup transpose; the zero-correction sums are permuted to
-    # the szs slab's (gi, j) row order via a tiny transpose instead
-    xsum = jnp.sum(
-        xb.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3
-    ).transpose(0, 2, 1).reshape(b, gpp * 8).astype(jnp.float32)
+    # the szs slab's (gi, j) row order via a constant one-hot dot
+    xsum = _xsum_slab_order(xb, gpp, group)
 
     def gi_body(gi, accs):
         sblk = szs_ref[0, pl.ds(gi * 8, 8), :].astype(jnp.float32)
@@ -1115,12 +1133,11 @@ def _w4a8_kernel_grouped(eid_ref, x_ref, xs_ref, wp_ref, szs_ref, o_ref,
     xb = x_ref[:]
     # NATURAL-order x: column group g covers plane j = g // gpp, group
     # gi = g % gpp; the szs slab rows are (gi, j)-ordered, so the
-    # zero-correction row sums are permuted via a tiny (b, 8, gpp)
-    # transpose (the host-side (MP, K) int8 lane-regroup transpose this
+    # zero-correction row sums are permuted to slab order via a constant
+    # one-hot dot (an in-kernel minor-dim transpose fails Mosaic
+    # lowering; the host-side (MP, K) int8 lane-regroup transpose this
     # replaces measured 18 ms = 26 GB/s at MP=57344, grouped_decomp r5)
-    xsum = jnp.sum(
-        xb.astype(jnp.int32).reshape(b, 8, gpp, group), axis=3
-    ).transpose(0, 2, 1).reshape(b, gpp * 8).astype(jnp.float32)
+    xsum = _xsum_slab_order(xb, gpp, group)
 
     def gi_body(gi, accs):
         sblk = szs_ref[0, 0, pl.ds(gi * 8, 8), :].astype(jnp.float32)

@@ -312,9 +312,15 @@ def moe_mlp_grouped(entry: Dict[str, Any], x2: Array, topi: Array,
     top_k = topi.shape[1]
     gather_row, sel_pos, block_eid = moe_group_selections(
         topi, E, m_tile)
-    xpad = jnp.concatenate(
-        [x2.astype(jnp.bfloat16), jnp.zeros((1, H), jnp.bfloat16)], axis=0)
-    xq, xs = quantize_act_per_token(xpad[gather_row])
+    # quantize each token ONCE (n rows), then gather int8 rows into the
+    # grouped layout — identical numerics to quantizing the gathered
+    # copies (same row -> same amax/scale) at 1/top_k the quantize work
+    # and half the gather bytes; the dummy pad row is zeros/scale-1
+    xq_t, xs_t = quantize_act_per_token(x2)
+    xq = jnp.concatenate([xq_t, jnp.zeros((1, H), jnp.int8)],
+                         axis=0)[gather_row]
+    xs = jnp.concatenate([xs_t, jnp.ones((1, 1), jnp.float32)],
+                         axis=0)[gather_row]
     g = w4a8_grouped_matmul(xq, xs, gp.codes, gp.scales, block_eid,
                             group=gp.group_size, m_tile=m_tile,
                             interpret=interpret)
