@@ -134,18 +134,24 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
             dk = apply_qlinear_gathered(entry["mlp.down"],
                                         midk.astype(jnp.bfloat16), e)
             y = y + topw[:, k:k + 1] * dk
-    elif (isinstance(gp, _QLP) and gp.layout == "stacked_planes"
+    elif (all(isinstance(entry.get(nm), _QLP)
+              and entry[nm].layout == "stacked_planes"
+              for nm in ("mlp.gate", "mlp.up", "mlp.down"))
           and not getattr(sw, "sharded", False)
           and (ge := _os.environ.get("LCTPU_MOE_GROUPED", "auto")) != "0"
           and (ge in ("1", "interpret")
                or (ge == "auto" and jax.default_backend() != "cpu"
                    and n >= int(_os.environ.get(
-                       "LCTPU_MOE_GROUPED_MIN", "512"))))):
+                       "LCTPU_MOE_GROUPED_MIN", "257"))))):
         # BATCH-regime capacity-grouped kernel (r5): selections sorted
         # by expert into m_tile segments -> top_k/E of the dense stacked
-        # kernel's MXU passes and ~one weight read per live expert
-        # (the dense kernel computes every expert for every token, and
-        # re-reads all E weights per LCTPU_MOE_DENSE_BLOCK chunk).
+        # kernel's MXU passes and ~one weight read per live expert.
+        # Engages exactly where the stacked kernel's n<=256 VMEM bound
+        # hands dense off to the pathological XLA dequant path — salted
+        # on-chip numbers (tools/r5logs/moe_layer2.log, E=64 I=2048
+        # H=4096 top_k=6): grouped 5.9/11.3/32.7 ms/layer at
+        # n=512/2048/8192 vs dense-XLA 122.9/142.2/473.5 (13-21x);
+        # engine prefill 129.9 -> 8.9 ms/layer (moe_prefill_probe).
         # Dropless-exact; parity-tested vs dense (test_serving_moe_mla).
         from .quantized_model import moe_mlp_grouped
         y = moe_mlp_grouped(entry, x2, topi, topw, arch.act_fn,
