@@ -83,16 +83,17 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
         str(max(1, m.num_experts // max(1, m.top_k)))))
     from ..ops.qlinear import QLinearParams as _QLP
     gp = entry["mlp.gate"]
-    # r5 measurement: the scalar-prefetch gathered kernel carries a
-    # ~1.1 ms/selection fixed cost (dynamically-indexed weight tiles
-    # defeat Mosaic's pipeline prefetch — 30 GB/s effective vs the dense
-    # kernel's 79), so it only pays when selections read well under half
-    # the dense traffic (tools/r5logs/moe_pgather*.log: 1.29x at
-    # n*top_k/E = 12.5%, parity at 37%, loses at 75%)
+    # r5 session-2 (salted protocol, tools/r5logs/moe_layer2_thresh.log):
+    # the scalar-prefetch gathered kernel is ~17 us/selection linear, the
+    # dense stacked kernel ~1.1-1.4 ms flat at decode n — honest
+    # crossover at n_sel ~= E (pgather 0.90 vs dense 1.13 ms at n_sel=48;
+    # 1.65 vs 1.14 at 96).  The earlier "~1.1 ms/selection fixed cost /
+    # under-half-traffic-only" figure was a dedup/load measurement
+    # artifact (REPORT session-2 addendum).
     planes_gather = (isinstance(gp, _QLP)
                      and gp.layout == "stacked_planes"
                      and jax.default_backend() != "cpu"
-                     and n * m.top_k * 2 <= m.num_experts)
+                     and n * m.top_k <= m.num_experts)
     if n <= gather_thresh and not getattr(sw, "sharded", False) \
             and planes_gather:
         # scalar-prefetch gathered KERNEL (VERDICT r4 #5): only the

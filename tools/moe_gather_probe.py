@@ -128,23 +128,25 @@ def main():
                  "pgather": pgather_step, "grouped": grouped_step}
         for name, f in [(k, table[k]) for k in impls]:
 
+            # salted protocol (kernel_chain_timeit): the original
+            # warm-then-repeat form was exposed to the relay's result
+            # dedup + executable-load artifacts (REPORT r5 session-2)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from kernel_chain_timeit import timeit_salted
+
             @functools.partial(jax.jit, static_argnames=("iters",))
-            def chain(W, x, iters, f=f):
+            def chain(salt, W, iters, f=f, x0=x0, topi=topi, topw=topw):
                 def body(i, xx):
                     y = f(W, xx, topi, topw)
                     return (y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
                             ).astype(jnp.bfloat16)
-                return jax.lax.fori_loop(0, iters, body, x)
+                return jnp.sum(jax.lax.fori_loop(
+                    0, iters, body,
+                    (x0 + salt).astype(jnp.bfloat16))[:1])
 
             try:
-                float(jnp.sum(chain(W, x0, iters=ITERS)))
-                t0 = time.perf_counter()
-                float(jnp.sum(chain(W, x0, iters=ITERS)))
-                t_lo = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                float(jnp.sum(chain(W, x0, iters=5 * ITERS)))
-                t_hi = time.perf_counter() - t0
-                dt = (t_hi - t_lo) / (4 * ITERS)
+                dt = timeit_salted(
+                    lambda s, it: chain(s, W, iters=it), ITERS)
                 used = (bytes_all if name == "dense"
                         else bytes_all * n * TOPK / E)
                 print(json.dumps({

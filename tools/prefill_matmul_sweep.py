@@ -19,18 +19,24 @@ ITERS = 50
 
 
 def timeit(f, x, qp):
-    @jax.jit
-    def run(x0):
+    # salted protocol (kernel_chain_timeit): the original warm-then-
+    # repeat form was exposed to the relay's result dedup (REPORT r5
+    # session-2 addendum)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import functools
+
+    from kernel_chain_timeit import timeit_salted
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(salt, iters):
         def body(i, xx):
             y = f(xx, qp)
             y = y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)
-            return y[:, :x0.shape[1]].astype(x0.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, x0)
+            return y[:, :x.shape[1]].astype(x.dtype)
+        return jnp.sum(jax.lax.fori_loop(
+            0, iters, body, (x + salt).astype(x.dtype))[:1])
 
-    float(jnp.sum(run(x)))
-    t0 = time.perf_counter()
-    float(jnp.sum(run(x)))
-    return (time.perf_counter() - t0) / ITERS
+    return timeit_salted(run, ITERS)
 
 
 def main():

@@ -53,22 +53,21 @@ def run_chain(fn, *args):
     # the probe output must DEPEND on the loop carry or XLA hoists the
     # loop-invariant pallas_call out of the fori entirely (v1 reported
     # 7.7 TB/s "copies"); an optimization_barrier ties the weight operand
-    # to the carry without copying it
-    @jax.jit
-    def chain(iters, *a):
+    # to the carry without copying it.  Timing: salted protocol
+    # (kernel_chain_timeit) — the original warm-then-repeat timeit was
+    # exposed to the relay's result-dedup + executable-load artifacts
+    # (REPORT r5 session-2 addendum).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kernel_chain_timeit import timeit_salted
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(salt, iters, a=args):
         def body(i, acc):
             wp, acc2 = jax.lax.optimization_barrier((a[0], acc))
             return fn(wp, *a[1:])[0, 0] + acc2 * 0.0
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, iters, body, salt)
 
-    float(chain(ITERS, *args))
-    t0 = time.perf_counter()
-    float(chain(ITERS, *args))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(5 * ITERS, *args))
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (4 * ITERS)
+    return timeit_salted(chain, ITERS)
 
 
 def main():
