@@ -99,6 +99,29 @@ def quantize_linear_stacked(w3: Array, wspec: QuantSpec,
             jnp.stack([p.codes for p in parts]),
             jnp.stack([p.scales for p in parts]), None, None,
             4, gs, False, "stacked_planes")
+    import os as _os
+
+    if (layout == "auto" and wspec.bit == 4 and not wspec.is_float
+            and _os.environ.get("LCTPU_STACKED_INT8_FALLBACK", "1")
+            != "0"):
+        # planes-INELIGIBLE shape (e.g. DeepSeek-V2/V2-Lite down-proj:
+        # ic 1536/1408 not a multiple of 8*group) — store int8
+        # per-channel instead of int4 rows: the int8->bf16 dequant is a
+        # plain convert+scale that XLA fuses into the einsum's weight
+        # read, where the int4 rows unpack (gather + bit ops) never
+        # fuses and materializes (E, oc, ic) bf16 per call (r4
+        # moe_gather_probe).  Per-channel int8 is also no less accurate
+        # than per-group int4.  LCTPU_STACKED_INT8_FALLBACK=0 restores
+        # the int4 rows storage.
+        spec8 = QuantSpec(bit=8, symmetric=True,
+                          granularity="per_channel")
+        parts = [quantize_linear(w3[e].astype(jnp.float32), spec8,
+                                 layout="rows")
+                 for e in range(w3.shape[0])]
+        return QLinearParams(
+            jnp.stack([p.codes for p in parts]),
+            jnp.stack([p.scales for p in parts]), None, None,
+            8, 0, False, "stacked")
     parts = [quantize_linear(w3[e].astype(jnp.float32), wspec,
                              layout="rows")
              for e in range(w3.shape[0])]

@@ -455,3 +455,44 @@ def test_moe_mlp_grouped_matches_dense(monkeypatch):
     cos = (d * g).sum() / (np.linalg.norm(d) * np.linalg.norm(g) + 1e-9)
     assert cos > 0.999, cos
     np.testing.assert_allclose(g, d, atol=0.08, rtol=0.08)
+
+
+def test_stacked_int8_fallback_for_planes_ineligible():
+    """A planes-ineligible stacked expert weight (ic not a multiple of
+    8*group, the DeepSeek-V2/V2-Lite down-proj shape class) stores int8
+    per-channel, dequants close to the source weight, and serves through
+    apply_qlinear_stacked/gathered."""
+    from lightcompress_tpu.serving.quantized_model import (
+        apply_qlinear_gathered, apply_qlinear_stacked,
+        dequant_weight_stacked, quantize_linear_stacked)
+
+    rng = np.random.RandomState(3)
+    E, oc, ic = 4, 128, 384  # ic % (8*128) != 0 -> planes-ineligible
+    w3 = jnp.asarray(rng.randn(E, oc, ic) * 0.1, jnp.float32)
+    spec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                     group_size=128)
+    qp = quantize_linear_stacked(w3, spec)
+    assert qp.layout == "stacked" and qp.bits == 8
+    wd = np.asarray(dequant_weight_stacked(qp, jnp.float32))
+    rel = np.abs(wd - np.asarray(w3)).max() / np.abs(w3).max()
+    assert rel < 0.02, rel  # int8 per-channel noise, far below int4's
+
+    x = jnp.asarray(rng.randn(3, ic) * 0.5, jnp.float32)
+    y = apply_qlinear_stacked(qp, x)                 # (E, n, oc)
+    want = jnp.einsum("ni,eoi->eno", x, jnp.asarray(wd))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               atol=1e-2, rtol=1e-2)
+    g = apply_qlinear_gathered(qp, x, jnp.asarray([1, 0, 3]))
+    np.testing.assert_allclose(
+        np.asarray(g),
+        np.stack([np.asarray(y)[e, i] for i, e in enumerate([1, 0, 3])]),
+        atol=1e-2, rtol=1e-2)
+
+    # opt-out restores int4 rows storage
+    import os
+    os.environ["LCTPU_STACKED_INT8_FALLBACK"] = "0"
+    try:
+        qp4 = quantize_linear_stacked(w3, spec)
+        assert qp4.bits == 4 and qp4.layout == "stacked"
+    finally:
+        del os.environ["LCTPU_STACKED_INT8_FALLBACK"]

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 SLOTS = int(os.environ.get("SLOTS", "16"))
 T = int(os.environ.get("T", "1024"))
 LAYERS = int(os.environ.get("LAYERS", "8"))
+MOE_I = int(os.environ.get("MOE_I", "1408"))
+DENSE_I = int(os.environ.get("DENSE_I", "10944"))
 MOE = os.environ.get("MOE", "1") == "1"
 
 
@@ -28,12 +30,12 @@ def make_model():
 
     arch = ArchSpec(
         family="llama", vocab_size=32000, hidden_size=2048,
-        intermediate_size=10944, num_layers=LAYERS, num_heads=16,
+        intermediate_size=DENSE_I, num_layers=LAYERS, num_heads=16,
         num_kv_heads=16, head_dim=64,  # == qk_rope_head_dim (rope tables)
         act_fn="silu", tie_word_embeddings=False,
         mla=MLASpec(kv_lora_rank=512, qk_rope_head_dim=64,
                     qk_nope_head_dim=128, v_head_dim=128, q_lora_rank=None),
-        moe=MoESpec(num_experts=64, top_k=6, moe_intermediate_size=1408,
+        moe=MoESpec(num_experts=64, top_k=6, moe_intermediate_size=MOE_I,
                     num_shared_experts=2, gating="softmax",
                     norm_topk_prob=True) if MOE else None,
         dtype=jnp.bfloat16,
@@ -87,7 +89,7 @@ def main():
     per = (t_hi - t_lo) / 40
     print(json.dumps({
         "mode": mode, "per_step_ms": round(per * 1e3, 2),
-        "slots": SLOTS, "T": T, "layers": LAYERS, "moe": MOE,
+        "slots": SLOTS, "T": T, "layers": LAYERS, "moe": MOE, "moe_i": MOE_I,
         "tok_per_s": round(SLOTS / per, 1)}), flush=True)
 
 
