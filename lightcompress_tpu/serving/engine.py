@@ -137,7 +137,11 @@ def _moe_mlp(sw: "ServingWeights", entry, h2: Array, ab: int) -> Array:
             y = y + topw[:, k:k + 1] * dk
     elif (all(isinstance(entry.get(nm), _QLP)
               and entry[nm].layout == "stacked_planes"
-              for nm in ("mlp.gate", "mlp.up", "mlp.down"))
+              for nm in ("mlp.gate", "mlp.up"))
+          and isinstance(entry.get("mlp.down"), _QLP)
+          and (entry["mlp.down"].layout == "stacked_planes"
+               or (entry["mlp.down"].bits == 8
+                   and entry["mlp.down"].layout == "stacked"))
           and not getattr(sw, "sharded", False)
           and (ge := _os.environ.get("LCTPU_MOE_GROUPED", "auto")) != "0"
           and (ge in ("1", "interpret")

@@ -496,3 +496,42 @@ def test_stacked_int8_fallback_for_planes_ineligible():
         assert qp4.bits == 4 and qp4.layout == "stacked"
     finally:
         del os.environ["LCTPU_STACKED_INT8_FALLBACK"]
+
+
+def test_moe_mlp_grouped_int8_down(monkeypatch):
+    """Grouped path with an int8-stacked down-proj (the V2-Lite shape
+    class: gate/up planes-eligible, down ic not a multiple of 8*gs):
+    engine _moe_mlp grouped == dense."""
+    from lightcompress_tpu.serving import engine as eng
+
+    arch = ArchSpec(
+        family="llama", vocab_size=128, hidden_size=512,
+        intermediate_size=512, num_layers=1, num_heads=4, num_kv_heads=2,
+        head_dim=16, act_fn="silu",
+        moe=MoESpec(num_experts=4, top_k=2, moe_intermediate_size=384,
+                    gating="softmax", norm_topk_prob=True),
+        dtype=jnp.bfloat16,
+    )
+    params = init_params(jax.random.PRNGKey(13), arch)
+    _sharpen_router(params)
+    model = Llama(arch, params)
+    wspec = QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=32)
+    sw = build_serving_weights(model, wspec)
+    entry = sw.blocks[0]
+    assert entry["mlp.gate"].layout == "stacked_planes"
+    assert entry["mlp.down"].layout == "stacked" \
+        and entry["mlp.down"].bits == 8
+    rng = np.random.RandomState(7)
+    h2 = jnp.asarray(rng.randn(2, 8, 512) * 0.3, jnp.bfloat16)
+
+    monkeypatch.setenv("LCTPU_MOE_GATHER_MAX", "0")
+    monkeypatch.setenv("LCTPU_MOE_GROUPED", "0")
+    y_dense = eng._moe_mlp(sw, entry, h2, 16)
+    monkeypatch.setenv("LCTPU_MOE_GROUPED", "interpret")
+    y_grp = eng._moe_mlp(sw, entry, h2, 16)
+    d = np.asarray(y_dense, np.float32)
+    g = np.asarray(y_grp, np.float32)
+    cos = (d * g).sum() / (np.linalg.norm(d) * np.linalg.norm(g) + 1e-9)
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(g, d, atol=0.08, rtol=0.08)
