@@ -1241,6 +1241,87 @@ def w4a8_grouped_matmul(
     return out
 
 
+def _w8a8_kernel_grouped(eid_ref, x_ref, xs_ref, w_ref, s_ref, o_ref):
+    """Body for w8a8_grouped_matmul: one int8xint8 MXU dot per
+    (N tile, M block) step; per-channel weight scale + per-token act
+    scale applied on the f32 accumulator (symmetric int8 weights — no
+    zero correction)."""
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[0, 0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32) * s_ref[0, 0][None, :]
+                * xs_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m_tile", "out_dtype", "interpret"),
+)
+def w8a8_grouped_matmul(
+    xq: Array,        # (Mp, K) int8, expert-sorted rows
+    x_scale: Array,   # (Mp, 1) f32
+    codes: Array,     # (E, N, K) int8 per-channel stacked weights
+    scales: Array,    # (E, N, 1) f32 per-channel
+    block_eid: Array,  # (Mp/m_tile,) int32 expert id per M block
+    m_tile: int = 128,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> Array:
+    """Capacity-grouped INT8-per-channel stacked-expert matmul — the
+    grouped-path analogue of w4a8_grouped_matmul for planes-INELIGIBLE
+    expert shapes (DeepSeek-V2/V2-Lite down-proj: ic % (8*group) != 0;
+    int8 rows have no packing constraint beyond lane alignment).  Same
+    M-innermost grid + scalar-prefetched block->expert index maps;
+    weight tiling is a pure reshape (row blocks of a row-major (N, K)
+    weight are already contiguous).  Replaces the block-gathered dequant
+    einsum that materialized (n_mb, N, K) int8 in HBM per call."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, N, K = codes.shape
+    Mp = xq.shape[0]
+    n_mblocks = Mp // m_tile
+    assert n_mblocks * m_tile == Mp and block_eid.shape[0] == n_mblocks
+    # N tile: largest 128-multiple divisor of N with a <=4MB int8 tile
+    n_tile = N
+    while n_tile > 128 and (N % n_tile or n_tile * K > (4 << 20)):
+        n_tile -= 128
+    assert N % n_tile == 0
+    n_blocks = N // n_tile
+    wt = codes.reshape(E, n_blocks, n_tile, K)
+    st = scales.reshape(E, n_blocks, n_tile).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks, n_mblocks),
+        in_specs=[
+            pl.BlockSpec((m_tile, K), lambda i, j, e: (j, 0)),
+            pl.BlockSpec((m_tile, 1), lambda i, j, e: (j, 0)),
+            pl.BlockSpec((1, 1, n_tile, K),
+                         lambda i, j, e: (e[j], i, 0, 0)),
+            pl.BlockSpec((1, 1, n_tile), lambda i, j, e: (e[j], i, 0)),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, e: (j, i)),
+    )
+    out = pl.pallas_call(
+        _w8a8_kernel_grouped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        interpret=interpret,
+        compiler_params=_maybe_vmem_params(
+            2 * n_tile * K + 2 * m_tile * K
+            + m_tile * n_tile * 4 * 3 + (2 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=min(E, n_mblocks) * N * K
+            + n_blocks * Mp * K + Mp * N
+            * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+    )(block_eid.astype(jnp.int32), xq, x_scale.astype(jnp.float32),
+      wt, st)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group", "m_tile", "out_dtype", "interpret"),

@@ -359,18 +359,27 @@ def moe_mlp_grouped(entry: Dict[str, Any], x2: Array, topi: Array,
     else:
         # int8 per-channel stacked down (the planes-ineligible V2/
         # V2-Lite shape class): the input is already in grouped layout,
-        # so one block-gathered dequant einsum serves it — bf16 dots
-        # against the selected experts' int8 rows, per-channel scales
-        # applied on the output (XLA int8 dots at small M are
-        # pathological; the convert is the fusable form)
+        # so the int8 grouped kernel serves it (weights stream once per
+        # live expert — no packing constraint on ic).  CPU fallback: a
+        # block-gathered dequant einsum (bf16 dots; XLA int8 dots at
+        # small M are pathological).
         assert dp.bits == 8 and dp.layout == "stacked"
-        n_mb = block_eid.shape[0]
-        midb = mid.astype(jnp.bfloat16).reshape(n_mb, m_tile, -1)
-        w8 = dp.codes[block_eid]                      # (n_mb, H, I)
-        d = jnp.einsum("bmi,boi->bmo", midb, w8.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        d = (d * dp.scales[block_eid].reshape(n_mb, 1, H)
-             ).reshape(n_mb * m_tile, H)
+        if interpret or jax.default_backend() != "cpu":
+            from ..ops.pallas_matmul import w8a8_grouped_matmul
+
+            mq, ms = quantize_act_per_token(mid.astype(jnp.bfloat16))
+            d = w8a8_grouped_matmul(mq, ms, dp.codes, dp.scales,
+                                    block_eid, m_tile=m_tile,
+                                    interpret=interpret)
+        else:
+            n_mb = block_eid.shape[0]
+            midb = mid.astype(jnp.bfloat16).reshape(n_mb, m_tile, -1)
+            w8 = dp.codes[block_eid]                  # (n_mb, H, I)
+            d = jnp.einsum("bmi,boi->bmo", midb,
+                           w8.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            d = (d * dp.scales[block_eid].reshape(n_mb, 1, H)
+                 ).reshape(n_mb * m_tile, H)
     y_sel = d[sel_pos].reshape(n, top_k, H)
     return jnp.einsum("nkh,nk->nh", y_sel, topw)
 

@@ -535,3 +535,34 @@ def test_moe_mlp_grouped_int8_down(monkeypatch):
     cos = (d * g).sum() / (np.linalg.norm(d) * np.linalg.norm(g) + 1e-9)
     assert cos > 0.999, cos
     np.testing.assert_allclose(g, d, atol=0.08, rtol=0.08)
+
+
+def test_w8a8_grouped_matmul_matches_dequant():
+    """Int8 grouped kernel (interpret) == per-row dequant matmul with
+    the block's expert weight."""
+    from lightcompress_tpu.ops.pallas_matmul import (
+        quantize_act_per_token, w8a8_grouped_matmul)
+    from lightcompress_tpu.serving.quantized_model import (
+        quantize_linear_stacked)
+
+    rng = np.random.RandomState(4)
+    E, oc, ic, m_tile = 4, 256, 384, 8  # planes-ineligible -> int8
+    w3 = jnp.asarray(rng.randn(E, oc, ic) * 0.1, jnp.float32)
+    qp = quantize_linear_stacked(
+        w3, QuantSpec(bit=4, symmetric=False, granularity="per_group",
+                      group_size=128))
+    assert qp.bits == 8 and qp.layout == "stacked"
+    n_mb = 5
+    Mp = n_mb * m_tile
+    block_eid = jnp.asarray(rng.choice(E, n_mb), jnp.int32)
+    x = jnp.asarray(rng.randn(Mp, ic) * 0.5, jnp.float32)
+    xq, xs = quantize_act_per_token(x)
+    got = w8a8_grouped_matmul(xq, xs, qp.codes, qp.scales, block_eid,
+                              m_tile=m_tile, interpret=True)
+    wde = (np.asarray(qp.codes, np.float32)
+           * np.asarray(qp.scales, np.float32))
+    xdq = np.asarray(xq, np.float32) * np.asarray(xs)
+    want = np.stack([
+        xdq[r] @ wde[int(block_eid[r // m_tile])].T for r in range(Mp)])
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.05, rtol=0.05)
