@@ -1250,7 +1250,7 @@ def _w8a8_kernel_grouped(eid_ref, x_ref, xs_ref, w_ref, s_ref, o_ref):
         x_ref[:], w_ref[0, 0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    o_ref[:] = (acc.astype(jnp.float32) * s_ref[0, 0][None, :]
+    o_ref[:] = (acc.astype(jnp.float32) * s_ref[0, 0]
                 * xs_ref[:]).astype(o_ref.dtype)
 
 
@@ -1289,7 +1289,9 @@ def w8a8_grouped_matmul(
     assert N % n_tile == 0
     n_blocks = N // n_tile
     wt = codes.reshape(E, n_blocks, n_tile, K)
-    st = scales.reshape(E, n_blocks, n_tile).astype(jnp.float32)
+    # scales carry a unit sublane dim: Mosaic requires the -2 block dim
+    # be 8-divisible or equal to the array dim
+    st = scales.reshape(E, n_blocks, 1, n_tile).astype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks, n_mblocks),
@@ -1298,7 +1300,8 @@ def w8a8_grouped_matmul(
             pl.BlockSpec((m_tile, 1), lambda i, j, e: (j, 0)),
             pl.BlockSpec((1, 1, n_tile, K),
                          lambda i, j, e: (e[j], i, 0, 0)),
-            pl.BlockSpec((1, 1, n_tile), lambda i, j, e: (e[j], i, 0)),
+            pl.BlockSpec((1, 1, 1, n_tile),
+                         lambda i, j, e: (e[j], i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((m_tile, n_tile), lambda i, j, e: (j, i)),
     )
